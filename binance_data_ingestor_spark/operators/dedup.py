@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+
+- **Exact** dedup groups on a 16-byte md5 fingerprint, never the text —
+  the shuffle is O(docs × 16 B).
+- **n-gram Jaccard** uses an inverted shingle index (explode → self-join
+  on shingle → per-pair intersection counts) instead of the O(n²)
+  cross-join: only pairs that SHARE at least one shingle are ever
+  materialized, which is the standard way this survives 100 TB.
+- **MinHash-LSH** banding: per-doc signatures (K minhashes), grouped
+  into bands; docs sharing a band bucket become candidates. Hash
+  functions are ``md5(seed_k || shingle)`` kept as fixed-width hex
+  strings — lexicographic min over fixed-width lowercase hex equals
+  numeric min, which makes the whole operator expressible in portable
+  SQL (and therefore oracle-checkable in DuckDB) with no Python UDFs.
+- **SimHash**: 16-bit signatures from md5 hex digits via pure bit
+  arithmetic — again portable and codegen'd.
+
+All operators are deterministic: no RNG, no partition-order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+HEX = "0123456789abcdef"
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each distinct normalized text."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+# -- shingling --------------------------------------------------------------
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs with < n tokens drop out)."""
+    t = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(t) >= n)
+        .select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return with_shingles(df, text_col, id_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: one explode, one self-join on `shingle`
+    (co-occurrence counts = intersection size), one broadcast join for
+    set sizes. Hot shingles are the skew risk at scale — AQE skew-join
+    handles moderate skew; for pathological shingles add a frequency cap
+    upstream (drop shingles appearing in > X% of docs).
+    """
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jacc = F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash-LSH ------------------------------------------------------------
+
+def minhash_signature(num_hashes: int) -> list[Column]:
+    """K minhash aggregates over an exploded `shingle` column.
+
+    h_k(S) = min over shingles of md5("k:" || shingle) — fixed-width
+    lowercase hex, so min(string) == numeric min of the 128-bit value.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
+
+    rows-per-band r = num_hashes/bands; P(candidate) ≈ 1-(1-J^r)^bands.
+    Scale: signatures are num_hashes × 32 B per doc; the band self-join
+    shuffles on the band bucket key, and genuinely-duplicate clusters are
+    the only large buckets (that skew is inherent and AQE-split).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sig = ex.groupBy(id_col).agg(*minhash_signature(num_hashes))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    lhs = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    rhs = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_bit_exprs(dialect: str) -> tuple[list[str], list[str]]:
+    """Generate the per-token hex-digit exprs and 16 per-bit ±1 exprs.
+
+    Returns ([digit_expr_0..3], [bit_expr_0..bit_expr_15]) in the
+    given dialect ('spark' uses instr/shiftright, 'duckdb' uses
+    strpos/>>). Shared generator so the Spark plan and the DuckDB oracle
+    are provably the same function.
+    """
+    pos = "instr" if dialect == "spark" else "strpos"
+    digits = [
+        f"{pos}('{HEX}', substring(md5(token), {i + 1}, 1)) - 1 AS d{i}" for i in range(4)
+    ]
+    bits = []
+    for j in range(16):
+        i, s = j // 4, 3 - (j % 4)
+        if dialect == "spark":
+            bit = f"(shiftright(d{i}, {s}) & 1)"
+        else:
+            bit = f"((d{i} >> {s}) & 1)"
+        bits.append(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END AS c{j}")
+    return digits, bits
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document (token-multiset weighted)."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    digits, bits = simhash_bit_exprs("spark")
+    with_digits = ex.selectExpr(id_col, "token", *digits)
+    with_bits = with_digits.selectExpr(id_col, *bits)
+    summed = with_bits.groupBy(id_col).agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(16)]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """The DuckDB oracle for :func:`simhash16`, from the same generator."""
+    digits, bits = simhash_bit_exprs("duckdb")
+    sim_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    sums = ", ".join(f"sum(c{j}) AS s{j}" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token FROM {table}
+),
+dig AS (
+  SELECT {id_col}, token, {", ".join(digits)} FROM tok
+),
+bits AS (
+  SELECT {id_col}, {", ".join(bits)} FROM dig
+),
+summed AS (
+  SELECT {id_col}, {sums} FROM bits GROUP BY {id_col}
+)
+SELECT {id_col}, CAST({sim_terms} AS BIGINT) AS simhash FROM summed
+"""

@@ -1,0 +1,365 @@
+"""Binance stream-parity queries, driver-checkable against DuckDB.
+
+Strategy: synthesize deterministic raw wire messages (the FIXTURES.md
+raw schemas) from the `events` table, push them through the engine's
+real decode + normalize pipeline (from_json → P2-P5 projections →
+envelope/union → book analytics), and emit normalized output.  The
+oracle computes the same normalized values directly from `events`.
+
+All synthetic prices go through exact integer "cents" arithmetic
+(``round(value*100)`` is exact for the 2-dp `value` column) and string
+assembly — never double→decimal casts — so Spark and DuckDB produce
+byte-identical price strings.
+
+Covers SURVEY §2.2 P1-P14, P16, §2.1 S2 (multiplex union), §3.2 (the
+best-bid/ask/mid/spread minimum-slice query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.orderbook import book_metrics, top_k_levels
+from ..operators.projections import (
+    multiplex,
+    normalize_klines,
+    normalize_order_book,
+    normalize_ticker,
+    normalize_trades,
+    parse_raw,
+    with_envelope_json,
+)
+from .util import load
+
+SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT"]
+
+
+# -- deterministic synthesis helpers (Spark side) ---------------------------
+
+def _cents() -> Column:
+    """`value` has 2 decimals → exact integer cents."""
+    return F.round(F.col("value") * 100).cast("long")
+
+
+def _px(cents: Column) -> Column:
+    """cents → '<whole>.<2dp>000000' — 8-dp Binance price string, exact."""
+    whole = (cents / 100).cast("long")
+    rem = (cents - whole * 100).cast("long")
+    return F.concat(
+        whole.cast("string"), F.lit("."), F.lpad(rem.cast("string"), 2, "0"), F.lit("000000")
+    )
+
+
+def _symbol() -> Column:
+    c = F.col("user_id") % 3
+    return (
+        F.when(c == 0, SYMBOLS[0]).when(c == 1, SYMBOLS[1]).otherwise(SYMBOLS[2])
+    )
+
+
+def _ems() -> Column:
+    return F.unix_millis(F.col("ts"))
+
+
+# -- oracle-side synthesis helpers (DuckDB SQL fragments) -------------------
+
+_SQL_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _sql_px(cexpr: str) -> str:
+    return (
+        f"concat(CAST(({cexpr}) // 100 AS VARCHAR), '.', "
+        f"lpad(CAST(({cexpr}) % 100 AS VARCHAR), 2, '0'), '000000')"
+    )
+
+
+_SQL_SYMBOL = (
+    "CASE user_id % 3 WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' ELSE 'SOLUSDT' END"
+)
+_SQL_EMS = "epoch_ms(ts)"
+
+
+# --------------------------------------------------------------------------
+# q30 — ticker decode + normalize (P1 + P2): raw JSON frames → from_json →
+# 8-column projection. Scale: from_json + struct getField stay inside
+# whole-stage codegen; nothing leaves the JVM.
+# --------------------------------------------------------------------------
+def _raw_ticker_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = _cents()
+    return ev.select(
+        F.col("event_id"),
+        _symbol().alias("symbol"),
+        F.to_json(
+            F.struct(
+                F.lit("24hrTicker").alias("e"),
+                _ems().alias("E"),
+                _symbol().alias("s"),
+                _px(c).alias("p"),
+                _px(c * 3).alias("P"),
+                _px(c * 2).alias("c"),
+                _px(c * 5).alias("h"),
+                _px(c).alias("l"),
+                _px(c * 10).alias("v"),
+                _px(c * 100).alias("q"),
+            )
+        ).alias("value"),
+    )
+
+
+def q30_ticker_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _raw_ticker_frames(spark, sf_dir)
+    norm = normalize_ticker(parse_raw(frames, "ticker"))
+    return norm.select(
+        "price_change",
+        "price_change_percent",
+        "last_price",
+        "high_price",
+        "low_price",
+        "total_volume_asset",
+        "total_volume_quote",
+        "event_time",
+    )
+
+
+Q30_SQL = f"""
+SELECT {_sql_px(_SQL_CENTS)}            AS price_change,
+       {_sql_px(f"({_SQL_CENTS}) * 3")} AS price_change_percent,
+       {_sql_px(f"({_SQL_CENTS}) * 2")} AS last_price,
+       {_sql_px(f"({_SQL_CENTS}) * 5")} AS high_price,
+       {_sql_px(_SQL_CENTS)}            AS low_price,
+       {_sql_px(f"({_SQL_CENTS}) * 10")}  AS total_volume_asset,
+       {_sql_px(f"({_SQL_CENTS}) * 100")} AS total_volume_quote,
+       {_SQL_EMS}                       AS event_time
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — order-book decode + best-bid/ask/mid/spread (P1+P3+P10-P14, §3.2
+# minimum-slice target). Rows with event_id % 10 == 0 get empty books →
+# exercises the empty-guard (P13). Base shifted +1000 cents so synthetic
+# bid ladders stay positive.
+# --------------------------------------------------------------------------
+def _raw_book_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = _cents() + 1000
+    empty = F.col("event_id") % 10 == 0
+
+    def level(px_cents: Column, qty_i: int) -> Column:
+        return F.array(_px(px_cents), _px(F.lit(qty_i * 100)))
+
+    bids = F.when(empty, F.array().cast("array<array<string>>")).otherwise(
+        F.array(level(base, 1), level(base - 1, 2), level(base - 2, 3), level(base - 3, 4))
+    )
+    asks = F.when(empty, F.array().cast("array<array<string>>")).otherwise(
+        F.array(level(base + 1, 1), level(base + 2, 2), level(base + 3, 3))
+    )
+    return ev.select(
+        F.col("event_id"),
+        _symbol().alias("symbol"),
+        F.to_json(
+            F.struct(
+                F.lit("depthUpdate").alias("e"),
+                _ems().alias("E"),
+                _symbol().alias("s"),
+                F.col("event_id").alias("u"),
+                bids.alias("b"),
+                asks.alias("a"),
+            )
+        ).alias("value"),
+    )
+
+
+def q31_orderbook_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _raw_book_frames(spark, sf_dir)
+    book = normalize_order_book(parse_raw(frames, "order-book"))
+    out = top_k_levels(book_metrics(book), k=3)
+    return out.select(
+        F.col("lastUpdateId"),
+        F.round(F.col("best_bid").cast("double"), 6).alias("best_bid_px"),
+        F.round(F.col("best_ask").cast("double"), 6).alias("best_ask_px"),
+        F.round("mid_price", 6).alias("mid_px"),
+        F.round("spread", 6).alias("spread_px"),
+        F.size("bids_top3").alias("n_bid_levels_top3"),
+        F.size("bids").alias("n_bid_levels"),
+    )
+
+
+Q31_SQL = f"""
+WITH base AS (
+  SELECT event_id, ({_SQL_CENTS}) + 1000 AS b, event_id % 10 = 0 AS empty
+  FROM events
+),
+m AS (
+  SELECT event_id,
+         CASE WHEN empty THEN NULL ELSE b / 100.0 END       AS bb,
+         CASE WHEN empty THEN NULL ELSE (b + 1) / 100.0 END AS ba,
+         empty
+  FROM base
+)
+SELECT event_id AS lastUpdateId,
+       round(bb, 6) AS best_bid_px,
+       round(ba, 6) AS best_ask_px,
+       round((bb + ba) / 2, 6) AS mid_px,
+       round(ba - bb, 6)       AS spread_px,
+       CASE WHEN empty THEN 0 ELSE 3 END AS n_bid_levels_top3,
+       CASE WHEN empty THEN 0 ELSE 4 END AS n_bid_levels
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — trades decode + normalize (P1+P4) incl. the Python-repr boolean
+# stringification quirk ("True"/"False"/"None", SURVEY §1.4).
+# --------------------------------------------------------------------------
+def _raw_trade_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = _cents()
+    m = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("boolean")).otherwise(
+        F.col("event_id") % 2 == 0
+    )
+    return ev.select(
+        F.col("event_id"),
+        _symbol().alias("symbol"),
+        F.to_json(
+            F.struct(
+                F.lit("aggTrade").alias("e"),
+                _ems().alias("E"),
+                _symbol().alias("s"),
+                _px(c).alias("p"),
+                _px(c * 2).alias("q"),
+                (_ems() - 3).alias("T"),
+                m.alias("m"),
+            )
+        ).alias("value"),
+    )
+
+
+def q32_trades_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _raw_trade_frames(spark, sf_dir)
+    return normalize_trades(parse_raw(frames, "trades"))
+
+
+Q32_SQL = f"""
+SELECT {_SQL_EMS}                       AS event_time,
+       {_sql_px(_SQL_CENTS)}            AS price,
+       {_sql_px(f"({_SQL_CENTS}) * 2")} AS quantity,
+       {_SQL_EMS} - 3                   AS trade_time,
+       CASE WHEN event_id % 7 = 0 THEN 'None'
+            WHEN event_id % 2 = 0 THEN 'True'
+            ELSE 'False' END            AS is_buyer_maker
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — kline decode + nested flatten (P1+P5): outer {e,E,s,k:{...}} →
+# 13 columns, mixing outer and inner fields.
+# --------------------------------------------------------------------------
+def _raw_kline_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = _cents()
+    ems = _ems()
+    t0 = ems - (ems % 60000)
+    x = F.col("event_id") % 5 == 0
+    return ev.select(
+        F.col("event_id"),
+        _symbol().alias("symbol"),
+        F.to_json(
+            F.struct(
+                F.lit("kline").alias("e"),
+                ems.alias("E"),
+                _symbol().alias("s"),
+                F.struct(
+                    t0.alias("t"),
+                    (t0 + 59999).alias("T"),
+                    _symbol().alias("s"),
+                    F.lit("1m").alias("i"),
+                    _px(c).alias("o"),
+                    _px(c * 2).alias("c"),
+                    _px(c * 3).alias("h"),
+                    _px(c).alias("l"),
+                    _px(c * 4).alias("v"),
+                    (F.col("event_id") % 100).alias("n"),
+                    x.alias("x"),
+                    _px(c * 5).alias("q"),
+                ).alias("k"),
+            )
+        ).alias("value"),
+    )
+
+
+def q33_klines_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _raw_kline_frames(spark, sf_dir)
+    return normalize_klines(parse_raw(frames, "klines"))
+
+
+Q33_SQL = f"""
+SELECT {_SQL_EMS}                                  AS event_time,
+       {_SQL_EMS} - ({_SQL_EMS} % 60000)           AS kline_start_time,
+       {_SQL_EMS} - ({_SQL_EMS} % 60000) + 59999   AS kline_close_time,
+       {_SQL_SYMBOL}                               AS symbol,
+       '1m'                                        AS interval,
+       {_sql_px(_SQL_CENTS)}                       AS open_price,
+       {_sql_px(f"({_SQL_CENTS}) * 2")}            AS close_price,
+       {_sql_px(f"({_SQL_CENTS}) * 3")}            AS high_price,
+       {_sql_px(_SQL_CENTS)}                       AS low_price,
+       {_sql_px(f"({_SQL_CENTS}) * 4")}            AS base_asset_volume,
+       event_id % 100                              AS number_of_trades,
+       CASE WHEN event_id % 5 = 0 THEN 'True' ELSE 'False' END AS is_kline_closed,
+       {_sql_px(f"({_SQL_CENTS}) * 5")}            AS quote_asset_volume
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — envelope + multiplex + discriminator filter (P7+P16+S2+P8+P9,
+# §3.3 entry point 3): two enveloped streams unioned, payload serialized
+# to JSON (the wire envelope), filter on stream type, extract a nested
+# field back out. Scale: Catalyst pushes the stream filter through the
+# Union, so the trades branch prunes to zero scan work.
+# --------------------------------------------------------------------------
+def q34_envelope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticker = normalize_ticker(
+        parse_raw(_raw_ticker_frames(spark, sf_dir), "ticker"), keep=["symbol"]
+    )
+    trades = normalize_trades(
+        parse_raw(_raw_trade_frames(spark, sf_dir), "trades"), keep=["symbol"]
+    )
+    wire = multiplex(
+        with_envelope_json(ticker, "ticker"), with_envelope_json(trades, "trades")
+    )
+    return wire.filter(F.col("stream") == "ticker").select(
+        "stream",
+        "symbol",
+        F.get_json_object("data_json", "$.last_price").alias("last_price"),
+        F.get_json_object("data_json", "$.event_time").cast("long").alias("event_time"),
+    )
+
+
+Q34_SQL = f"""
+SELECT 'ticker'                         AS stream,
+       {_SQL_SYMBOL}                    AS symbol,
+       {_sql_px(f"({_SQL_CENTS}) * 2")} AS last_price,
+       {_SQL_EMS}                       AS event_time
+FROM events
+"""
+
+
+QUERIES = {
+    "q30_ticker_normalize": q30_ticker_normalize,
+    "q31_orderbook_metrics": q31_orderbook_metrics,
+    "q32_trades_normalize": q32_trades_normalize,
+    "q33_klines_normalize": q33_klines_normalize,
+    "q34_envelope_filter": q34_envelope_filter,
+}
+
+ORACLES = {
+    "q30_ticker_normalize": Q30_SQL,
+    "q31_orderbook_metrics": Q31_SQL,
+    "q32_trades_normalize": Q32_SQL,
+    "q33_klines_normalize": Q33_SQL,
+    "q34_envelope_filter": Q34_SQL,
+}

@@ -1,0 +1,353 @@
+"""Core relational operator surface over the TPC-H-ish tables.
+
+Covers SURVEY.md §2.2 (projection/filter/predicates/scalar fns),
+§2.3 (top-k/limit), §2.4 A4 (groupBy/distinct/rollup), §2.5 (joins,
+set ops).  The reference's declarative algebra is `filter on a
+discriminator + nested projection + limit` (SURVEY §3.3); everything
+here is that algebra generalized to the full relational surface Spark
+gives us for free.
+
+Scale notes per query are inline.  Conventions for the DuckDB oracle:
+every computed column is aliased identically on both sides, and every
+floating aggregate is rounded on both sides so double summation-order
+differences between engines don't break the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .util import load
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1 pricing summary (scan → filter → hash agg).
+# Scale: predicate + column pruning push into the parquet scan; the groupBy
+# has 6 groups so the shuffle after partial (map-side) aggregation is tiny.
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — shipping priority (TPC-H Q3 shape): 3-way join → agg → top-10.
+# Scale: customer is 1/10 the size of orders → Catalyst broadcasts it
+# (explicit hint); orders⨝lineitem is the big shuffle join on l_orderkey.
+# Top-10 via orderBy+limit: Spark's TakeOrderedAndProject avoids a global
+# sort — each partition keeps 10 rows, driver merges.
+# --------------------------------------------------------------------------
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — regional revenue (TPC-H Q5 shape): 5-way star join.
+# Scale: region/nation/supplier/customer are dims → broadcast the whole dim
+# chain; only orders⨝lineitem shuffles. Join order: filters first so the
+# probe side is pre-pruned.
+# --------------------------------------------------------------------------
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q03_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — top-k per group (SURVEY §2.3 L1/L2 generalized): top 3 orders by
+# totalprice within each priority. Scale: row_number over a partitioned
+# window is a single shuffle on the partition key; no global sort.
+# --------------------------------------------------------------------------
+def q04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rk")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — pivot (wide aggregation). Oracle = conditional aggregation.
+# --------------------------------------------------------------------------
+def q05_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return pivoted.select("l_returnflag", F.col("O").alias("qty_open"), F.col("F").alias("qty_filled"))
+
+
+Q05_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — rollup (grouping sets): subtotals + grand total in one pass.
+# --------------------------------------------------------------------------
+def q06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+Q06_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — semi/anti join (EXISTS / NOT EXISTS): customers with an urgent
+# order but no low-priority order. Scale: both are broadcast-able probe
+# builds on the small side; semi/anti never widen rows.
+# --------------------------------------------------------------------------
+def q07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .join(low, cust.c_custkey == low.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW')
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — set ops (SURVEY §2.5 J2): INTERSECT / EXCEPT over key sets.
+# --------------------------------------------------------------------------
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(high)
+    return both.exceptAll(both.intersect(low)).select(F.col("o_custkey").alias("custkey"))
+
+
+Q08_SQL = """
+SELECT o_custkey AS custkey FROM (
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  EXCEPT
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — distinct aggregation: exact distinct counts per group.
+# --------------------------------------------------------------------------
+def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — broadcast dim enrichment + scalar functions (SURVEY §2.2 P6/P15):
+# string normalization functions over a broadcast join.
+# --------------------------------------------------------------------------
+def q10_enrich_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias("retail_value"))
+        .select(
+            F.upper("p_brand").alias("brand_upper"),
+            F.concat(
+                F.upper(F.substring(F.regexp_replace(F.lower("p_brand"), "#", " "), 1, 1)),
+                F.substring(F.regexp_replace(F.lower("p_brand"), "#", " "), 2, 1_000_000),
+            ).alias("brand_label"),
+            "retail_value",
+        )
+    )
+
+
+Q10_SQL = """
+WITH agg AS (
+  SELECT p_brand, round(sum(l_quantity * p_retailprice), 2) AS retail_value
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT upper(p_brand) AS brand_upper,
+       concat(upper(substr(replace(lower(p_brand), '#', ' '), 1, 1)),
+              substr(replace(lower(p_brand), '#', ' '), 2)) AS brand_label,
+       retail_value
+FROM agg
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_shipping_priority": q02_shipping_priority,
+    "q03_regional_revenue": q03_regional_revenue,
+    "q04_topk_per_group": q04_topk_per_group,
+    "q05_pivot_status": q05_pivot_status,
+    "q06_rollup": q06_rollup,
+    "q07_semi_anti": q07_semi_anti,
+    "q08_set_ops": q08_set_ops,
+    "q09_distinct_agg": q09_distinct_agg,
+    "q10_enrich_scalar": q10_enrich_scalar,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_shipping_priority": Q02_SQL,
+    "q03_regional_revenue": Q03_SQL,
+    "q04_topk_per_group": Q04_SQL,
+    "q05_pivot_status": Q05_SQL,
+    "q06_rollup": Q06_SQL,
+    "q07_semi_anti": Q07_SQL,
+    "q08_set_ops": Q08_SQL,
+    "q09_distinct_agg": Q09_SQL,
+    "q10_enrich_scalar": Q10_SQL,
+}

@@ -1,0 +1,149 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k (exact baseline), embedding-cosine near-dup
+pairs, and the sign-LSH bucketed approximate variant — the first two
+oracle-checked against DuckDB's list_inner_product; the LSH variant is
+oracle-checked too, with the deterministic hyperplane literals shared
+between both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplanes,
+    lsh_topk,
+)
+from .util import load
+
+N_QUERIES = 8
+K = 5
+DIM = 64
+N_PLANES = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# q50 — exact brute-force cosine top-k for a broadcast query set.
+# --------------------------------------------------------------------------
+def q50_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K)
+
+
+_COS = (
+    "list_inner_product(qv, cv) / "
+    "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+)
+
+Q50_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q51 — embedding-cosine near-duplicate pairs.
+# --------------------------------------------------------------------------
+def q51_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+Q51_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+         AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) /
+            (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+      >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — sign-LSH bucketed approximate top-k. Same deterministic
+# hyperplanes embedded as literals in the oracle SQL.
+# --------------------------------------------------------------------------
+def q52_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=K,
+        n_planes=N_PLANES,
+        dim=DIM,
+        seed=42,
+    )
+
+
+def _lsh_sql() -> str:
+    planes = hyperplanes(DIM, N_PLANES, seed=42)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    )
+    bucket = " || ".join(
+        f"(CASE WHEN list_inner_product(v, p[{i + 1}]) >= 0 THEN '1' ELSE '0' END)"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH planes AS (SELECT [{plane_lits}] AS p),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e CROSS JOIN planes
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv) /
+         (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+"""
+
+
+Q52_SQL = _lsh_sql()
+
+
+QUERIES = {
+    "q50_ann_brute_topk": q50_ann_brute_topk,
+    "q51_cosine_neardup": q51_cosine_neardup,
+    "q52_lsh_topk": q52_lsh_topk,
+}
+
+ORACLES = {
+    "q50_ann_brute_topk": Q50_SQL,
+    "q51_cosine_neardup": Q51_SQL,
+    "q52_lsh_topk": Q52_SQL,
+}

@@ -1,0 +1,244 @@
+"""Time-series / stream-shaped queries over the `events` table.
+
+The `events` table is the batch stand-in for the reference's live
+streams (TESTDATA.md).  These queries are the batch-checkable forms of
+SURVEY §2.4 (A1 tumbling OHLCV, A2 rolling 24 h stats, A5 analytic
+windows), §2.2 P1 (JSON decode), §2.6 (sessionization as the stateful-op
+representative), and §2.5 J1 (as-of join).  The same transforms run
+against ``readStream`` inputs in `streaming/` (tested in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from .util import load
+
+
+# --------------------------------------------------------------------------
+# q20 — JSON decode + predicate filter + projection (P1, P8, P9).
+# Scale: get_json_object is codegen'd JVM-side; the event_type filter and
+# the 3-column projection push into the parquet scan.
+# --------------------------------------------------------------------------
+def q20_json_decode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .filter((F.col("event_type") == "click") & (F.col("k") >= 50))
+        .select("event_id", "user_id", "k", F.round("value", 2).alias("value_r"))
+    )
+
+
+Q20_SQL = """
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       round(value, 2) AS value_r
+FROM events
+WHERE event_type = 'click'
+  AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — tumbling-window OHLCV (A1): what the reference outsources to the
+# exchange's kline stream, computed natively. `value` plays the price.
+# Scale: single shuffle on (bucket, event_type); min_by/max_by are
+# map-side-combinable aggregates, so the shuffle carries one partial
+# state per group per mapper, not rows. ts is unique → deterministic.
+# --------------------------------------------------------------------------
+def q21_tumbling_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(F.max_by("value", "ts"), 2).alias("close_value"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       round(arg_min(value, ts), 2) AS open_value,
+       round(max(value), 2)         AS high_value,
+       round(min(value), 2)         AS low_value,
+       round(arg_max(value, ts), 2) AS close_value,
+       round(sum(value), 2)         AS volume,
+       count(*)                     AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — rolling 24 h stats (A2): the ticker stream's sliding aggregate,
+# expressed as a RANGE window over event-time seconds.
+# Scale: one shuffle on event_type; the range frame is a streaming scan
+# per partition — no O(n²) self-join.
+# --------------------------------------------------------------------------
+def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum_24h"),
+        F.count("*").over(w).alias("rolling_n_24h"),
+        F.round(F.max("value").over(w), 2).alias("rolling_max_24h"),
+    )
+
+
+Q22_SQL = """
+SELECT event_id, event_type,
+       round(sum(value) OVER w, 2) AS rolling_sum_24h,
+       count(*)       OVER w       AS rolling_n_24h,
+       round(max(value) OVER w, 2) AS rolling_max_24h
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — analytic window functions (A5): per-user lag/lead deltas — the
+# "returns = value - lag(value)" pattern on the trades stream.
+# --------------------------------------------------------------------------
+def q23_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+Q23_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value)  OVER w, 6) AS delta_prev,
+       round(lead(value) OVER w - value, 6) AS delta_next,
+       row_number() OVER w                  AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — sessionization (T5 stateful-op representative): 30-minute-gap
+# sessions per user via lag + running sum — the batch equivalent of
+# streaming session_window(ts, '30 minutes').
+# Scale: one shuffle on user_id; both windows share the same partitioning
+# so Catalyst plans a single Exchange + Sort.
+# --------------------------------------------------------------------------
+def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(
+            F.when(F.lag(sec).over(w).isNull(), 1).otherwise(0)
+        ).alias("new_sess"),
+    )
+    sessions = with_flag.withColumn("session_id", F.sum("new_sess").over(wcum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sess_value"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
+Q24_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS sess_value,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — as-of join (J1): enrich each click with the user's most recent
+# purchase at-or-before the click. Oracle is DuckDB's native ASOF JOIN —
+# an independent implementation of the same semantics.
+# --------------------------------------------------------------------------
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", value_cols=["value"], prefix="purch_"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("purch_value", 2).alias("last_purchase_value"),
+    )
+
+
+Q25_SQL = """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       round(c.value, 2) AS click_value,
+       round(p.value, 2) AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+QUERIES = {
+    "q20_json_decode_filter": q20_json_decode_filter,
+    "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
+    "q22_rolling_24h": q22_rolling_24h,
+    "q23_lag_lead": q23_lag_lead,
+    "q24_sessionize": q24_sessionize,
+    "q25_asof_join": q25_asof_join,
+}
+
+ORACLES = {
+    "q20_json_decode_filter": Q20_SQL,
+    "q21_tumbling_ohlcv": Q21_SQL,
+    "q22_rolling_24h": Q22_SQL,
+    "q23_lag_lead": Q23_SQL,
+    "q24_sessionize": Q24_SQL,
+    "q25_asof_join": Q25_SQL,
+}

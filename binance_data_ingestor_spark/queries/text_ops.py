@@ -1,0 +1,204 @@
+"""Text-analysis + dedup queries over the `documents` table.
+
+The LLM-training-data operator set (driver north star, SURVEY §2.9):
+token counting, quality scoring, language ID, fingerprinting, exact
+dedup, n-gram Jaccard near-dup, MinHash-LSH candidates, SimHash — every
+one oracle-checked against DuckDB, including MinHash-LSH and SimHash
+(both built from md5-only primitives so they are expressible in
+portable SQL; see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash16_sql,
+)
+from ..operators.text import (
+    EN_STOPWORDS,
+    lang_guess,
+    fingerprint,
+    quality_features,
+)
+from .util import load
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# q40 — token stats + quality features (pure codegen column exprs).
+# --------------------------------------------------------------------------
+def q40_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        "n_distinct_tokens",
+        "lexical_diversity",
+        "stopword_ratio",
+        "avg_token_len",
+    )
+
+
+Q40_SQL = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_q, string_split(text, ' ') AS toks,
+                  text FROM documents)
+SELECT doc_id, n_chars_q,
+       len(toks)                                         AS n_tokens,
+       len(list_distinct(toks))                          AS n_distinct_tokens,
+       round(len(list_distinct(toks)) / len(toks), 6)    AS lexical_diversity,
+       round(len(list_filter(toks, x -> x IN ({_SW}))) / len(toks), 6) AS stopword_ratio,
+       round((n_chars_q - (len(toks) - 1)) / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# q41 — language-ID heuristic (stopword density).
+# --------------------------------------------------------------------------
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_guess("text").alias("lang_guess")
+    )
+
+
+Q41_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_SW}))) / len(toks) > 0.08
+            THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — document fingerprint (md5 over normalized text).
+# --------------------------------------------------------------------------
+def q42_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+Q42_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q43 — exact dedup: one representative (min id) per distinct fingerprint.
+# --------------------------------------------------------------------------
+def q43_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+Q43_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+"""
+
+
+# --------------------------------------------------------------------------
+# q44 — n-gram Jaccard near-dup pairs (inverted shingle index).
+# --------------------------------------------------------------------------
+def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+Q44_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — MinHash-LSH candidate pairs (8 hashes, 4 bands × 2 rows).
+# Oracle-checked: hash family is md5-hex min-strings, portable SQL.
+# --------------------------------------------------------------------------
+def q45_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4
+    )
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(concat('{k}:', shingle))) AS mh_{k}" for k in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+buckets AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b USING (band, key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+Q45_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# q46 — SimHash signatures (16-bit, md5-digit bit arithmetic).
+# --------------------------------------------------------------------------
+def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+Q46_SQL = simhash16_sql()
+
+
+QUERIES = {
+    "q40_text_quality": q40_text_quality,
+    "q41_lang_id": q41_lang_id,
+    "q42_fingerprint": q42_fingerprint,
+    "q43_dedup_exact": q43_dedup_exact,
+    "q44_ngram_jaccard": q44_ngram_jaccard,
+    "q45_minhash_lsh": q45_minhash_lsh,
+    "q46_simhash": q46_simhash,
+}
+
+ORACLES = {
+    "q40_text_quality": Q40_SQL,
+    "q41_lang_id": Q41_SQL,
+    "q42_fingerprint": Q42_SQL,
+    "q43_dedup_exact": Q43_SQL,
+    "q44_ngram_jaccard": Q44_SQL,
+    "q45_minhash_lsh": Q45_SQL,
+    "q46_simhash": Q46_SQL,
+}

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Scale design notes (local[32] is the test harness; the target is a
+1000-executor cluster over ~100 TB):
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a real cluster this is overridden (or left to AQE's
+  ``coalescePartitions`` with a high initial value).
+- UTC session timezone pinned so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+- Arrow enabled for the few Pandas-UDF operators (MinHash batch hashing,
+  multimodal decode) — everything else stays JVM-side in codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "binance-data-ingestor-spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    In local mode one JVM hosts all executor threads, so
+    ``spark.driver.memory`` is the only memory knob; on a cluster the
+    same conf object is what you'd pass to spark-submit.
+    """
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
