@@ -40,6 +40,15 @@ def get_spark(
     """
     cpus = cpus or default_parallelism()
     shuffle_partitions = shuffle_partitions or cpus
+    # Python workers (UDFs, foreachPartition, python data sources) unpickle
+    # engine classes by module reference — they need the package root on
+    # their own sys.path. Must be set before the JVM forks workers.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            os.pathsep.join([pkg_root, current]) if current else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

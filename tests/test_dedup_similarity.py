@@ -1,0 +1,114 @@
+"""Unit semantics for dedup + similarity operators on tiny hand corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_data_ingestor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+    with_shingles,
+)
+from binance_data_ingestor_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_neardup_pairs,
+)
+from binance_data_ingestor_spark.operators.text import (
+    fingerprint,
+    lang_guess,
+    quality_features,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different words entirely here now"),
+    (3, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant of 0
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_ws(spark):
+    out = {r.keep_id: r.n_copies for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2          # doc 3 collapses into doc 0
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_fingerprint_equality(spark):
+    rows = _docs(spark).select("doc_id", fingerprint("text").alias("fp")).collect()
+    fp = {r.doc_id: r.fp for r in rows}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+
+
+def test_shingles_and_jaccard(spark):
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in with_shingles(_docs(spark), n=3).collect()
+    }
+    assert "the quick brown" in sh[0]
+    assert len(sh[0]) == 7  # 9 tokens → 7 trigrams, all distinct
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()
+    }
+    assert (0, 1) in pairs  # 6 shared / 8 union = 0.75
+    assert abs(pairs[(0, 1)] - 0.75) < 1e-9
+    assert (0, 2) not in pairs
+
+
+def test_minhash_candidates_include_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(_docs(spark), num_hashes=8, bands=4).collect()
+    }
+    assert (0, 1) in got        # J=0.75 → P(candidate) ≈ 1-(1-0.75²)⁴ ≈ 0.96
+    assert (0, 2) not in got    # J=0 can never collide on a full band
+
+
+def test_simhash_close_for_near_dups(spark):
+    s = {r.doc_id: r.simhash for r in simhash16(_docs(spark)).collect()}
+    ham_near = bin(s[0] ^ s[1]).count("1")
+    ham_far = bin(s[0] ^ s[2]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= s[0] < 2 ** 16
+
+
+def test_cosine_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs(df, threshold=-1.0).collect()
+    }
+    assert pairs[(1, 2)] == 0.0
+    assert abs(pairs[(1, 3)] - 0.707107) < 1e-6
+
+
+def test_brute_topk_ordering(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    order = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert order == [3, 1]  # closest to the x-axis query first
+
+
+def test_text_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "xyzzy plugh frobozz")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].n_tokens == 6 and q[1].n_distinct_tokens == 5
+    assert abs(q[1].stopword_ratio - 3 / 6) < 1e-9  # the, on, the
+    lang = {r.doc_id: r.g for r in df.select("doc_id", lang_guess("text").alias("g")).collect()}
+    assert lang[1] == "en" and lang[2] == "unknown"

@@ -1,0 +1,75 @@
+"""Native kline computation (A1): batch golden check + streaming parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_data_ingestor_spark.operators.klines import klines_from_trades
+from binance_data_ingestor_spark.schemas import DEC
+
+# minute window 60000..119999 for BTC; one trade in the next window
+TRADES = [
+    ("BTCUSDT", 60_000, "100.0", "1.0"),
+    ("BTCUSDT", 70_000, "110.0", "2.0"),
+    ("BTCUSDT", 80_000, "90.0", "0.5"),
+    ("BTCUSDT", 119_999, "105.0", "1.0"),
+    ("BTCUSDT", 120_000, "200.0", "1.0"),
+    ("ETHUSDT", 65_000, "10.0", "3.0"),
+]
+
+
+def _trades_df(spark):
+    df = spark.createDataFrame(
+        TRADES, "symbol string, trade_time long, price string, quantity string"
+    )
+    return df.withColumn("price", F.col("price").cast(DEC)).withColumn(
+        "quantity", F.col("quantity").cast(DEC)
+    )
+
+
+def test_batch_ohlcv_golden(spark):
+    out = {
+        (r.symbol, r.kline_start_time): r
+        for r in klines_from_trades(_trades_df(spark), "1m", closed=True).collect()
+    }
+    k = out[("BTCUSDT", 60_000)]
+    assert k.kline_close_time == 119_999
+    assert float(k.open_price) == 100.0 and float(k.close_price) == 105.0
+    assert float(k.high_price) == 110.0 and float(k.low_price) == 90.0
+    assert k.number_of_trades == 4
+    assert abs(k.base_asset_volume - 4.5) < 1e-9
+    # 100*1 + 110*2 + 90*0.5 + 105*1 = 470
+    assert abs(k.quote_asset_volume - 470.0) < 1e-9
+    assert k.event_time == 119_999  # last trade in window
+    assert k.is_kline_closed is True
+    assert out[("BTCUSDT", 120_000)].number_of_trades == 1
+    assert out[("ETHUSDT", 60_000)].number_of_trades == 1
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "trades_src")
+    ckpt = str(tmp_path / "ckpt")
+    _trades_df(spark).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        klines_from_trades(stream, "1m", watermark="0 seconds", closed=False)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kl_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.symbol, r.kline_start_time): r.number_of_trades
+            for r in spark.sql("SELECT * FROM kl_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.symbol, r.kline_start_time): r.number_of_trades
+        for r in klines_from_trades(_trades_df(spark), "1m").collect()
+    }
+    assert got == want  # batch/stream unification: same transform, same answer
