@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fanout
 from .text import fingerprint, tokens
 
 HEX = "0123456789abcdef"
@@ -47,21 +48,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def with_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc (docs with < n tokens drop out)."""
-    t = tokens(text_col)
+    """Distinct word n-gram shingles per doc (docs with < n tokens drop out).
+
+    Tokenize FIRST and materialize the token array through the fan-out
+    exchange. If the gram lambda referenced ``split(text)`` directly,
+    Catalyst would inline the split into every ``element_at`` call and
+    re-tokenize the document 3·(#grams) times — that, not the explode,
+    is the classic hot spot. The exchange also decouples parallelism
+    from however few files the corpus arrived in.
+    """
+    toks = fanout(df.select(F.col(id_col), tokens(text_col).alias("__tokens")))
+    t = F.col("__tokens")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
     return (
-        df.filter(F.size(t) >= n)
+        toks.filter(F.size(t) >= n)
         .select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
     )
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(shingles) > 0` filter (InferFiltersFromGenerate) and push it
+    # below the fan-out exchange — re-inlining the whole shingle
+    # expression into a pre-shuffle, file-layout-parallel Filter that
+    # then runs AGAIN post-shuffle. The size >= n guard in with_shingles
+    # already guarantees non-empty arrays, so outer ≡ inner here.
     return with_shingles(df, text_col, id_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
+        id_col, F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -189,7 +205,7 @@ def simhash_bit_exprs(dialect: str) -> tuple[list[str], list[str]]:
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash per document (token-multiset weighted)."""
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    ex = fanout(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     digits, bits = simhash_bit_exprs("spark")
     with_digits = ex.selectExpr(id_col, "token", *digits)
     with_bits = with_digits.selectExpr(id_col, *bits)

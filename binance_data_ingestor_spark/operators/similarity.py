@@ -17,6 +17,10 @@ Two paths, per the standard ANN playbook:
 from __future__ import annotations
 
 import random
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -40,6 +44,11 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
 
 
+def _matrix(series: pd.Series) -> np.ndarray:
+    """Arrow list<float> column → (n, d) float64 matrix (exact upcast)."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -48,18 +57,55 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast(queries) × candidates → window top-k."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    """Exact cosine top-k for a small query set over a huge candidate set.
+
+    The query matrix is collected and shipped to every task (it is small
+    by contract — the broadcast side). Each task GEMMs its candidate
+    batches against it and keeps a running per-query top-k, so the
+    shuffle after the scan carries at most |partitions|·|Q|·k rows, not
+    |Q|·N. The final exact rank is a window over that tiny remainder.
+    Cost O(|Q|·N·d) flops at BLAS speed; one pass over the candidates.
+    """
+    q_pdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+    Q = _matrix(q_pdf["q_vec"])
+    q_norm = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task accumulator of the k best (cos, neighbor) per query
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = _matrix(pdf["c_vec"])
+            c_norm = np.sqrt((C * C).sum(axis=1))
+            S = (Q @ C.T) / np.outer(q_norm, c_norm)
+            for qi, qid in enumerate(q_ids):
+                mask = ids != qid
+                row, rids = S[qi][mask], ids[mask]
+                take = min(len(row), k)
+                if take == 0:
+                    continue
+                idx = np.argpartition(-row, take - 1)[:take]
+                cur = best[int(qid)] + [(float(row[j]), int(rids[j])) for j in idx]
+                # ties broken by ascending id, matching the final window
+                cur.sort(key=lambda t: (-t[0], t[1]))
+                best[int(qid)] = cur[:k]
+        out = [
+            (int(qid), nid, cos)
+            for qid, heap in best.items()
+            for cos, nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    # no repartition: one GEMM per input split is already the right
+    # granularity — at scale the candidate set arrives as many files,
+    # and an extra exchange would just move every vector once more
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -127,15 +173,63 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
-    Exact O(n²) form — the LSH bucket prefilter above is the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+
+    Exact all-pairs via distributed block matrix product: vectors are
+    hashed into B row blocks; each of the B·(B+1)/2 block pairs is one
+    task doing a single float64 GEMM (BLAS) instead of per-element
+    expression evaluation. Each block is replicated ~B/2 times, so pick
+    B ≈ √tasks-wanted; flops are the unavoidable O(n²·d) of the exact
+    form — the sign-LSH bucket prefilter above is the scale path that
+    makes the quadratic term approximate-but-linear.
+    """
+    spark = df.sparkSession
+    nb = n_blocks or max(4, int(spark.sparkContext.defaultParallelism ** 0.5 * 2))
+    thr = float(threshold)
+
+    packed = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("block_id"),
+            F.struct(
+                F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+            ).alias("r"),
+        )
+        .groupBy("block_id")
+        .agg(F.collect_list("r").alias("rows"))
     )
+    pairs = (
+        packed.select(F.col("block_id").alias("ba"), F.col("rows").alias("rows_a"))
+        .join(
+            packed.select(F.col("block_id").alias("bb"), F.col("rows").alias("rows_b")),
+            F.col("ba") <= F.col("bb"),
+        )
+        # one block-pair per task: the GEMM is the unit of work
+        .repartition(nb * (nb + 1) // 2, "ba", "bb")
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.array([r["vid"] for r in row["rows_a"]], dtype=np.int64)
+                ib = np.array([r["vid"] for r in row["rows_b"]], dtype=np.int64)
+                A = _matrix(pd.Series([r["vec"] for r in row["rows_a"]]))
+                B = _matrix(pd.Series([r["vec"] for r in row["rows_b"]]))
+                na = np.sqrt((A * A).sum(axis=1))
+                nb_ = np.sqrt((B * B).sum(axis=1))
+                S = np.round((A @ B.T) / np.outer(na, nb_), 6)
+                if row["ba"] == row["bb"]:
+                    # diagonal block holds both orderings of every pair;
+                    # id_a < id_b dedups the mirrors
+                    keep = (S >= thr) & (ia[:, None] < ib[None, :])
+                    i, j = np.nonzero(keep)
+                    id_a, id_b = ia[i], ib[j]
+                else:
+                    # off-diagonal blocks meet exactly once; normalize order
+                    i, j = np.nonzero(S >= thr)
+                    id_a = np.minimum(ia[i], ib[j])
+                    id_b = np.maximum(ia[i], ib[j])
+                yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": S[i, j]})
+
+    return pairs.mapInPandas(compute, "id_a long, id_b long, cos_sim double")

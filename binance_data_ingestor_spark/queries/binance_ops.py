@@ -30,6 +30,7 @@ from ..operators.projections import (
     parse_raw,
     with_envelope_json,
 )
+from ..operators.partitioning import fanout
 from .util import load
 
 SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT"]
@@ -86,7 +87,8 @@ _SQL_EMS = "epoch_ms(ts)"
 # whole-stage codegen; nothing leaves the JVM.
 # --------------------------------------------------------------------------
 def _raw_ticker_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # heavy to_json/from_json per row — decouple from file layout
+    ev = fanout(load(spark, sf_dir, "events"))
     c = _cents()
     return ev.select(
         F.col("event_id"),
@@ -143,7 +145,8 @@ FROM events
 # bid ladders stay positive.
 # --------------------------------------------------------------------------
 def _raw_book_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # heavy to_json/from_json per row — decouple from file layout
+    ev = fanout(load(spark, sf_dir, "events"))
     base = _cents() + 1000
     empty = F.col("event_id") % 10 == 0
 
@@ -215,7 +218,8 @@ FROM m
 # stringification quirk ("True"/"False"/"None", SURVEY §1.4).
 # --------------------------------------------------------------------------
 def _raw_trade_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # heavy to_json/from_json per row — decouple from file layout
+    ev = fanout(load(spark, sf_dir, "events"))
     c = _cents()
     m = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("boolean")).otherwise(
         F.col("event_id") % 2 == 0
@@ -259,7 +263,8 @@ FROM events
 # 13 columns, mixing outer and inner fields.
 # --------------------------------------------------------------------------
 def _raw_kline_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # heavy to_json/from_json per row — decouple from file layout
+    ev = fanout(load(spark, sf_dir, "events"))
     c = _cents()
     ems = _ems()
     t0 = ems - (ems % 60000)
