@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+Reference parity note: the reference pipeline has no media handling
+(`/root/reference/binance-di.py` is market-data only); this module is a
+north-star addition for large-scale training-data pipelines. The design
+contract:
+
+- media payloads are **opaque BinaryType columns** carried next to a
+  typed metadata struct (width/height/sample_rate/...), so Parquet
+  stores them page-compressed and Spark never deserializes them except
+  inside an explicitly vectorized step;
+- cheap structural ops (byte length, magic-header sniff, frame/byte
+  slicing) stay JVM-side as column expressions — whole-stage codegen,
+  no Python;
+- real per-payload compute (decode, feature extraction) crosses to
+  Python exactly once, Arrow-batched via ``mapInPandas``, with the
+  batch shape controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- actual codecs (PIL / libsndfile / ffmpeg) are NOT in this
+  environment, so the decode kernel is a clearly-marked deterministic
+  STUB — the Spark-side plumbing (schema, partitioning, UDF signature,
+  Arrow batch handling) is real and tested, and a production deploy
+  swaps one function body.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Structural metadata: byte length + 4-byte magic header (hex).
+
+    Pure column expressions — at 100 TB this runs at parquet scan speed
+    and never materializes the payload outside the scan buffer.
+    """
+    return df.withColumn("n_bytes", F.length(F.col(content_col))).withColumn(
+        "magic_hex", F.hex(F.expr(f"substring({content_col}, 1, 4)"))
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Split each payload into ``n_frames`` equal byte slices (video
+    frame-sampling shape: fixed-stride offsets into the container).
+
+    The slicing is byte arithmetic on the binary column (JVM-side);
+    the trailing remainder < frame_len is dropped, payloads shorter
+    than ``n_frames`` bytes are filtered out. One output row per frame:
+    (id, frame_idx, frame_bytes).
+    """
+    flen = F.floor(F.length(F.col(content_col)) / n_frames).cast("long")
+    # posexplode_outer, not posexplode: avoids the inferred size()>0
+    # filter that would duplicate the slice expression (see
+    # dedup._exploded_shingles); the flen > 0 guard already ensures
+    # every slice array is non-empty.
+    return (
+        df.filter(flen > 0)
+        .select(F.col(id_col), flen.alias("__flen"), F.col(content_col).alias("__c"))
+        .select(
+            id_col,
+            F.posexplode_outer(
+                F.expr(
+                    f"transform(sequence(0, {n_frames - 1}),"
+                    " i -> substring(__c, __flen * i + 1, __flen))"
+                )
+            ).alias("frame_idx", "frame"),
+        )
+    )
+
+
+def byte_histogram(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bin histogram of payload byte high-nibbles — the feature-
+    extraction shape: payload crosses to Python once, Arrow-batched,
+    vectorized with numpy. Output rows (id, bin, n) for non-empty bins.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for vid, payload in zip(pdf["__id"], pdf["__content"]):
+                arr = np.frombuffer(payload, dtype=np.uint8) >> 4
+                hist = np.bincount(arr, minlength=16)
+                nz = np.nonzero(hist)[0]
+                ids.extend([vid] * len(nz))
+                bins.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+            yield pd.DataFrame({"doc_id": ids, "bin": bins, "n": counts})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(content_col).alias("__content"),
+    ).mapInPandas(kernel, "doc_id long, bin int, n long")
+
+
+# --------------------------------------------------------------------------
+# Decode: deterministic STUB kernel + real Arrow plumbing.
+# --------------------------------------------------------------------------
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "n_samples long, byte_sum long"
+)
+
+
+def _decode_stub(media_type: str, payload: bytes, width: int, height: int):
+    """STUB decode kernel — deterministic fake.
+
+    Production swaps this body for PIL/libsndfile/ffmpeg; the
+    signature and the surrounding Arrow batching are the real contract.
+    The fake derives stable "decoded" facts from the raw bytes so tests
+    are exact integers (no float rounding ambiguity): n_samples =
+    payload length, byte_sum = sum of byte values.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return int(arr.size), int(arr.sum())
+
+
+def decode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Decode media payloads → typed facts, one Python crossing.
+
+    ``real_codecs=True`` requires image/audio libraries that are not
+    installed in this environment and raises ``NotImplementedError`` —
+    the stub path is the deterministic fake documented above.
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "real media codecs (PIL/libsndfile/ffmpeg) are not available "
+            "in this environment; use the deterministic stub kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_type", "width", "height", "n_samples", "byte_sum")}
+            for _, r in pdf.iterrows():
+                n, total = _decode_stub(
+                    r["media_type"], r["__content"], r["width"], r["height"]
+                )
+                out["doc_id"].append(r["__id"])
+                out["media_type"].append(r["media_type"])
+                out["width"].append(r["width"])
+                out["height"].append(r["height"])
+                out["n_samples"].append(n)
+                out["byte_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        "media_type",
+        "width",
+        "height",
+        F.col(content_col).alias("__content"),
+    ).mapInPandas(kernel, DECODED_SCHEMA)

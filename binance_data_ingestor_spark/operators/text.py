@@ -8,6 +8,11 @@ speed with zero Python overhead.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +56,96 @@ def fingerprint(col: Column | str) -> Column:
     Exact-dedup joins group on this instead of the full text — at 100 TB
     the shuffle carries 16 bytes per doc, not the document body."""
     return F.md5(normalized_text(col))
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style split of text into word /
+# number / punctuation-run pieces (optionally space-prefixed), kept to
+# a subset that Java regex and RE2 (DuckDB) interpret identically.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+BPE_ALPHA_PATTERN = r" ?[A-Za-z]+"
+BPE_NUM_PATTERN = r" ?[0-9]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (the unit a
+    byte-pair encoder would merge within). Pure codegen: one
+    regexp_extract_all per class, no Python."""
+    t = F.col(text_col)
+    # idx=0: whole-match extraction (the patterns have no capture groups)
+    return (
+        df.withColumn("n_bpe_pieces", F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0)))
+        .withColumn("n_alpha_pieces", F.size(F.regexp_extract_all(t, F.lit(BPE_ALPHA_PATTERN), 0)))
+        .withColumn("n_num_pieces", F.size(F.regexp_extract_all(t, F.lit(BPE_NUM_PATTERN), 0)))
+    )
+
+
+# Rabin-Karp rolling hash parameters (fit BIGINT exactly on both engines:
+# max accumulator < 1114112 * MOD * WINDOW ≈ 2^60)
+RH_BASE = 131
+RH_MOD = 1_000_000_007
+RH_WINDOW = 8
+
+
+def rolling_hash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = RH_WINDOW
+) -> DataFrame:
+    """Document fingerprint via Rabin-Karp rolling hash (winnowing-lite).
+
+    h_k = Σ_j cp(t[k+j])·B^(w-1-j) mod M over every length-w character
+    window; the signature is (min window hash, #windows). The kernel is
+    an Arrow-batched numpy correlation — true O(n) per doc with the
+    sliding dot product vectorized; nothing about it is sequential
+    Python per character.
+    """
+    pows = np.array([pow(RH_BASE, w - 1 - j, RH_MOD) for j in range(w)], dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, mins, counts = [], [], []
+            for vid, text in zip(pdf["__id"], pdf["__text"]):
+                cps = np.array([ord(c) for c in text], dtype=np.int64)
+                if cps.size < w:
+                    continue
+                # windows·pows < 1114112·131^7·8 — compute mod M per term
+                terms = (sliding_window_view(cps, w) * (pows % RH_MOD)) % RH_MOD
+                hashes = terms.sum(axis=1) % RH_MOD
+                ids.append(vid)
+                mins.append(int(hashes.min()))
+                counts.append(int(hashes.size))
+            yield pd.DataFrame({"doc_id": ids, "min_hash": mins, "n_windows": counts})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(kernel, "doc_id long, min_hash long, n_windows long")
+
+
+def rolling_hash_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = RH_WINDOW,
+) -> str:
+    """DuckDB oracle for :func:`rolling_hash_signature` — the naive
+    O(n·w) expansion of the same polynomial, exact BIGINT arithmetic."""
+    terms = " + ".join(
+        f"CAST(ord(substring({text_col}, k + {j + 1}, 1)) AS BIGINT) * "
+        f"{pow(RH_BASE, w - 1 - j, RH_MOD)} % {RH_MOD}"
+        for j in range(w)
+    )
+    return f"""
+WITH ks AS (
+  SELECT {id_col}, {text_col},
+         unnest(range(0, length({text_col}) - {w} + 1)) AS k
+  FROM {table} WHERE length({text_col}) >= {w}
+),
+hashes AS (
+  SELECT {id_col}, ({terms}) % {RH_MOD} AS h FROM ks
+)
+SELECT {id_col}, min(h) AS min_hash, count(*) AS n_windows
+FROM hashes GROUP BY {id_col}
+"""
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -18,9 +18,23 @@ from .util import load  # noqa: F401  (re-export)
 
 
 def _modules():
-    from . import binance_ops, relational, similarity_ops, streaming_like, text_ops
+    from . import (
+        binance_ops,
+        multimodal_ops,
+        relational,
+        similarity_ops,
+        streaming_like,
+        text_ops,
+    )
 
-    return [relational, streaming_like, binance_ops, text_ops, similarity_ops]
+    return [
+        relational,
+        streaming_like,
+        binance_ops,
+        text_ops,
+        similarity_ops,
+        multimodal_ops,
+    ]
 
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:

@@ -1,0 +1,176 @@
+"""Multimodal-column queries, oracle-checked against DuckDB.
+
+The synthetic ``media`` relation is derived deterministically from the
+`documents` table on BOTH engines: payload = UTF-8 bytes of the text
+(an opaque blob as far as the operators are concerned), media_type and
+decode metadata from doc_id arithmetic. The operators under test are
+the real ones from operators/multimodal.py — structural metadata,
+frame sampling (byte slicing), and the Arrow-batched byte-histogram
+feature extractor; only the payload synthesis is test scaffolding.
+
+North-star addition (BASELINE.json): the reference repo
+(`/root/reference/binance-di.py`) has no media surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    byte_histogram,
+    decode_media,
+    media_metadata,
+    sample_frames,
+)
+from ..operators.partitioning import fanout
+from .util import load
+
+N_FRAMES = 4
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        (16 + F.col("doc_id") % 32).cast("int").alias("width"),
+        (16 + F.col("doc_id") % 17).cast("int").alias("height"),
+    )
+
+
+_SQL_MEDIA = """
+media AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END                    AS media_type,
+         encode(text)                             AS content,
+         CAST(16 + doc_id % 32 AS INTEGER)        AS width,
+         CAST(16 + doc_id % 17 AS INTEGER)        AS height
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q60 — structural metadata over binary payloads (pure codegen exprs).
+# --------------------------------------------------------------------------
+def q60_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(_media(spark, sf_dir)).select(
+        "doc_id", "media_type", "width", "height", "n_bytes", "magic_hex"
+    )
+
+
+Q60_SQL = f"""
+WITH {_SQL_MEDIA}
+SELECT doc_id, media_type, width, height,
+       octet_length(content)                 AS n_bytes,
+       substring(upper(hex(content)), 1, 8)  AS magic_hex
+FROM media
+"""
+
+
+# --------------------------------------------------------------------------
+# q61 — frame sampling: fixed-stride byte slices, one row per frame.
+# --------------------------------------------------------------------------
+def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media(spark, sf_dir), n_frames=N_FRAMES)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("frame_bytes"),
+        F.hex(F.expr("substring(frame, 1, 2)")).alias("frame_head_hex"),
+    )
+
+
+# this DuckDB build has no BLOB substring — the oracle does the same
+# byte arithmetic on the hex representation (2 hex chars per byte)
+Q61_SQL = f"""
+WITH {_SQL_MEDIA},
+sized AS (
+  SELECT doc_id, upper(hex(content)) AS h,
+         octet_length(content) // {N_FRAMES} AS flen
+  FROM media WHERE octet_length(content) // {N_FRAMES} > 0
+)
+SELECT doc_id,
+       CAST(r.i AS INTEGER)                                      AS frame_idx,
+       length(substring(h, 2 * flen * r.i + 1, 2 * flen)) // 2   AS frame_bytes,
+       substring(substring(h, 2 * flen * r.i + 1, 2 * flen), 1, 4)
+                                                                 AS frame_head_hex
+FROM sized, range(0, {N_FRAMES}) AS r(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# q62 — Arrow-batched byte-nibble histogram (the feature-extract shape).
+# Oracle: high nibble of byte k = hex digit at position 2k+1.
+# --------------------------------------------------------------------------
+def q62_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_histogram(fanout(_media(spark, sf_dir)))
+
+
+Q62_SQL = f"""
+WITH {_SQL_MEDIA},
+hx AS (SELECT doc_id, upper(hex(content)) AS h FROM media),
+ks AS (SELECT doc_id, h, unnest(range(0, length(h) // 2)) AS k FROM hx),
+nib AS (
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substring(h, 2 * k + 1, 1)) - 1 AS bin
+  FROM ks
+)
+SELECT doc_id, CAST(bin AS INTEGER) AS bin, count(*) AS n
+FROM nib GROUP BY doc_id, bin
+"""
+
+
+# --------------------------------------------------------------------------
+# q63 — stub decode: real Arrow plumbing, deterministic fake kernel.
+# The oracle reproduces the stub's facts (n_samples = byte length,
+# byte_sum = sum of byte values — exact integers, no float rounding)
+# straight from the blob.
+# --------------------------------------------------------------------------
+def q63_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(fanout(_media(spark, sf_dir)))
+
+
+Q63_SQL = f"""
+WITH {_SQL_MEDIA},
+hx AS (SELECT doc_id, media_type, width, height, upper(hex(content)) AS h
+       FROM media),
+ks AS (SELECT doc_id, h, unnest(range(0, length(h) // 2)) AS k FROM hx),
+byte_vals AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substring(h, 2 * k + 1, 1)) - 1) * 16 +
+         strpos('0123456789ABCDEF', substring(h, 2 * k + 2, 1)) - 1 AS v
+  FROM ks
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_samples, sum(v) AS byte_sum
+  FROM byte_vals GROUP BY doc_id
+)
+SELECT hx.doc_id AS doc_id, media_type, width, height,
+       coalesce(n_samples, 0) AS n_samples,
+       coalesce(byte_sum, 0)  AS byte_sum
+FROM hx LEFT JOIN stats ON hx.doc_id = stats.doc_id
+"""
+
+
+QUERIES = {
+    "q60_media_metadata": q60_media_metadata,
+    "q61_frame_sample": q61_frame_sample,
+    "q62_byte_histogram": q62_byte_histogram,
+    "q63_decode_media": q63_decode_media,
+}
+
+ORACLES = {
+    "q60_media_metadata": Q60_SQL,
+    "q61_frame_sample": Q61_SQL,
+    "q62_byte_histogram": Q62_SQL,
+    "q63_decode_media": Q63_SQL,
+}

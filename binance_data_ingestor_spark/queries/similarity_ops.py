@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     brute_force_topk,
+    centroids,
     cosine_neardup_pairs,
     hyperplanes,
+    ivf_topk,
     lsh_topk,
 )
 from .util import load
@@ -136,14 +138,84 @@ FROM ranked WHERE rank <= {K}
 Q52_SQL = _lsh_sql()
 
 
+# --------------------------------------------------------------------------
+# q53 — IVF-bucketed approximate top-k: nearest-centroid cells, probe
+# the top-2 cells per query, exact rerank inside probed cells. Same
+# deterministic centroid literals embedded in the oracle SQL.
+# --------------------------------------------------------------------------
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def q53_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        dim=DIM,
+        seed=7,
+    )
+
+
+def _ivf_sql() -> str:
+    cents = centroids(DIM, N_CENTROIDS, seed=7)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT vec_id, v,
+         list_transform(cl, c -> list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) AS s
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv,
+         list_position(s, list_max(s)) - 1 AS cell
+  FROM sims
+),
+qcells AS (
+  SELECT vec_id AS query_id, v AS qv, j - 1 AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s[j] DESC, j ASC) AS pr
+  FROM (SELECT vec_id, v, s, unnest(range(1, {N_CENTROIDS + 1})) AS j
+        FROM sims WHERE vec_id < {N_QUERIES}) t
+),
+probes AS (SELECT query_id, qv, cell FROM qcells WHERE pr <= {N_PROBE}),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM assigned JOIN probes USING (cell)
+  WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+"""
+
+
+Q53_SQL = _ivf_sql()
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
     "q52_lsh_topk": q52_lsh_topk,
+    "q53_ivf_topk": q53_ivf_topk,
 }
 
 ORACLES = {
     "q50_ann_brute_topk": Q50_SQL,
     "q51_cosine_neardup": Q51_SQL,
     "q52_lsh_topk": Q52_SQL,
+    "q53_ivf_topk": Q53_SQL,
 }

@@ -20,11 +20,18 @@ from ..operators.dedup import (
     simhash16,
     simhash16_sql,
 )
+from ..operators.partitioning import fanout
 from ..operators.text import (
+    BPE_ALPHA_PATTERN,
+    BPE_NUM_PATTERN,
+    BPE_SPLIT_PATTERN,
     EN_STOPWORDS,
+    bpe_token_stats,
     lang_guess,
     fingerprint,
     quality_features,
+    rolling_hash_signature,
+    rolling_hash_sql,
 )
 from .util import load
 
@@ -91,6 +98,37 @@ Q42_SQL = """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# q47 — token counting with a BPE-ish regex pre-tokenizer.
+# --------------------------------------------------------------------------
+def q47_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return bpe_token_stats(docs).select(
+        "doc_id", "n_bpe_pieces", "n_alpha_pieces", "n_num_pieces"
+    )
+
+
+Q47_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))  AS n_bpe_pieces,
+       len(regexp_extract_all(text, '{BPE_ALPHA_PATTERN}'))  AS n_alpha_pieces,
+       len(regexp_extract_all(text, '{BPE_NUM_PATTERN}'))    AS n_num_pieces
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — rolling-hash document fingerprint (Rabin-Karp, winnowing-lite).
+# Spark side is an Arrow-batched numpy sliding dot product; oracle is
+# the naive polynomial expansion of the same exact integer arithmetic.
+# --------------------------------------------------------------------------
+def q48_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_hash_signature(fanout(load(spark, sf_dir, "documents")))
+
+
+Q48_SQL = rolling_hash_sql("documents")
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +229,8 @@ QUERIES = {
     "q44_ngram_jaccard": q44_ngram_jaccard,
     "q45_minhash_lsh": q45_minhash_lsh,
     "q46_simhash": q46_simhash,
+    "q47_bpe_token_count": q47_bpe_token_count,
+    "q48_rolling_fingerprint": q48_rolling_fingerprint,
 }
 
 ORACLES = {
@@ -201,4 +241,6 @@ ORACLES = {
     "q44_ngram_jaccard": Q44_SQL,
     "q45_minhash_lsh": Q45_SQL,
     "q46_simhash": Q46_SQL,
+    "q47_bpe_token_count": Q47_SQL,
+    "q48_rolling_fingerprint": Q48_SQL,
 }

@@ -1,0 +1,85 @@
+"""Multimodal binary-column operators: schema, batch plumbing, stub decode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binance_data_ingestor_spark.operators.multimodal import (
+    byte_histogram,
+    decode_media,
+    media_metadata,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", b"\x89PNG\r\n\x1a\nabcdefgh", 16, 16),
+        (1, "audio", b"RIFFxxxxWAVEfmt \x00\x01", 0, 0),
+        (2, "video", b"\x00\x00\x00\x18ftypmp42abc", 32, 18),
+        (3, "image", b"ab", 8, 8),  # shorter than n_frames bytes
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_media_metadata(media):
+    out = {r["doc_id"]: r for r in media_metadata(media).collect()}
+    assert out[0]["n_bytes"] == 16
+    assert out[0]["magic_hex"] == "89504E47"  # PNG magic
+    assert out[1]["magic_hex"] == "52494646"  # RIFF
+    assert out[3]["n_bytes"] == 2
+
+
+def test_sample_frames_shape(media):
+    frames = sample_frames(media, n_frames=4)
+    assert [f.name for f in frames.schema.fields] == ["doc_id", "frame_idx", "frame"]
+    assert isinstance(frames.schema["frame"].dataType, T.BinaryType)
+    rows = frames.collect()
+    # doc 3 (2 bytes < 4 frames) is dropped; others give 4 frames each
+    assert sorted({r["doc_id"] for r in rows}) == [0, 1, 2]
+    by_doc = [r for r in rows if r["doc_id"] == 0]
+    assert sorted(r["frame_idx"] for r in by_doc) == [0, 1, 2, 3]
+    # 16 bytes / 4 frames: each frame is the right 4-byte slice
+    content = b"\x89PNG\r\n\x1a\nabcdefgh"
+    for r in by_doc:
+        i = r["frame_idx"]
+        assert bytes(r["frame"]) == content[4 * i : 4 * i + 4]
+
+
+def test_byte_histogram_matches_numpy(media):
+    rows = byte_histogram(media).collect()
+    got = {(r["doc_id"], r["bin"]): r["n"] for r in rows}
+    for doc_id, _, payload, _, _ in [
+        (0, None, b"\x89PNG\r\n\x1a\nabcdefgh", None, None),
+        (3, None, b"ab", None, None),
+    ]:
+        hist = np.bincount(np.frombuffer(payload, np.uint8) >> 4, minlength=16)
+        for b in np.nonzero(hist)[0]:
+            assert got[(doc_id, int(b))] == hist[b]
+    # only non-empty bins are emitted
+    assert all(n > 0 for n in got.values())
+
+
+def test_decode_media_stub(media):
+    out = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert out[0]["n_samples"] == 16
+    assert out[0]["byte_sum"] == sum(b"\x89PNG\r\n\x1a\nabcdefgh")
+    assert out[0]["media_type"] == "image"
+    assert out[0]["width"] == 16
+    assert out[3]["n_samples"] == 2
+
+
+def test_decode_media_real_codecs_not_implemented(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real_codecs=True)
