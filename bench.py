@@ -31,6 +31,17 @@ def main() -> None:
 
     # JVM/codegen warmup on the smallest query so q01 isn't charged for it
     qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Python-worker-pool warmup (fork + pandas/pyarrow import in every
+    # worker) so the first mapInPandas query isn't charged for it either
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n)
+        .repartition(n)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     times: dict[str, float] = {}
     only = sys.argv[1:]

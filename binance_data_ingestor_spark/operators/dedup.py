@@ -81,6 +81,19 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _sorted_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array, as structs."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 def ngram_jaccard_pairs(
@@ -101,6 +114,11 @@ def ngram_jaccard_pairs(
     ex = _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
+    # codegen'd hash self-join on the shingle — measured faster than a
+    # posting-list groupBy + in-list pair expansion (the HOF pair
+    # lambda is interpreted; the join stays in whole-stage codegen).
+    # Hot shingles make |posting|² pairs either way; the upstream
+    # mitigation at scale is a document-frequency cap.
     a = ex.select(F.col(id_col).alias("id_a"), "shingle")
     b = ex.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -168,12 +186,15 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    lhs = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
-    rhs = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    # same posting-list plan as ngram_jaccard_pairs: one shuffle on the
+    # band bucket, pairs expanded in-bucket (a self-join would shuffle
+    # and recompute the signature pipeline twice)
     return (
-        lhs.join(rhs, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode_outer(_sorted_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 

@@ -105,7 +105,10 @@ def rolling_hash_signature(
         for pdf in batches:
             ids, mins, counts = [], [], []
             for vid, text in zip(pdf["__id"], pdf["__text"]):
-                cps = np.array([ord(c) for c in text], dtype=np.int64)
+                # UTF-32-LE bytes ARE the codepoints — vectorized ord()
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
                 if cps.size < w:
                     continue
                 # windows·pows < 1114112·131^7·8 — compute mod M per term

@@ -225,6 +225,57 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+# --------------------------------------------------------------------------
+# q26 — REAL Structured Streaming execution of the custom stateful
+# sessionizer (applyInPandasWithState + event-time timeout): events are
+# replayed as a file stream with a sentinel row driving the watermark
+# past every real session, and the emitted (append-mode, watermark-
+# closed) sessions are returned as a batch DataFrame. Genuinely
+# non-SQL-expressible (stateful streaming semantics) — no oracle entry;
+# the batch twin q24 carries the SQL-checkable version of the same
+# session definition, and tests/test_stateful_streaming.py proves the
+# two agree row-for-row.
+# --------------------------------------------------------------------------
+def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="q26_")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) user_id,"
+        " to_timestamp('2031-01-01 00:00:00') ts, CAST(0.0 AS DOUBLE) value"
+    )
+    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+        f"{work}/in"
+    )
+    name = f"q26_out_{abs(hash(work)) % 10**8}"
+    q = (
+        sessionize_stream(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "n_events",
+            "sess_value",
+            F.timestamp_micros(F.col("sess_start")).alias("sess_start"),
+            F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
+        )
+    )
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -232,6 +283,7 @@ QUERIES = {
     "q23_lag_lead": q23_lag_lead,
     "q24_sessionize": q24_sessionize,
     "q25_asof_join": q25_asof_join,
+    "q26_stream_sessions": q26_stream_sessions,
 }
 
 ORACLES = {

@@ -1,0 +1,183 @@
+"""Custom stateful streaming operators (SURVEY §2.6 T5).
+
+The reference keeps only writer-side state (buffer dicts keyed
+``{stream}_{symbol}_{fmt}``, `/root/reference/binance-di.py:155-191`);
+these are the engine-grade stateful operators a training-data pipeline
+needs on top: session windows with arbitrary merge logic via
+``applyInPandasWithState`` (the custom path — Spark's native
+``session_window`` covers the simple case), and watermarked streaming
+deduplication.
+
+Scale notes: state lives in the state store partitioned by group key —
+one (user) key's state is a handful of session summaries, never raw
+events, so state size is O(open sessions), not O(events). Watermark +
+event-time timeout bound both memory and emission latency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+GAP_SECONDS = 1800
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sess_value", DoubleType()),
+        StructField("sess_start", LongType()),  # epoch micros
+        StructField("sess_end", LongType()),
+    ]
+)
+
+# open sessions, parallel arrays sorted by start_sec
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_sec", ArrayType(LongType())),
+        StructField("end_sec", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("val", ArrayType(DoubleType())),
+        StructField("ts_min_us", ArrayType(LongType())),
+        StructField("ts_max_us", ArrayType(LongType())),
+    ]
+)
+
+_Sess = Tuple[int, int, int, float, int, int]  # start_sec, end_sec, n, val, us_min, us_max
+
+
+def _merge(sessions: list[_Sess], gap: int) -> list[_Sess]:
+    """Fold start-sorted session summaries, merging where the gap rule
+    (start - prev_end <= gap keeps the same session) allows. Exact
+    batch parity: events between two summaries don't exist, so summary
+    adjacency is the full gap criterion."""
+    out: list[_Sess] = []
+    for s in sorted(sessions):
+        if out and s[0] - out[-1][1] <= gap:
+            p = out[-1]
+            out[-1] = (
+                p[0],
+                max(p[1], s[1]),
+                p[2] + s[2],
+                p[3] + s[3],
+                min(p[4], s[4]),
+                max(p[5], s[5]),
+            )
+        else:
+            out.append(s)
+    return out
+
+
+def _sessionize_fn(gap: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        sessions: list[_Sess] = []
+        if state.exists:
+            st = state.get
+            sessions = [
+                (int(a), int(b), int(c), float(d), int(e), int(f))
+                for a, b, c, d, e, f in zip(*st)
+            ]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                secs = us // 1_000_000
+                for u, sec, val in zip(us, secs, pdf["value"]):
+                    sessions.append(
+                        (int(sec), int(sec), 1, float(val), int(u), int(u))
+                    )
+        sessions = _merge(sessions, gap)
+
+        # a session is final once no in-watermark event can extend it:
+        # every extender would have ts_sec <= end_sec + gap
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        closed = [s for s in sessions if s[1] + gap < wm_sec]
+        open_ = [s for s in sessions if s[1] + gap >= wm_sec]
+
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                    [s[3] for s in open_],
+                    [s[4] for s in open_],
+                    [s[5] for s in open_],
+                )
+            )
+            # wake up when the earliest open session becomes closable
+            next_ms = min(s[1] + gap for s in open_) * 1000 + 1000
+            state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "n_events": [s[2] for s in closed],
+                    "sess_value": [round(s[3], 2) for s in closed],
+                    "sess_start": [s[4] for s in closed],
+                    "sess_end": [s[5] for s in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_seconds: int = GAP_SECONDS,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows with custom merge state.
+
+    Input: streaming DataFrame with (user_id, ts timestamp, value).
+    Output (append, on watermark close): one row per finished session —
+    the same facts as the batch q24_sessionize. sess_start/sess_end are
+    epoch-microsecond longs (convert with timestamp_micros for display).
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds),
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark: duplicates of a
+    key arriving within the watermark horizon are dropped; state for a
+    key is freed once the watermark passes it (so state is O(keys per
+    horizon), which is what makes this viable on an unbounded stream)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

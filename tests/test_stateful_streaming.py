@@ -1,0 +1,135 @@
+"""Custom stateful streaming: applyInPandasWithState sessions + dedup.
+
+The sessionizer replays the sf0.001 events table as a file stream
+(availableNow) with a far-future sentinel row that pushes the global
+watermark past every real session, and the emitted sessions must match
+the batch window-function sessionization (q24 semantics) exactly.
+"""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from binance_data_ingestor_spark.queries.util import load
+from binance_data_ingestor_spark.streaming.stateful import (
+    dedup_stream,
+    sessionize_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def batch_sessions(ev):
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1)
+        .otherwise(F.when(F.lag(sec).over(w).isNull(), 1).otherwise(0))
+        .alias("new_sess"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_sess").over(wcum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sess_value"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """events + one sentinel row far in the future (watermark driver)."""
+    path = str(tmp_path_factory.mktemp("events_replay"))
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    sentinel = spark.createDataFrame(
+        [(int(-1), float(0.0))], "user_id long, value double"
+    ).select(
+        "user_id",
+        (F.to_timestamp(F.lit("2031-01-01 00:00:00"))).alias("ts"),
+        "value",
+    )
+    ev.unionByName(sentinel.select("user_id", "ts", "value")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_sessionize_stream_matches_batch(spark, replay_dir, tmp_path):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(replay_dir)
+    )
+    out = sessionize_stream(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("sessions_out")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "n_events",
+            "sess_value",
+            F.timestamp_micros(F.col("sess_start")).alias("sess_start"),
+            F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
+        )
+    )
+    expected = batch_sessions(load(spark, SF_DIR, "events")).drop("session_id")
+
+    g = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sess_value"], r["sess_end"])
+        for r in got.collect()
+    }
+    e = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sess_value"], r["sess_end"])
+        for r in expected.collect()
+    }
+    assert len(g) == len(e) > 0
+    for k, (n, v, end) in e.items():
+        gn, gv, gend = g[k]
+        assert gn == n and gend == end
+        assert abs(gv - v) < 1e-9
+
+
+def test_dedup_stream(spark, tmp_path):
+    path = str(tmp_path / "dups")
+    rows = [
+        (1, "2026-01-01 00:00:00", "a"),
+        (1, "2026-01-01 00:05:00", "a"),  # dup of key 'a' within watermark
+        (2, "2026-01-01 00:01:00", "b"),
+        (3, "2026-01-01 00:02:00", "a"),  # same key col value, same dedup key
+    ]
+    (
+        spark.createDataFrame(rows, "id long, ts_s string, k string")
+        .select("id", F.to_timestamp("ts_s").alias("ts"), "k")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stream = spark.readStream.schema("id long, ts timestamp, k string").parquet(path)
+    out = dedup_stream(stream, ["k"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("dedup_out").collect()
+    assert sorted(r["k"] for r in res) == ["a", "b"]
