@@ -201,19 +201,33 @@ def ivf_topk(
     query touches n_probe/n_centroids of the data instead of all of it.
     Query side: each query probes its n_probe best cells; candidates in
     probed cells are reranked with exact cosine and windowed to top-k.
-    Cell assignment here is per-row expression math (fine for the
-    build's cardinality); a 100 TB build would GEMM the assignment in
-    mapInPandas exactly like cosine_neardup_pairs.
+    Candidate cell assignment is a batched GEMM against the (tiny)
+    centroid matrix — one Arrow crossing for the index build; the
+    query-side probe scoring stays in column expressions (|Q| is small).
     """
     cents = centroids(dim, n_centroids, seed)
 
-    c_sims = _centroid_sims(F.col(vec_col), cents)
+    C = np.array(cents, dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _matrix(pdf["c_vec"])
+            v_norm = np.sqrt((M * M).sum(axis=1))
+            S = (M @ C.T) / np.outer(v_norm, c_norm)
+            # argmax = first occurrence on ties, matching array_position/
+            # list_position(list_max) on the oracle side
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cell": S.argmax(axis=1).astype("int32"),
+                    "c_vec": pdf["c_vec"],
+                }
+            )
+
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        # argmax, first occurrence on ties — matches list_position(list_max)
-        (F.array_position(c_sims, F.array_max(c_sims)) - 1).alias("cell"),
-    )
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(assign, "neighbor_id long, cell int, c_vec array<float>")
 
     q_sims = _centroid_sims(F.col(vec_col), cents)
     q_cells = queries.select(
