@@ -326,6 +326,132 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q11 — global sort + limit (SURVEY §2.3 L4): total order across the
+# whole relation. Scale: Spark plans TakeOrderedAndProject — per-
+# partition top-N then a single driver-side merge of N·partitions rows;
+# no global sort materialization.
+# --------------------------------------------------------------------------
+def q11_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+        .orderBy(F.desc("net_price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+Q11_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+FROM lineitem
+ORDER BY net_price DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — exact percentiles (median/p90/p99) per group: percentile_cont
+# with linear interpolation, the same definition DuckDB's quantile_cont
+# uses. Scale: exact percentiles need the sorted group in one place —
+# one shuffle on the group key; approx_percentile is the sketch-based
+# alternative when that shuffle is too big.
+# --------------------------------------------------------------------------
+def q12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias("p90"),
+        F.round(F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias("p99"),
+        F.round(F.avg(qty), 6).alias("mean_qty"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6)  AS p90,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+       round(avg(l_quantity), 6)                 AS mean_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — CUBE over two dimensions (A4 grouping-sets family; rollup is
+# q06). Scale: Spark expands grouping sets map-side (Expand operator),
+# one shuffle for all 4 grouping combinations.
+# --------------------------------------------------------------------------
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+Q13_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)                      AS n_rows,
+       round(sum(l_quantity), 2)     AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — skew-resilient aggregation via salting: the two-phase
+# (salted partial → final) rewrite of a groupBy whose key distribution
+# is pathological. At 100 TB a single hot key would pin one reducer;
+# salting spreads each key over SALT partial aggregates first. The
+# result is byte-identical to the direct aggregation (the oracle is the
+# UNsalted SQL — that IS the semantics being preserved).
+# --------------------------------------------------------------------------
+SALT = 16
+
+
+def q14_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("prev"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.round(F.sum("prev"), 2).alias("revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -337,6 +463,10 @@ QUERIES = {
     "q08_set_ops": q08_set_ops,
     "q09_distinct_agg": q09_distinct_agg,
     "q10_enrich_scalar": q10_enrich_scalar,
+    "q11_global_topk": q11_global_topk,
+    "q12_percentiles": q12_percentiles,
+    "q13_cube": q13_cube,
+    "q14_salted_agg": q14_salted_agg,
 }
 
 ORACLES = {
@@ -350,4 +480,8 @@ ORACLES = {
     "q08_set_ops": Q08_SQL,
     "q09_distinct_agg": Q09_SQL,
     "q10_enrich_scalar": Q10_SQL,
+    "q11_global_topk": Q11_SQL,
+    "q12_percentiles": Q12_SQL,
+    "q13_cube": Q13_SQL,
+    "q14_salted_agg": Q14_SQL,
 }
