@@ -263,7 +263,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(600)
-    return (
+    out = (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
         .select(
@@ -274,6 +274,75 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
         )
     )
+    # materialize the (small: one row per closed session) result and drop
+    # the memory sink so the streaming state doesn't linger in the session
+    rows = out.collect()
+    result = spark.createDataFrame(
+        rows,
+        "user_id long, n_events long, sess_value double,"
+        " sess_start timestamp, sess_end timestamp",
+    )
+    spark.catalog.dropTempView(name)
+    return result
+
+
+# --------------------------------------------------------------------------
+# q27 — time-series top-k similarity search (the PAPERS.md workload:
+# EDBT'19/'20, ICDE'21 distributed top-k series similarity). Each user's
+# activity becomes a fixed-width series (per-day-bucket value sums);
+# the top-20 most-similar user pairs by squared Euclidean distance.
+# Scale: the series build is one map-side-combinable groupBy; the
+# all-pairs scoring is pure codegen arithmetic (no HOFs, no Python) and
+# the top-k is TakeOrderedAndProject (per-partition heads, driver
+# merge — no global sort). The LSH/IVF bucketing from similarity.py is
+# the same pruning you'd bolt on when |users|² stops fitting.
+# --------------------------------------------------------------------------
+N_BUCKETS = 8
+TOPK_PAIRS = 20
+
+
+def q27_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.dayofmonth("ts") % N_BUCKETS
+    series = ev.groupBy("user_id").agg(
+        *[
+            F.round(
+                F.coalesce(F.sum(F.when(bucket == i, F.col("value"))), F.lit(0.0)), 2
+            ).alias(f"s{i}")
+            for i in range(N_BUCKETS)
+        ]
+    )
+    a = series.select(F.col("user_id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_BUCKETS)])
+    b = series.select(F.col("user_id").alias("id_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_BUCKETS)])
+    dist = None
+    for i in range(N_BUCKETS):
+        term = (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
+        dist = term if dist is None else dist + term
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dist, 6).alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("id_a"), F.asc("id_b"))
+        .limit(TOPK_PAIRS)
+    )
+
+
+def _series_sql() -> str:
+    sums = ", ".join(
+        f"round(coalesce(sum(CASE WHEN day(ts) % {N_BUCKETS} = {i} THEN value END), 0.0), 2) AS s{i}"
+        for i in range(N_BUCKETS)
+    )
+    dist = " + ".join(f"(a.s{i} - b.s{i}) * (a.s{i} - b.s{i})" for i in range(N_BUCKETS))
+    return f"""
+WITH series AS (SELECT user_id, {sums} FROM events GROUP BY user_id)
+SELECT a.user_id AS id_a, b.user_id AS id_b, round({dist}, 6) AS dist2
+FROM series a JOIN series b ON a.user_id < b.user_id
+ORDER BY dist2 ASC, id_a ASC, id_b ASC
+LIMIT {TOPK_PAIRS}
+"""
+
+
+Q27_SQL = _series_sql()
 
 
 QUERIES = {
@@ -284,6 +353,7 @@ QUERIES = {
     "q24_sessionize": q24_sessionize,
     "q25_asof_join": q25_asof_join,
     "q26_stream_sessions": q26_stream_sessions,
+    "q27_series_topk": q27_series_topk,
 }
 
 ORACLES = {
@@ -293,4 +363,5 @@ ORACLES = {
     "q23_lag_lead": Q23_SQL,
     "q24_sessionize": Q24_SQL,
     "q25_asof_join": Q25_SQL,
+    "q27_series_topk": Q27_SQL,
 }
