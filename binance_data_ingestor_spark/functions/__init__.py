@@ -1,0 +1,53 @@
+"""Public column-function registry.
+
+The engine's reusable column expressions in one import, grouped the way
+`pyspark.sql.functions` groups built-ins. Everything here is a Column →
+Column (or DataFrame → DataFrame) transform usable in both batch and
+streaming plans; none of it creates shuffles on its own.
+
+>>> from binance_data_ingestor_spark import functions as EF
+>>> df.select(EF.cosine("vec_a", "vec_b"))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# vector math (similarity search)
+from ..operators.similarity import cosine, dot, hyperplanes, sign_lsh_bucket  # noqa: F401
+
+# text analysis
+from ..operators.text import (  # noqa: F401
+    BPE_SPLIT_PATTERN,
+    fingerprint,
+    lang_guess,
+    normalized_text,
+    token_count,
+    tokens,
+)
+
+# dedup primitives
+from ..operators.dedup import minhash_signature, with_shingles  # noqa: F401
+
+# order-book / market data
+from ..sinks.redis_sink import redis_key  # noqa: F401
+
+
+def best_level(side: Column | str, field: str = "price") -> Column:
+    """First (best) level of a bids/asks array-of-structs column."""
+    c = F.col(side) if isinstance(side, str) else side
+    return F.element_at(c, 1).getField(field)
+
+
+def mid_price(best_bid: Column, best_ask: Column) -> Column:
+    return (best_bid + best_ask) / 2
+
+
+def spread(best_bid: Column, best_ask: Column) -> Column:
+    return best_ask - best_bid
+
+
+def epoch_ms(ts: Column | str) -> Column:
+    """Timestamp → Binance-style epoch milliseconds."""
+    return F.unix_millis(F.col(ts) if isinstance(ts, str) else ts)

@@ -452,6 +452,51 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q15 — local-supplier revenue (the full TPC-H Q5 shape, including the
+# supplier co-location condition c_nationkey = s_nationkey that makes
+# Q5 interesting): revenue from lineitems where the supplying supplier
+# and ordering customer share a nation. Scale: supplier/customer/nation
+# are broadcast dims; the only shuffle join is lineitem⨝orders on
+# l_orderkey; the co-location predicate is applied as a post-broadcast
+# filter, never a shuffle.
+# --------------------------------------------------------------------------
+def q15_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -467,6 +512,7 @@ QUERIES = {
     "q12_percentiles": q12_percentiles,
     "q13_cube": q13_cube,
     "q14_salted_agg": q14_salted_agg,
+    "q15_local_supplier_revenue": q15_local_supplier_revenue,
 }
 
 ORACLES = {
@@ -484,4 +530,5 @@ ORACLES = {
     "q12_percentiles": Q12_SQL,
     "q13_cube": Q13_SQL,
     "q14_salted_agg": Q14_SQL,
+    "q15_local_supplier_revenue": Q15_SQL,
 }
