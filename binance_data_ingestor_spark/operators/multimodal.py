@@ -104,6 +104,57 @@ def byte_histogram(
     ).mapInPandas(kernel, "doc_id long, bin int, n long")
 
 
+def resize_raster(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    src_w_col: str = "raster_w",
+    src_h_col: str = "raster_h",
+    out_w: int = 4,
+    out_h: int = 3,
+) -> DataFrame:
+    """Nearest-neighbor downsample of a byte raster (the image-resize
+    shape): the payload's first src_w·src_h bytes are treated as a
+    row-major grid; output pixel (i, j) samples input
+    (i·(src_h // out_h), j·(src_w // out_w)).
+
+    The kernel is vectorized numpy strided indexing over Arrow batches —
+    one Python crossing, exactly how a PIL-backed resize would slot in.
+    Payloads shorter than the raster are filtered out; strides are
+    integer (src dims must be ≥ out dims).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, payload, w, h in zip(
+                pdf["__id"], pdf["__content"], pdf["__w"], pdf["__h"]
+            ):
+                w, h = int(w), int(h)
+                raster = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+                sy, sx = h // out_h, w // out_w
+                small = raster[:: sy, :: sx][:out_h, :out_w]
+                ids.append(vid)
+                blobs.append(small.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "resized": blobs})
+
+    return (
+        df.filter(
+            (F.length(F.col(content_col)) >= F.col(src_w_col) * F.col(src_h_col))
+            & (F.col(src_w_col) >= out_w)
+            & (F.col(src_h_col) >= out_h)
+        )
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(content_col).alias("__content"),
+            F.col(src_w_col).alias("__w"),
+            F.col(src_h_col).alias("__h"),
+        )
+        .mapInPandas(kernel, "doc_id long, resized binary")
+    )
+
+
 # --------------------------------------------------------------------------
 # Decode: deterministic STUB kernel + real Arrow plumbing.
 # --------------------------------------------------------------------------

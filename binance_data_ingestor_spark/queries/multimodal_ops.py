@@ -21,6 +21,7 @@ from ..operators.multimodal import (
     byte_histogram,
     decode_media,
     media_metadata,
+    resize_raster,
     sample_frames,
 )
 from ..operators.partitioning import fanout
@@ -161,11 +162,57 @@ FROM hx LEFT JOIN stats ON hx.doc_id = stats.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q64 — resize (nearest-neighbor stride downsample) of a byte raster to
+# a fixed 4×3 thumbnail. Kernel is vectorized numpy strided indexing
+# under mapInPandas; the oracle reproduces the 12 sampled byte
+# positions on the hex representation.
+# --------------------------------------------------------------------------
+OUT_W, OUT_H = 4, 3
+
+
+def q64_resize_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir).select(
+        "doc_id",
+        "content",
+        (8 + F.col("doc_id") % 5).cast("int").alias("raster_w"),
+        (4 + F.col("doc_id") % 3).cast("int").alias("raster_h"),
+    )
+    out = resize_raster(fanout(m), out_w=OUT_W, out_h=OUT_H)
+    return out.select("doc_id", F.hex("resized").alias("resized_hex"))
+
+
+def _resize_sql() -> str:
+    # pixel (i, j) samples source byte (i*(rh//3))*rw + j*(rw//4);
+    # hex digit pair for 0-based byte k starts at char 2k+1
+    terms = []
+    for i in range(OUT_H):
+        for j in range(OUT_W):
+            k = f"(({i} * (rh // {OUT_H})) * rw + {j} * (rw // {OUT_W}))"
+            terms.append(f"substring(h, 2 * {k} + 1, 2)")
+    return f"""
+WITH {_SQL_MEDIA},
+sized AS (
+  SELECT doc_id, upper(hex(content)) AS h,
+         CAST(8 + doc_id % 5 AS INTEGER) AS rw,
+         CAST(4 + doc_id % 3 AS INTEGER) AS rh
+  FROM media
+  WHERE octet_length(content) >= (8 + doc_id % 5) * (4 + doc_id % 3)
+)
+SELECT doc_id, concat({", ".join(terms)}) AS resized_hex
+FROM sized
+"""
+
+
+Q64_SQL = _resize_sql()
+
+
 QUERIES = {
     "q60_media_metadata": q60_media_metadata,
     "q61_frame_sample": q61_frame_sample,
     "q62_byte_histogram": q62_byte_histogram,
     "q63_decode_media": q63_decode_media,
+    "q64_resize_raster": q64_resize_raster,
 }
 
 ORACLES = {
@@ -173,4 +220,5 @@ ORACLES = {
     "q61_frame_sample": Q61_SQL,
     "q62_byte_histogram": Q62_SQL,
     "q63_decode_media": Q63_SQL,
+    "q64_resize_raster": Q64_SQL,
 }

@@ -253,16 +253,24 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/in"
     )
     name = f"q26_out_{abs(hash(work)) % 10**8}"
-    q = (
-        sessionize_stream(stream, watermark="30 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # state-store instances scale with shuffle partitions; 8 is plenty of
+    # key-parallelism for this replay and cuts per-micro-batch store
+    # setup 4x (a cluster deployment sizes this to executors, not 32)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize_stream(stream, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = (
         spark.table(name)
         .filter(F.col("user_id") >= 0)

@@ -83,3 +83,22 @@ def test_decode_media_stub(media):
 def test_decode_media_real_codecs_not_implemented(media):
     with pytest.raises(NotImplementedError):
         decode_media(media, real_codecs=True)
+
+
+def test_resize_raster_stride_sampling(spark):
+    from binance_data_ingestor_spark.operators.multimodal import resize_raster
+
+    # 8×6 raster of sequential bytes; resize to 4×3 with strides sy=2, sx=2
+    w, h = 8, 6
+    payload = bytes(range(w * h))
+    df = spark.createDataFrame(
+        [(1, payload, w, h), (2, b"xy", w, h)],  # doc 2 too short → filtered
+        "doc_id long, content binary, raster_w int, raster_h int",
+    )
+    rows = resize_raster(df, out_w=4, out_h=3).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    got = bytes(rows[0]["resized"])
+    expected = bytes(
+        payload[(i * 2) * w + j * 2] for i in range(3) for j in range(4)
+    )
+    assert got == expected
