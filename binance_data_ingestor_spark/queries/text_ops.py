@@ -132,6 +132,61 @@ Q48_SQL = rolling_hash_sql("documents")
 
 
 # --------------------------------------------------------------------------
+# q49 — TF-IDF top terms per document (retrieval weighting).
+# Scale: tf is one groupBy(doc, token) with map-side combine; df is a
+# groupBy(token); the tf⨝idf join shuffles on the token — vocabulary-
+# sized, not corpus-sized. N arrives via a broadcast 1-row aggregate,
+# never a driver round-trip. Smoothed idf = ln((N+1)/(df+1)).
+# --------------------------------------------------------------------------
+def q49_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+Q49_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, rank, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — exact dedup: one representative (min id) per distinct fingerprint.
 # --------------------------------------------------------------------------
 def q43_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +286,7 @@ QUERIES = {
     "q46_simhash": q46_simhash,
     "q47_bpe_token_count": q47_bpe_token_count,
     "q48_rolling_fingerprint": q48_rolling_fingerprint,
+    "q49_tfidf_topterms": q49_tfidf_topterms,
 }
 
 ORACLES = {
@@ -243,4 +299,5 @@ ORACLES = {
     "q46_simhash": Q46_SQL,
     "q47_bpe_token_count": Q47_SQL,
     "q48_rolling_fingerprint": Q48_SQL,
+    "q49_tfidf_topterms": Q49_SQL,
 }
