@@ -102,17 +102,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: one explode, one self-join on `shingle`
     (co-occurrence counts = intersection size), one broadcast join for
     set sizes. Hot shingles are the skew risk at scale — AQE skew-join
-    handles moderate skew; for pathological shingles add a frequency cap
-    upstream (drop shingles appearing in > X% of docs).
+    handles moderate skew; ``max_df`` is the pathological-case guard:
+    shingles appearing in more than max_df documents are dropped from
+    the index BEFORE the self-join (each contributes O(df²) pairs while
+    carrying almost no similarity signal — the standard stop-shingle
+    cut). Note: capping makes the result an under-approximation of
+    exact Jaccard (intersections lose capped shingles; set sizes keep
+    them), which is the usual trade — the exact form is max_df=None.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
 
     # codegen'd hash self-join on the shingle — measured faster than a
     # posting-list groupBy + in-list pair expansion (the HOF pair

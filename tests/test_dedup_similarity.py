@@ -112,3 +112,25 @@ def test_text_quality_and_lang(spark):
     assert abs(q[1].stopword_ratio - 3 / 6) < 1e-9  # the, on, the
     lang = {r.doc_id: r.g for r in df.select("doc_id", lang_guess("text").alias("g")).collect()}
     assert lang[1] == "en" and lang[2] == "unknown"
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    from binance_data_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    # "common common common" shingle appears in ALL docs (hot); each
+    # pair also shares it, inflating pair counts without signal
+    rows = [
+        (1, "common common common alpha beta gamma"),
+        (2, "common common common delta epsilon zeta"),
+        (3, "common common common alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ngram_jaccard_pairs(df, threshold=0.01)
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_df=2)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # exact: every pair shares the hot shingle -> all 3 pairs
+    assert exact_pairs == {(1, 2), (1, 3), (2, 3)}
+    # capped: the universal shingle is dropped; only the true dup pair
+    # (1, 3) still shares shingles
+    assert capped_pairs == {(1, 3)}
