@@ -144,9 +144,12 @@ def ngram_jaccard_pairs(
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     jacc = F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+    # no broadcast hint: `sizes` is one row per document, which scales
+    # with the corpus — the size threshold / AQE decides (broadcasts at
+    # test SFs, shuffle-joins at 100 TB where it would not fit)
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn("jaccard", F.round(jacc, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -1,0 +1,84 @@
+"""Physical-plan regression guards.
+
+Correctness tests can't catch a plan silently degrading (a broadcast
+join falling back to shuffle, a filter no longer reaching the scan, a
+pruned union branch coming back). These assert the plan properties the
+scale design depends on, on the sf0.001 fixtures — plan shape doesn't
+change with SF.
+"""
+
+import pytest
+
+from binance_data_ingestor_spark.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs, _ = registry()
+
+    def plan_of(name):
+        df = qs[name](spark, SF_DIR)
+        # execute first: AQE replans joins from runtime stats (an
+        # unhinted dim join is SMJ in the initial plan and broadcast in
+        # the final one — the final plan is the one that matters)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AdaptiveSparkPlan.toString embeds the pre-AQE "Initial Plan"
+        # section; only the final (executed) section is asserted on
+        return plan.split("== Initial Plan ==")[0]
+
+    return plan_of
+
+
+def test_dim_joins_broadcast(plans):
+    # q02/q03: customer/nation/region dims must broadcast, and the big
+    # fact join must remain the only shuffle join
+    for q in ["q02_shipping_priority", "q03_regional_revenue"]:
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, f"{q}: dim join regressed to SMJ"
+
+
+def test_filters_reach_parquet_scan(plans):
+    p = plans("q01_pricing_summary")
+    # pushdown shows up as a PushedFilters/DataFilters entry on the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p \
+        or "l_shipdate" in p.split("Scan parquet")[1].split("ReadSchema")[0], p
+
+
+def test_column_pruning(plans):
+    p = plans("q01_pricing_summary")
+    scan = p.split("ReadSchema: ")[1].splitlines()[0]
+    # only the 7 needed lineitem columns, not the full 16-column schema
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_returnflag" in scan
+
+
+def test_global_topk_avoids_global_sort(plans):
+    p = plans("q11_global_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_union_branch_pruned_by_discriminator_filter(plans):
+    p = plans("q34_envelope_filter")
+    assert "Union" not in p  # trades branch constant-folded away
+    assert p.count("Scan parquet") == 1
+
+
+def test_salted_agg_is_two_phase(plans):
+    p = plans("q14_salted_agg")
+    # partial agg on (key, salt) then final on key — two HashAggregate
+    # pairs around one exchange, never a sort-based fallback
+    assert p.count("HashAggregate") >= 4
+    assert "SortAggregate" not in p
+
+
+def test_asof_join_single_shuffle(plans):
+    p = plans("q25_asof_join")
+    # union + window implementation: exactly one hashpartitioning
+    # exchange on the by-key (plus no join operator at all)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
