@@ -142,3 +142,32 @@ def test_redis_sink_keys_and_idempotent_ids(spark, tmp_path):
     assert len(store["binance_ticker_ethusdt"]) == 1
     fields = store["binance_ticker_ethusdt"]["2000-0"]
     assert fields["price"] == "5.0" and fields["stream"] == "ticker"
+
+
+def test_file_rotation_max_records(spark, tmp_path):
+    """S9: maxRecordsPerFile rotates files at the cap (reference's
+    100k-line FILE_ROTATION_LINE_COUNT, binance-di.py:32, scaled down)."""
+    df = spark.range(250).select(
+        F.lit("ticker").alias("stream"),
+        F.lit("BTCUSDT").alias("symbol"),
+        F.col("id").cast("string").alias("v"),
+    ).coalesce(1)
+    out = str(tmp_path / "rot")
+    write_batch(df, out, "json", max_records=100)
+    files = glob.glob(f"{out}/json/stream=*/symbol=*/part-*")
+    assert len(files) >= 3  # 250 rows / 100-record cap → ≥3 part files
+    total = sum(1 for f in files for _ in open(f))
+    assert total == 250
+
+
+def test_csv_header_written(spark, tmp_path):
+    """S5: CSV files carry the header row (reference freezes it from the
+    first payload; here it's the schema, binance-di.py:175-177)."""
+    df = spark.createDataFrame(
+        [("ticker", "BTCUSDT", "1.0")], "stream string, symbol string, px string"
+    )
+    out = str(tmp_path / "csvh")
+    write_batch(df, out, "csv")
+    files = glob.glob(f"{out}/csv/stream=*/symbol=*/part-*")
+    first_lines = [open(f).readline().strip() for f in files]
+    assert any(line == "px" for line in first_lines)
