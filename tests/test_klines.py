@@ -73,3 +73,65 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in klines_from_trades(_trades_df(spark), "1m").collect()
     }
     assert got == want  # batch/stream unification: same transform, same answer
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """T3: in append mode, a trade arriving after the watermark passed
+    its window is dropped — the closed candle is immutable. The reference
+    has no late-data story at all (SURVEY §2.6 T3: arrival order =
+    processing order); this pins down the engine's upgrade."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_late")
+
+    def write_batchfile(rows):
+        df = spark.createDataFrame(
+            rows, "symbol string, trade_time long, price string, quantity string"
+        ).withColumn("price", F.col("price").cast(DEC)).withColumn(
+            "quantity", F.col("quantity").cast(DEC)
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: window [60s, 120s) gets 2 trades; a trade at 10 min
+    # advances the watermark far past that window
+    write_batchfile(
+        [
+            ("BTCUSDT", 60_000, "100.0", "1.0"),
+            ("BTCUSDT", 70_000, "110.0", "1.0"),
+            ("BTCUSDT", 600_000, "120.0", "1.0"),
+        ]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        klines_from_trades(stream, "1m", watermark="1 minute", closed=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kl_late")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives while the query runs: a LATE trade for the
+        # already-closed [60s, 120s) window (watermark 600s - 60s = 540s
+        # >> 120s) plus a fresh trade that closes more windows
+        write_batchfile(
+            [
+                ("BTCUSDT", 80_000, "999.0", "9.0"),  # late -> dropped
+                ("BTCUSDT", 660_000, "130.0", "1.0"),
+            ]
+        )
+        q.processAllAvailable()
+        rows = {
+            r.kline_start_time: r
+            for r in spark.sql("SELECT * FROM kl_late").collect()
+        }
+    finally:
+        q.stop()
+
+    # the 60s window closed with ONLY the 2 on-time trades; the late
+    # 999-price trade neither reopened nor mutated it, and produced no
+    # separate emission
+    assert rows[60_000].number_of_trades == 2
+    assert float(rows[60_000].high_price) == 110.0
+    assert 80_000 not in rows
