@@ -353,6 +353,119 @@ LIMIT {TOPK_PAIRS}
 Q27_SQL = _series_sql()
 
 
+# --------------------------------------------------------------------------
+# q28 — event-time range join (J1 family): each click joined to the
+# same user's purchases within the preceding 10 minutes. Scale: the
+# user_id equality keys the shuffle (ordinary equi-join); the time-range
+# predicate is a post-join filter, NOT a join condition that would force
+# a nested-loop plan. The streaming twin is a stream-stream join with
+# watermarks on both sides (tests/test_stream_stream_join.py).
+# --------------------------------------------------------------------------
+RANGE_SECONDS = 600
+
+
+def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purch_ts"),
+        F.col("value").alias("purch_value"),
+    )
+    joined = clicks.join(purchases, "user_id").filter(
+        (F.unix_micros("purch_ts") <= F.unix_micros("click_ts"))
+        & (F.unix_micros("purch_ts") > F.unix_micros("click_ts") - RANGE_SECONDS * 1_000_000)
+    )
+    return joined.groupBy("click_id", "user_id").agg(
+        F.count("*").alias("n_recent_purchases"),
+        F.round(F.sum("purch_value"), 2).alias("recent_purchase_value"),
+    )
+
+
+Q28_SQL = f"""
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purch_ts, value AS purch_value
+      FROM events WHERE event_type = 'purchase')
+SELECT click_id, c.user_id AS user_id,
+       count(*)                    AS n_recent_purchases,
+       round(sum(purch_value), 2)  AS recent_purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE epoch_us(purch_ts) <= epoch_us(click_ts)
+  AND epoch_us(purch_ts) >  epoch_us(click_ts) - {RANGE_SECONDS} * 1000000
+GROUP BY click_id, c.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — multi-resolution rollup chain (hypertable continuous-aggregate
+# shape): hourly OHLCV-style aggregates re-aggregated into daily ones —
+# min of mins, max of maxs, sum of sums, arg-min/max carried through.
+# Scale: the daily rollup reads the (tiny) hourly aggregate, not the
+# raw events — the whole point of the chain at 100 TB.
+# --------------------------------------------------------------------------
+def q29_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("h_open"),
+            F.max("value").alias("h_high"),
+            F.min("value").alias("h_low"),
+            F.max_by("value", "ts").alias("h_close"),
+            F.sum("value").alias("h_volume"),
+            F.count("*").alias("h_n"),
+            F.min("ts").alias("h_first_ts"),
+            F.max("ts").alias("h_last_ts"),
+        )
+    )
+    daily = (
+        hourly.withColumn("day", F.to_date(F.date_trunc("day", "hour")))
+        .groupBy("day", "event_type")
+        .agg(
+            F.min_by("h_open", "h_first_ts").alias("open_value"),
+            F.max("h_high").alias("high_raw"),
+            F.min("h_low").alias("low_raw"),
+            F.max_by("h_close", "h_last_ts").alias("close_value"),
+            F.sum("h_volume").alias("volume_raw"),
+            F.sum("h_n").alias("n_events"),
+        )
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.round("open_value", 2).alias("open_value"),
+        F.round("high_raw", 2).alias("high_value"),
+        F.round("low_raw", 2).alias("low_value"),
+        F.round("close_value", 2).alias("close_value"),
+        F.round("volume_raw", 2).alias("volume"),
+        "n_events",
+    )
+
+
+Q29_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         arg_min(value, ts) AS h_open, max(value) AS h_high,
+         min(value) AS h_low, arg_max(value, ts) AS h_close,
+         sum(value) AS h_volume, count(*) AS h_n,
+         min(ts) AS h_first_ts, max(ts) AS h_last_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('day', hour) AS day, event_type,
+       round(arg_min(h_open, h_first_ts), 2) AS open_value,
+       round(max(h_high), 2)                 AS high_value,
+       round(min(h_low), 2)                  AS low_value,
+       round(arg_max(h_close, h_last_ts), 2) AS close_value,
+       round(sum(h_volume), 2)               AS volume,
+       CAST(sum(h_n) AS BIGINT)              AS n_events
+FROM hourly GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -362,6 +475,8 @@ QUERIES = {
     "q25_asof_join": q25_asof_join,
     "q26_stream_sessions": q26_stream_sessions,
     "q27_series_topk": q27_series_topk,
+    "q28_range_join": q28_range_join,
+    "q29_multires_rollup": q29_multires_rollup,
 }
 
 ORACLES = {
@@ -372,4 +487,6 @@ ORACLES = {
     "q24_sessionize": Q24_SQL,
     "q25_asof_join": Q25_SQL,
     "q27_series_topk": Q27_SQL,
+    "q28_range_join": Q28_SQL,
+    "q29_multires_rollup": Q29_SQL,
 }
