@@ -216,6 +216,64 @@ def minhash_lsh_candidates(
     )
 
 
+# -- connected components (near-dup clustering) -----------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster ids for every node of an undirected edge set.
+
+    Min-label propagation: label(v) starts at min(v, neighbors(v)) and
+    each round takes the min over the neighborhood; fixpoint = connected
+    components, cluster_id = min node id in the component. This is the
+    step that turns pairwise near-dup evidence into dedup groups — the
+    pair relation is not transitive, the component is.
+
+    Scale: each round is one shuffle-join (edges ⨝ labels on node id)
+    plus one min-agg; rounds = graph diameter. Near-dup graphs are
+    unions of dense clusters with tiny diameter, so 3-5 rounds is
+    typical at any corpus size. For adversarial long-chain graphs the
+    O(log n)-round alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    is the drop-in upgrade; the per-round plumbing here is the same.
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    replay rounds 1..N-1 (on a production cluster, prefer a reliable
+    ``checkpoint`` dir — localCheckpoint pins blocks to executors).
+    Convergence piggybacks on a 1-row aggregate: labels only ever
+    decrease, so an unchanged sum IS the fixpoint — no extra join.
+    """
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("min_nbr"))
+        .select("node", F.least("node", "min_nbr").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            labels.union(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 def simhash_bit_exprs(dialect: str) -> tuple[list[str], list[str]]:

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -276,6 +277,130 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q46_SQL = simhash16_sql()
 
 
+# --------------------------------------------------------------------------
+# q54 — near-dup clustering: Jaccard pairs → connected components.
+# The pairwise relation is not transitive; the dedup unit at 100 TB is
+# the component (cluster_id = min doc id in it). Spark side iterates
+# min-label propagation (operators/dedup.connected_components); the
+# oracle is the recursive-CTE transitive closure of the same edge set.
+# --------------------------------------------------------------------------
+def q54_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    ).select("doc_id", "cluster_id", "cluster_size")
+
+
+_PAIR_CTES = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) >= 0.2),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS reached FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.reached
+),
+cc AS (SELECT node, least(node, min(reached)) AS cluster_id
+       FROM reach GROUP BY node)
+"""
+
+Q54_SQL = f"""
+WITH RECURSIVE
+{_PAIR_CTES.format(source="documents")}
+SELECT node AS doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — end-to-end training-data curation pipeline: quality filter →
+# language filter → exact dedup → near-dup removal (cluster
+# representatives only). The composition query: every stage is an
+# operator proven above; what this checks is that they compose without
+# re-reading the corpus (one scan feeds the whole chain) and that the
+# near-dup graph is built over the FILTERED survivors, not the raw
+# corpus — at 100 TB the filters run first precisely to shrink the
+# quadratic-ish dedup stage.
+# --------------------------------------------------------------------------
+MIN_TOKENS = 20
+MIN_DIVERSITY = 0.4
+
+
+def q55_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    passed = quality_features(docs).filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("lexical_diversity") >= MIN_DIVERSITY)
+    )
+    en = passed.filter(lang_guess("text") == "en")
+    kept = (
+        en.withColumn("__fp", fingerprint("text"))
+        .withColumn("__keep", F.min("doc_id").over(W.partitionBy("__fp")))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "text", "n_tokens")
+    )
+    # materialize the survivors once: they feed 4 branches (shingle
+    # self-join a/b sides, set sizes, final anti-join) and carry a
+    # window-function shuffle in their lineage — without this the
+    # quality+dedup stages re-run per branch. The survivor set is the
+    # small end of the funnel, so this is cheap even at 100 TB.
+    kept = kept.localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(kept, n=3, threshold=0.2)
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return kept.join(dropped, "doc_id", "left_anti").select("doc_id", "n_tokens")
+
+
+Q55_SQL = f"""
+WITH RECURSIVE
+qf AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')), 6) AS lexical_diversity,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_SW})))
+               / len(string_split(text, ' ')) AS sw_ratio
+  FROM documents
+),
+en AS (SELECT * FROM qf
+       WHERE n_tokens >= {MIN_TOKENS} AND lexical_diversity >= {MIN_DIVERSITY}
+         AND sw_ratio > 0.08),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT *, min(doc_id) OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ) AS keep_id FROM en)
+  WHERE doc_id = keep_id
+),
+{_PAIR_CTES.format(source="kept")},
+dropped AS (SELECT node AS doc_id FROM cc WHERE node <> cluster_id)
+SELECT k.doc_id, k.n_tokens
+FROM kept k LEFT JOIN dropped d ON k.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -287,6 +412,8 @@ QUERIES = {
     "q47_bpe_token_count": q47_bpe_token_count,
     "q48_rolling_fingerprint": q48_rolling_fingerprint,
     "q49_tfidf_topterms": q49_tfidf_topterms,
+    "q54_neardup_clusters": q54_neardup_clusters,
+    "q55_curation_pipeline": q55_curation_pipeline,
 }
 
 ORACLES = {
@@ -300,4 +427,6 @@ ORACLES = {
     "q47_bpe_token_count": Q47_SQL,
     "q48_rolling_fingerprint": Q48_SQL,
     "q49_tfidf_topterms": Q49_SQL,
+    "q54_neardup_clusters": Q54_SQL,
+    "q55_curation_pipeline": Q55_SQL,
 }
