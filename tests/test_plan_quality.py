@@ -76,6 +76,25 @@ def test_salted_agg_is_two_phase(plans):
     assert "SortAggregate" not in p
 
 
+def test_range_join_stays_equi(plans):
+    # q28: the time-range predicate must ride the user_id equi-join as a
+    # post-join filter — if it leaks into the join condition the planner
+    # falls back to a nested-loop product, which is death at scale
+    p = plans("q28_range_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_multires_rollup_reads_hourly_not_raw(plans):
+    # q29: the daily level re-aggregates the hourly aggregate — one scan
+    # of events, two aggregation levels (partial+final pairs)
+    p = plans("q29_multires_rollup")
+    assert p.count("Scan parquet") == 1
+    assert p.count("HashAggregate") >= 4 or (
+        p.count("SortAggregate") + p.count("ObjectHashAggregate") >= 4
+    )
+
+
 def test_asof_join_single_shuffle(plans):
     p = plans("q25_asof_join")
     # union + window implementation: exactly one hashpartitioning
