@@ -151,6 +151,27 @@ FROM hashes GROUP BY {id_col}
 """
 
 
+HEX_DIGITS = "0123456789abcdef"
+
+
+def hash_bucket_sql(dialect: str, col: str = "doc_id", mod: int = 100) -> str:
+    """Deterministic [0, mod) bucket from the md5 of a key — the
+    reproducible-sampling primitive. Production pipelines sample by key
+    hash, never RNG: the decision is stable across reruns, engines, and
+    partitionings, and downstream joins on the same key see a
+    consistent universe. Emits the first-4-hex-digit value via per-digit
+    position lookup so the same generator yields the Spark expression
+    ('spark') and the DuckDB oracle ('duckdb') — provably one function.
+    """
+    pos = "instr" if dialect == "spark" else "strpos"
+    stype = "STRING" if dialect == "spark" else "VARCHAR"
+    d = [
+        f"({pos}('{HEX_DIGITS}', substring(md5(CAST({col} AS {stype})), {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) % {mod}"
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring feature block: length, token stats, lexical
     diversity, stopword density. Downstream filters compose on these."""

@@ -504,6 +504,49 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# q16 — sketch aggregates with a checked accuracy contract. At 100 TB,
+# COUNT(DISTINCT) and exact percentiles are shuffle-the-world
+# operations; HyperLogLog (approx_count_distinct) and KLL/GK quantile
+# sketches (approx_percentile) are the mergeable, map-side-combinable
+# replacements. Raw sketch outputs aren't portable across engines, so
+# the query emits the EXACT values plus pass/fail flags asserting the
+# sketch landed inside its error bound — the oracle expects every flag
+# to be 1, which makes sketch accuracy itself part of the correctness
+# gate rather than an act of faith.
+# --------------------------------------------------------------------------
+def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_distinct_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__p50_sketch"),
+    )
+    within = lambda a, b, tol: (F.abs(F.col(a) - F.col(b)) / F.col(b)) <= tol  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n_distinct_exact",
+        F.when(within("__hll", "n_distinct_exact", 0.05), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hll_within_5pct"),
+        F.when(within("__p50_sketch", "__p50_exact", 0.01), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("p50_within_1pct"),
+    )
+
+
+Q16_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_distinct_exact,
+       CAST(1 AS BIGINT)          AS hll_within_5pct,
+       CAST(1 AS BIGINT)          AS p50_within_1pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -520,6 +563,7 @@ QUERIES = {
     "q13_cube": q13_cube,
     "q14_salted_agg": q14_salted_agg,
     "q15_local_supplier_revenue": q15_local_supplier_revenue,
+    "q16_approx_distinct": q16_approx_distinct,
 }
 
 ORACLES = {
@@ -538,4 +582,5 @@ ORACLES = {
     "q13_cube": Q13_SQL,
     "q14_salted_agg": Q14_SQL,
     "q15_local_supplier_revenue": Q15_SQL,
+    "q16_approx_distinct": Q16_SQL,
 }

@@ -24,6 +24,7 @@ from ..operators.dedup import (
 from ..operators.partitioning import fanout
 from ..operators.text import (
     BPE_ALPHA_PATTERN,
+    hash_bucket_sql,
     BPE_NUM_PATTERN,
     BPE_SPLIT_PATTERN,
     EN_STOPWORDS,
@@ -401,6 +402,35 @@ WHERE d.doc_id IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q56 — deterministic stratified sampling (source/language rebalancing).
+# The training-mix knob: down-sample over-represented strata by KEY
+# HASH, not RNG — reruns, engine swaps, and repartitions all keep the
+# same rows, and the per-stratum rate is exact-in-expectation with no
+# coordination. Scale: a pure codegen filter on the scan — no shuffle,
+# no state, trivially parallel at 100 TB.
+# --------------------------------------------------------------------------
+KEEP_PCT = {"en": 50, "zh": 25}  # all other strata keep 100%
+
+
+def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(hash_bucket_sql("spark", "doc_id", 100))
+    frac = F.lit(100)
+    for lang, pct in KEEP_PCT.items():
+        frac = F.when(F.col("lang") == lang, pct).otherwise(frac)
+    return docs.filter(bucket < frac).select("doc_id", "lang", "source")
+
+
+_KEEP_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in KEEP_PCT.items())
+
+Q56_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {hash_bucket_sql("duckdb", "doc_id", 100)}
+      < CASE lang {_KEEP_CASE} ELSE 100 END
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -414,6 +444,7 @@ QUERIES = {
     "q49_tfidf_topterms": q49_tfidf_topterms,
     "q54_neardup_clusters": q54_neardup_clusters,
     "q55_curation_pipeline": q55_curation_pipeline,
+    "q56_stratified_sample": q56_stratified_sample,
 }
 
 ORACLES = {
@@ -429,4 +460,5 @@ ORACLES = {
     "q49_tfidf_topterms": Q49_SQL,
     "q54_neardup_clusters": Q54_SQL,
     "q55_curation_pipeline": Q55_SQL,
+    "q56_stratified_sample": Q56_SQL,
 }

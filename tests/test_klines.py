@@ -75,6 +75,75 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got == want  # batch/stream unification: same transform, same answer
 
 
+def test_update_mode_interim_corrections(spark, tmp_path):
+    """A1 update-mode semantics (is_kline_closed=false analog): the
+    in-progress candle is emitted per trigger, and an out-of-order trade
+    that is still WITHIN the watermark updates the already-emitted
+    window — the sink sees an interim emission first, then a corrected
+    one. (Past the watermark the opposite holds: see
+    test_late_data_dropped_past_watermark.)"""
+    src = str(tmp_path / "ooo_src")
+    ckpt = str(tmp_path / "ckpt_ooo")
+
+    def write_batchfile(rows):
+        df = spark.createDataFrame(
+            rows, "symbol string, trade_time long, price string, quantity string"
+        ).withColumn("price", F.col("price").cast(DEC)).withColumn(
+            "quantity", F.col("quantity").cast(DEC)
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # trigger 1: two trades in window [60s, 120s)
+    write_batchfile(
+        [
+            ("BTCUSDT", 60_000, "100.0", "1.0"),
+            ("BTCUSDT", 110_000, "105.0", "1.0"),
+        ]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        klines_from_trades(stream, "1m", watermark="10 minutes", closed=False)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kl_ooo")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        interim = [
+            r for r in spark.sql("SELECT * FROM kl_ooo").collect()
+            if r.kline_start_time == 60_000
+        ]
+        # trigger 2: an OUT-OF-ORDER trade for the same window (event
+        # time 80s < max seen 110s) — inside the 10 min watermark, so it
+        # must be folded in and the window re-emitted
+        write_batchfile([("BTCUSDT", 80_000, "120.0", "2.0")])
+        q.processAllAvailable()
+        final = [
+            r for r in spark.sql("SELECT * FROM kl_ooo").collect()
+            if r.kline_start_time == 60_000
+        ]
+    finally:
+        q.stop()
+
+    assert len(interim) == 1 and interim[0].number_of_trades == 2
+    assert float(interim[0].high_price) == 105.0
+    # one additional emission for the same window, now with the
+    # out-of-order trade merged: count 3, new high, volume 4
+    assert len(final) == 2
+    corrected = max(final, key=lambda r: r.number_of_trades)
+    assert corrected.number_of_trades == 3
+    assert float(corrected.high_price) == 120.0
+    assert abs(corrected.base_asset_volume - 4.0) < 1e-9
+    # close price is still the latest-by-event-time trade (110s), not
+    # the late-arriving 80s one
+    assert float(corrected.close_price) == 105.0
+
+
 def test_late_data_dropped_past_watermark(spark, tmp_path):
     """T3: in append mode, a trade arriving after the watermark passed
     its window is dropped — the closed candle is immutable. The reference
