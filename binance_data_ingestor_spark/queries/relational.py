@@ -517,12 +517,21 @@ GROUP BY n_name
 # --------------------------------------------------------------------------
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("n_distinct_exact"),
+    # NEVER mix count_distinct with object-buffer aggregates (percentile
+    # maps, HLL/KLL sketches) in one agg: the distinct rewrite keys the
+    # partial phase on (group, distinct-col), so every distinct key
+    # allocates its own copy of every sketch buffer — measured 15-40×
+    # slower here, and an OOM at real scale. Two groupBys + a
+    # groups-sized join is the correct plan.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("__p50_exact"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__p50_sketch"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_distinct_exact")
+    )
+    g = sketches.join(exact, "l_returnflag")
     within = lambda a, b, tol: (F.abs(F.col(a) - F.col(b)) / F.col(b)) <= tol  # noqa: E731
     return g.select(
         "l_returnflag",
