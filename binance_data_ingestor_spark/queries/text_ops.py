@@ -431,6 +431,103 @@ WHERE {hash_bucket_sql("duckdb", "doc_id", 100)}
 """
 
 
+# --------------------------------------------------------------------------
+# q57 — TF-IDF cosine retrieval: top-5 most-similar documents for each
+# query doc, scored by sparse cosine over TF-IDF weights. The sparse
+# counterpart of q50's dense ANN: the token join IS the inverted index —
+# only (query, doc) pairs sharing ≥1 term are ever scored, so the
+# shuffle is posting-list-sized, never |Q|×|D|. Norms come from a
+# doc-keyed aggregate joined at groups-size; the query side is a
+# broadcast (fixed small query set).
+# --------------------------------------------------------------------------
+N_QUERY_DOCS = 10  # doc_id < 10
+RETRIEVE_K = 5
+
+
+def q57_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    q = w.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "token", F.col("w").alias("qw")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(w, "token")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    qn = norms.select(F.col("doc_id").alias("q_id"), F.col("norm").alias("q_norm"))
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "doc_id",
+            (F.col("dot") / (F.col("norm") * F.col("q_norm"))).alias("cos_raw"),
+        )
+    )
+    rk = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= RETRIEVE_K)
+        .select("q_id", "doc_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+Q57_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, token, tf * ln((n_docs + 1.0) / (df + 1.0)) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+q AS (SELECT doc_id AS q_id, token, w AS qw FROM w WHERE doc_id < {N_QUERY_DOCS}),
+dots AS (
+  SELECT q_id, w.doc_id AS doc_id, sum(qw * w.w) AS dot
+  FROM q JOIN w USING (token)
+  WHERE w.doc_id <> q_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, dots.doc_id AS doc_id,
+         dot / (nd.norm * nq.norm) AS cos_raw
+  FROM dots
+  JOIN norms nd ON nd.doc_id = dots.doc_id
+  JOIN norms nq ON nq.doc_id = q_id
+),
+ranked AS (
+  SELECT q_id, doc_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, doc_id, rank, round(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= {RETRIEVE_K}
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -445,6 +542,7 @@ QUERIES = {
     "q54_neardup_clusters": q54_neardup_clusters,
     "q55_curation_pipeline": q55_curation_pipeline,
     "q56_stratified_sample": q56_stratified_sample,
+    "q57_tfidf_retrieval": q57_tfidf_retrieval,
 }
 
 ORACLES = {
@@ -461,4 +559,5 @@ ORACLES = {
     "q54_neardup_clusters": Q54_SQL,
     "q55_curation_pipeline": Q55_SQL,
     "q56_stratified_sample": Q56_SQL,
+    "q57_tfidf_retrieval": Q57_SQL,
 }
