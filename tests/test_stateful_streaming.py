@@ -14,6 +14,7 @@ from binance_data_ingestor_spark.queries.util import load
 from binance_data_ingestor_spark.streaming.stateful import (
     dedup_stream,
     sessionize_stream,
+    sessionize_stream_tws,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -79,6 +80,68 @@ def test_sessionize_stream_matches_batch(spark, replay_dir, tmp_path):
 
     got = (
         spark.table("sessions_out")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "n_events",
+            "sess_value",
+            F.timestamp_micros(F.col("sess_start")).alias("sess_start"),
+            F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
+        )
+    )
+    expected = batch_sessions(load(spark, SF_DIR, "events")).drop("session_id")
+
+    g = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sess_value"], r["sess_end"])
+        for r in got.collect()
+    }
+    e = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sess_value"], r["sess_end"])
+        for r in expected.collect()
+    }
+    assert len(g) == len(e) > 0
+    for k, (n, v, end) in e.items():
+        gn, gv, gend = g[k]
+        assert gn == n and gend == end
+        assert abs(gv - v) < 1e-9
+
+
+def _protobuf_usable() -> bool:
+    # Spark's transformWithStateInPandas state protocol is protobuf-based;
+    # this container ships a broken google.protobuf (no descriptor module)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithStateInPandas needs google.protobuf, unusable here",
+)
+def test_sessionize_tws_matches_batch(spark, replay_dir, tmp_path):
+    """The transformWithStateInPandas implementation must produce the
+    exact same session set as both the applyInPandasWithState one and
+    the batch window-function sessionization."""
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(replay_dir)
+    )
+    out = sessionize_stream_tws(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("sessions_tws_out")
         .filter(F.col("user_id") >= 0)
         .select(
             "user_id",
