@@ -25,6 +25,29 @@ def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def compact(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
+    """Repartition so output files land near `target_bytes` each.
+
+    The small-files problem is the quiet killer of 100 TB workloads: a
+    32-task write of a 10 MB result makes 32 junk files, and a 1-task
+    write of 1 TB makes one unsplittable monster. Partition count =
+    optimizer's size estimate / target, clamped to ≥1. Coalesce (no
+    shuffle) when shrinking; repartition only when growing — growing
+    requires redistribution anyway. The estimate is the logical plan's
+    (post-filter, pre-compression) stats, so treat target_bytes as a
+    knob, not a contract — parquet compression typically lands files at
+    25-50% of it.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    want = max(1, -(-size // target_bytes))
+    current = df.rdd.getNumPartitions()
+    if want < current:
+        return df.coalesce(want)
+    if want > current:
+        return df.repartition(want)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

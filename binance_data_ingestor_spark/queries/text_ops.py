@@ -463,6 +463,13 @@ def q57_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))).alias("w"),
         )
     )
+    # materialize the index once: `w` feeds four plan branches (query
+    # postings, doc postings, both norm lookups) and Spark would
+    # otherwise re-run the tokenize→tf→df→join pipeline per branch
+    # (PLANS.md showed the subtree ×4). Building the TF-IDF index as a
+    # persisted artifact before serving retrieval is also exactly the
+    # production shape at scale.
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     q = w.filter(F.col("doc_id") < N_QUERY_DOCS).select(
         F.col("doc_id").alias("q_id"), "token", F.col("w").alias("qw")
