@@ -320,6 +320,10 @@ def q27_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BUCKETS)
         ]
     )
+    # both crossJoin branches read the series table — materialize the
+    # (users-sized, tiny) aggregate once instead of scanning+aggregating
+    # the raw events twice
+    series = series.localCheckpoint(eager=True)
     a = series.select(F.col("user_id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_BUCKETS)])
     b = series.select(F.col("user_id").alias("id_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_BUCKETS)])
     dist = None

@@ -535,6 +535,66 @@ FROM ranked WHERE rank <= {RETRIEVE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q58 — sequence packing (concat-and-chunk): the pretraining layout
+# step. Documents are laid end-to-end in a deterministic order and cut
+# into fixed token-budget chunks; each doc's span maps to a first/last
+# chunk. Parallel form: packing runs independently per hash bucket
+# (doc_id % PACK_BUCKETS) — the cumulative sum is a window inside the
+# bucket, so the shuffle is one hash partition pass and buckets pack
+# concurrently. At 100 TB you'd make buckets ≈ output shard count; a
+# doc straddling a chunk boundary is exactly the truncation-free
+# GPT-style layout.
+# --------------------------------------------------------------------------
+PACK_BUCKETS = 8
+CHUNK_TOKENS = 512
+
+
+def q58_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn("cum_incl", F.sum("n_tokens").over(w)).withColumn(
+        "cum_excl", F.col("cum_incl") - F.col("n_tokens")
+    )
+    return packed.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("cum_excl") / CHUNK_TOKENS).alias("first_chunk"),
+        F.floor((F.col("cum_incl") - 1) / CHUNK_TOKENS).alias("last_chunk"),
+    )
+
+
+Q58_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT bucket, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM toks
+)
+SELECT bucket, doc_id, n_tokens,
+       CAST(floor((cum_incl - n_tokens) / {CHUNK_TOKENS}) AS BIGINT) AS first_chunk,
+       CAST(floor((cum_incl - 1) / {CHUNK_TOKENS}) AS BIGINT)        AS last_chunk
+FROM packed
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -550,6 +610,7 @@ QUERIES = {
     "q55_curation_pipeline": q55_curation_pipeline,
     "q56_stratified_sample": q56_stratified_sample,
     "q57_tfidf_retrieval": q57_tfidf_retrieval,
+    "q58_pack_chunks": q58_pack_chunks,
 }
 
 ORACLES = {
@@ -567,4 +628,5 @@ ORACLES = {
     "q55_curation_pipeline": Q55_SQL,
     "q56_stratified_sample": Q56_SQL,
     "q57_tfidf_retrieval": Q57_SQL,
+    "q58_pack_chunks": Q58_SQL,
 }
