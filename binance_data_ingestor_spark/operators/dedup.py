@@ -232,18 +232,20 @@ def connected_components(
     step that turns pairwise near-dup evidence into dedup groups — the
     pair relation is not transitive, the component is.
 
-    Scale: each round is one shuffle-join (edges ⨝ labels on node id)
-    plus one min-agg; rounds = graph diameter. Near-dup graphs are
-    unions of dense clusters with tiny diameter, so 3-5 rounds is
-    typical at any corpus size. For adversarial long-chain graphs the
-    O(log n)-round alternating large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    is the drop-in upgrade; the per-round plumbing here is the same.
+    Scale: each round shuffles twice — neighbor-label propagation
+    (edges ⨝ labels) AND pointer jumping (labels ⨝ labels: take your
+    label's label). The jump halves remaining chain depth per round, so
+    convergence is O(log diameter) instead of O(diameter) — a 1M-node
+    path needs ~20 rounds, not 1M (same doubling idea as the
+    large-star/small-star MapReduce CC algorithm of Kiveris et al.).
     ``localCheckpoint`` truncates lineage so round N's plan does not
     replay rounds 1..N-1 (on a production cluster, prefer a reliable
     ``checkpoint`` dir — localCheckpoint pins blocks to executors).
     Convergence piggybacks on a 1-row aggregate: labels only ever
     decrease, so an unchanged sum IS the fixpoint — no extra join.
+    Raises rather than returning silently-unconverged labels if
+    ``max_iterations`` is exhausted (25 rounds covers any graph under
+    ~2^25 nodes of pure path).
     """
     sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
@@ -261,8 +263,19 @@ def connected_components(
         nbr_labels = sym.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
         ).select("node", "label")
+        jumped = (
+            labels.select("node", F.col("label").alias("__via"))
+            .join(
+                labels.select(
+                    F.col("node").alias("__via"), F.col("label").alias("jlabel")
+                ),
+                "__via",
+            )
+            .select("node", F.col("jlabel").alias("label"))
+        )
         labels = (
             labels.union(nbr_labels)
+            .union(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -271,6 +284,10 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
