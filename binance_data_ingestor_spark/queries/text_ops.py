@@ -595,6 +595,59 @@ FROM packed
 """
 
 
+# --------------------------------------------------------------------------
+# q59 — token-budget mixture draw: take documents from each source until
+# that source's token budget is reached. Mixtures are specified in
+# TOKENS, not row counts; the draw order is the md5 of the doc id — an
+# unbiased, reproducible shuffle (doc_id order would bias toward old
+# docs; RNG order would be unreproducible). The doc that crosses the
+# budget line is included ("take until reached"). Scale: one window
+# cumsum per source partition — a single hash shuffle on `source`;
+# skewed mega-sources are the known hazard and get the q14 salting
+# treatment upstream if one source dominates the corpus.
+# --------------------------------------------------------------------------
+TOKEN_BUDGET = 800
+
+
+def q59_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("draw_key"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("draw_key")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_incl", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_incl") - F.col("n_tokens") < TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens")
+    )
+
+
+Q59_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw_key,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY draw_key
+                             ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM toks
+)
+SELECT source, doc_id, n_tokens
+FROM cum WHERE cum_incl - n_tokens < {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -611,6 +664,7 @@ QUERIES = {
     "q56_stratified_sample": q56_stratified_sample,
     "q57_tfidf_retrieval": q57_tfidf_retrieval,
     "q58_pack_chunks": q58_pack_chunks,
+    "q59_token_budget_mix": q59_token_budget_mix,
 }
 
 ORACLES = {
@@ -629,4 +683,5 @@ ORACLES = {
     "q56_stratified_sample": Q56_SQL,
     "q57_tfidf_retrieval": Q57_SQL,
     "q58_pack_chunks": Q58_SQL,
+    "q59_token_budget_mix": Q59_SQL,
 }
