@@ -556,6 +556,84 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q17 — correlated scalar subquery (TPC-H Q17 shape): revenue from
+# small-quantity lineitems, "small" defined per part by a correlated
+# average. Expressed in SQL on purpose: Catalyst's decorrelation
+# (RewriteCorrelatedScalarSubquery) turns the per-row subquery into an
+# aggregate + join — the rewrite a naive engine would execute as one
+# subquery PER ROW. Scale: the decorrelated form is one extra
+# aggregation over lineitem shuffled on partkey, joined back; the plan
+# guard asserts no nested-loop anything survives.
+# --------------------------------------------------------------------------
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM v_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — group-HAVING semi-join (TPC-H Q18 shape): orders whose total
+# quantity exceeds a threshold, with customer context. Scale: the
+# HAVING aggregate runs lineitem-side first (map-side combinable) and
+# its survivors — a tiny fraction — drive the joins; never join first
+# and aggregate later.
+# --------------------------------------------------------------------------
+BIG_ORDER_QTY = 250
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS total_price, sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > {BIG_ORDER_QTY}) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -573,6 +651,8 @@ QUERIES = {
     "q14_salted_agg": q14_salted_agg,
     "q15_local_supplier_revenue": q15_local_supplier_revenue,
     "q16_approx_distinct": q16_approx_distinct,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_big_orders": q18_big_orders,
 }
 
 ORACLES = {
@@ -592,4 +672,6 @@ ORACLES = {
     "q14_salted_agg": Q14_SQL,
     "q15_local_supplier_revenue": Q15_SQL,
     "q16_approx_distinct": Q16_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q18_big_orders": Q18_SQL,
 }

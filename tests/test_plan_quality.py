@@ -95,6 +95,15 @@ def test_multires_rollup_reads_hourly_not_raw(plans):
     )
 
 
+def test_correlated_subquery_decorrelated(plans):
+    # q17: the per-part scalar subquery must be rewritten to an
+    # aggregate + join (RewriteCorrelatedScalarSubquery); a naive plan
+    # would be a nested-loop subquery per probe row
+    p = plans("q17_small_qty_revenue")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
+
+
 def test_asof_join_single_shuffle(plans):
     p = plans("q25_asof_join")
     # union + window implementation: exactly one hashpartitioning
