@@ -634,6 +634,52 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q19 — disjunctive multi-predicate join (TPC-H Q19 shape): revenue over
+# an OR of conjunct bundles mixing both join sides. What it exercises:
+# Catalyst must still run this as ONE equi-join on partkey with the
+# disjunction as a post-join filter, push the side-local parts of each
+# disjunct (brand/size, quantity) down to the scans as ORs, and not
+# fall back to a nested loop. The common `p_size >= 1` conjunct is
+# factored out and reaches the part scan as a pushed filter.
+# --------------------------------------------------------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -653,6 +699,7 @@ QUERIES = {
     "q16_approx_distinct": q16_approx_distinct,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_big_orders": q18_big_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -674,4 +721,5 @@ ORACLES = {
     "q16_approx_distinct": Q16_SQL,
     "q17_small_qty_revenue": Q17_SQL,
     "q18_big_orders": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
 }
