@@ -78,6 +78,33 @@ def sample_frames(
     )
 
 
+def perceptual_hash16(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit aHash-style perceptual fingerprint from the byte-nibble
+    histogram: bit j set iff bin j holds more than the mean share of
+    the payload (strict `n*16 > total`, integer-exact). Media near-dup
+    blocking works like SimHash for text: equal (or Hamming-close)
+    hashes are candidate duplicates; the hash is 2 bytes per asset, so
+    the candidate join shuffles keys, never payloads. A production
+    pipeline swaps the histogram for decoded-pixel blocks (the decode
+    stub boundary) — the hash/bucket plumbing is identical.
+    """
+    from pyspark.sql import Window as W
+
+    hist = byte_histogram(df, content_col, id_col)
+    w = W.partitionBy("doc_id")
+    bit = F.when(
+        F.col("n") * 16 > F.col("total"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bin)"),
+    ).otherwise(F.lit(0))
+    return (
+        hist.withColumn("total", F.sum("n").over(w))
+        .groupBy("doc_id")
+        .agg(F.sum(bit).cast("long").alias("phash"))
+    )
+
+
 def byte_histogram(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     byte_histogram,
+    perceptual_hash16,
     decode_media,
     media_metadata,
     resize_raster,
@@ -207,12 +208,53 @@ FROM sized
 Q64_SQL = _resize_sql()
 
 
+# --------------------------------------------------------------------------
+# q65 — media perceptual hash + near-dup blocking: 16-bit aHash from the
+# nibble histogram, plus the size of each hash bucket (the candidate
+# group a dedup pass would refine). The multimodal twin of q46/q45:
+# 2-byte blocking keys shuffle, payloads never do.
+# --------------------------------------------------------------------------
+def q65_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ph = perceptual_hash16(fanout(_media(spark, sf_dir)))
+    return ph.withColumn(
+        "n_same_hash", F.count("*").over(W.partitionBy("phash"))
+    ).select("doc_id", "phash", "n_same_hash")
+
+
+Q65_SQL = f"""
+WITH {_SQL_MEDIA},
+hx AS (SELECT doc_id, upper(hex(content)) AS h FROM media),
+ks AS (SELECT doc_id, h, unnest(range(0, length(h) // 2)) AS k FROM hx),
+nib AS (
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substring(h, 2 * k + 1, 1)) - 1 AS bin
+  FROM ks
+),
+hist AS (SELECT doc_id, bin, count(*) AS n FROM nib GROUP BY 1, 2),
+tot AS (SELECT doc_id, bin, n,
+               sum(n) OVER (PARTITION BY doc_id) AS total FROM hist),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n * 16 > total
+                       THEN (CAST(1 AS BIGINT) << bin) ELSE 0 END) AS BIGINT)
+         AS phash
+  FROM tot GROUP BY doc_id
+)
+SELECT doc_id, phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+FROM ph
+"""
+
+
 QUERIES = {
     "q60_media_metadata": q60_media_metadata,
     "q61_frame_sample": q61_frame_sample,
     "q62_byte_histogram": q62_byte_histogram,
     "q63_decode_media": q63_decode_media,
     "q64_resize_raster": q64_resize_raster,
+    "q65_media_phash": q65_media_phash,
 }
 
 ORACLES = {
@@ -221,4 +263,5 @@ ORACLES = {
     "q62_byte_histogram": Q62_SQL,
     "q63_decode_media": Q63_SQL,
     "q64_resize_raster": Q64_SQL,
+    "q65_media_phash": Q65_SQL,
 }

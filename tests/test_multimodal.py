@@ -71,6 +71,24 @@ def test_byte_histogram_matches_numpy(media):
     assert all(n > 0 for n in got.values())
 
 
+def test_perceptual_hash16_matches_numpy(media):
+    from binance_data_ingestor_spark.operators.multimodal import perceptual_hash16
+
+    got = {r["doc_id"]: r["phash"] for r in perceptual_hash16(media).collect()}
+    payloads = {
+        0: b"\x89PNG\r\n\x1a\nabcdefgh",
+        1: b"RIFFxxxxWAVEfmt \x00\x01",
+        2: b"\x00\x00\x00\x18ftypmp42abc",
+        3: b"ab",
+    }
+    for doc_id, payload in payloads.items():
+        hist = np.bincount(np.frombuffer(payload, np.uint8) >> 4, minlength=16)
+        expected = sum(1 << b for b in range(16) if hist[b] * 16 > len(payload))
+        assert got[doc_id] == expected, doc_id
+    # identical payloads hash identically (the blocking-key property)
+    assert len(got) == 4
+
+
 def test_decode_media_stub(media):
     out = {r["doc_id"]: r for r in decode_media(media).collect()}
     assert out[0]["n_samples"] == 16
