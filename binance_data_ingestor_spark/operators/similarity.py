@@ -255,6 +255,157 @@ def ivf_topk(
     )
 
 
+def codebooks(
+    dim: int, m: int, n_codes: int, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: m subspaces of dim/m dims,
+    n_codes centroids each (fixed seed → stable codes). Centroid
+    coordinates are drawn at sigma = 1/√dim so centroid subvectors live
+    at the same norm as unit-vector subspace slices — unit-sigma
+    centroids would sit ~8× farther out and the ||c||² term would
+    dominate argmin, collapsing every vector onto the smallest-norm
+    code. A production PQ trains these with per-subspace k-means over a
+    sample; the encode and ADC paths below are identical either way."""
+    rng = random.Random(seed)
+    ds = dim // m
+    sigma = 1.0 / dim**0.5
+    return [
+        [[rng.gauss(0.0, sigma) for _ in range(ds)] for _ in range(n_codes)]
+        for _ in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: each vector → m small codes (one
+    byte each at n_codes ≤ 256), the nearest codebook centroid per
+    subspace by squared L2. This is the index build: at scale the codes
+    table is ~d·4/m× smaller than the raw vectors (64-dim float32 → 8
+    bytes: 32×), so the ANN scan reads codes and never touches the
+    embedding column. One GEMM per (batch, subspace) against the tiny
+    codebook; ties take the lowest code (numpy argmin first-occurrence
+    = the oracle's ORDER BY dist, code).
+    """
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    ds = B[0].shape[1]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _matrix(pdf["vec"])
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                S = M[:, j * ds : (j + 1) * ds]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(encode, "vec_id long, codes array<int>")
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC).
+
+    Query side: each query precomputes an m×n_codes table of squared-L2
+    distances from its subvectors to every codebook centroid (tiny —
+    computed once, shipped in the task closure with the broadcast query
+    set). The table is quantized to integer micro-units (FAISS-style
+    quantized LUT): PQ ties are structural — identical codes give
+    identical distances — and float summation order is engine-specific,
+    so an integer LUT makes the ADC sum exact, orderless, and
+    reproducible. Scan side: a candidate's approximate distance is m
+    table lookups + an integer sum — no vector math per candidate, and
+    only the codes column is read. Each task keeps a running per-query
+    top-k so the shuffle carries |partitions|·|Q|·k rows; the final
+    exact rank is a window over that remainder. The compression/recall
+    trade lives in (m, n_codes); the scan cost is O(N·m) regardless of
+    dim.
+    """
+    books = codebooks(dim, m, n_codes, seed)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    ds = dim // m
+
+    q_pdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+    Q = _matrix(q_pdf["q_vec"])
+    # tables[qi][j][code] = round(1e6 · ||q_j - c_{j,code}||²) — integer
+    # micro-units so the m-term ADC sum is exact in any order
+    ftab = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        S = Q[:, j * ds : (j + 1) * ds]
+        ftab[:, j, :] = (
+            (S * S).sum(axis=1)[:, None]
+            - 2.0 * (S @ B[j].T)
+            + (B[j] * B[j]).sum(axis=1)[None, :]
+        )
+    tables = np.floor(ftab * 1e6 + 0.5).astype(np.int64)
+
+    encoded = pq_encode(candidates, books, id_col=id_col, vec_col=vec_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[int, int]]] = {int(q): [] for q in q_ids}
+        cols = np.arange(m)
+        for pdf in batches:
+            ids = pdf["codes_id"].to_numpy(dtype=np.int64)
+            C = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            for qi, qid in enumerate(q_ids):
+                # ADC: m fancy-indexed lookups per candidate, summed
+                d = tables[qi][cols[None, :], C].sum(axis=1)
+                mask = ids != qid
+                row, rids = d[mask], ids[mask]
+                if len(row) == 0:
+                    continue
+                # PQ ties are structural (identical codes ⇒ identical
+                # ADC), so the k-selection must respect the (dist, id)
+                # total order — argpartition would drop tied low-ids
+                idx = np.lexsort((rids, row))[:k]
+                cur = best[int(qid)] + [(int(row[j]), int(rids[j])) for j in idx]
+                cur.sort(key=lambda t: (t[0], t[1]))
+                best[int(qid)] = cur[:k]
+        out = [
+            (int(qid), nid, dist)
+            for qid, heap in best.items()
+            for dist, nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adc_micro"])
+
+    scored = encoded.select(
+        F.col("vec_id").alias("codes_id"), "codes"
+    ).mapInPandas(scan, "query_id long, neighbor_id long, adc_micro long")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     *,

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     centroids,
+    codebooks,
     cosine_neardup_pairs,
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    pq_topk,
 )
 from .util import load
 
@@ -206,11 +208,90 @@ FROM ranked WHERE rank <= {K}
 Q53_SQL = _ivf_sql()
 
 
+# --------------------------------------------------------------------------
+# q66 — product-quantization approximate top-k (ADC): 8 subspaces × 16
+# codes over the 64-dim embeddings (8-byte codes, 32× smaller than the
+# raw float32 vectors — the scan reads codes, never embeddings). Same
+# deterministic codebook literals embedded in the oracle SQL; approx
+# distance = sum of per-subspace query→centroid squared-L2 lookups,
+# quantized to integer micro-units (PQ ties are structural, and float
+# SUM order is engine-specific — integer ADC is exact and orderless).
+# --------------------------------------------------------------------------
+PQ_M = 8
+PQ_CODES = 16
+
+
+def q66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=K,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        dim=DIM,
+        seed=11,
+    )
+
+
+def _pq_sql() -> str:
+    books = codebooks(DIM, PQ_M, PQ_CODES, seed=11)
+    ds = DIM // PQ_M
+    rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(repr(x) for x in books[j][c]) + "]::DOUBLE[])"
+        for j in range(PQ_M)
+        for c in range(PQ_CODES)
+    )
+    d2 = (
+        "list_inner_product(s, s) - 2 * list_inner_product(s, cent)"
+        " + list_inner_product(cent, cent)"
+    )
+    return f"""
+WITH cb AS (SELECT * FROM (VALUES {rows}) AS t(subspace, code, cent)),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dist AS (
+  SELECT vec_id, subspace, code, {d2} AS d2
+  FROM (SELECT vec_id, subspace, code, cent,
+               list_slice(v, subspace * {ds} + 1, subspace * {ds} + {ds}) AS s
+        FROM e CROSS JOIN cb) t
+),
+codes AS (
+  SELECT vec_id, subspace, code
+  FROM (SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM dist) t
+  WHERE rn = 1
+),
+qd AS (SELECT vec_id AS query_id, subspace, code,
+              CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2u
+       FROM dist WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d2u) AS adc_micro
+  FROM codes c JOIN qd q USING (subspace, code)
+  WHERE c.vec_id != q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, rank, CAST(adc_micro AS BIGINT) AS adc_micro
+FROM ranked WHERE rank <= {K}
+"""
+
+
+Q66_SQL = _pq_sql()
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
     "q52_lsh_topk": q52_lsh_topk,
     "q53_ivf_topk": q53_ivf_topk,
+    "q66_pq_topk": q66_pq_topk,
 }
 
 ORACLES = {
@@ -218,4 +299,5 @@ ORACLES = {
     "q51_cosine_neardup": Q51_SQL,
     "q52_lsh_topk": Q52_SQL,
     "q53_ivf_topk": Q53_SQL,
+    "q66_pq_topk": Q66_SQL,
 }

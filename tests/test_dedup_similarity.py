@@ -102,6 +102,63 @@ def test_brute_topk_ordering(spark):
     assert order == [3, 1]  # closest to the x-axis query first
 
 
+def test_pq_encode_picks_nearest_code(spark):
+    from binance_data_ingestor_spark.operators.similarity import pq_encode
+
+    # 4-dim vectors, 2 subspaces; hand-built codebooks so nearest is obvious
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],   # subspace 0
+        [[2.0, 2.0], [-2.0, -2.0]], # subspace 1
+    ]
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.1, 1.5, 1.5]), (1, [0.1, 0.9, -1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert codes[0] == [0, 0]
+    assert codes[1] == [1, 1]
+
+
+def test_pq_topk_matches_exhaustive_adc(spark):
+    import numpy as np
+
+    from binance_data_ingestor_spark.operators.similarity import (
+        codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(df, df.filter(F.col("vec_id") < 2), k=3, m=8, n_codes=4)
+    rows = sorted(out.collect(), key=lambda r: (r.query_id, r.rank))
+
+    # exhaustive reference: encode + integer-LUT ADC in pure numpy
+    books = codebooks(64, 8, 4, seed=11)
+    B = [np.asarray(b) for b in books]
+    codes = np.empty((40, 8), dtype=np.int64)
+    for j in range(8):
+        S = vecs[:, j * 8 : (j + 1) * 8]
+        d2 = ((S * S).sum(1)[:, None] - 2 * S @ B[j].T + (B[j] * B[j]).sum(1))
+        codes[:, j] = d2.argmin(1)
+    for q in range(2):
+        tab = np.empty((8, 4))
+        for j in range(8):
+            s = vecs[q, j * 8 : (j + 1) * 8]
+            tab[j] = (s @ s) - 2 * (B[j] @ s) + (B[j] * B[j]).sum(1)
+        lut = np.floor(tab * 1e6 + 0.5).astype(np.int64)
+        adc = {
+            i: int(lut[np.arange(8), codes[i]].sum()) for i in range(40) if i != q
+        }
+        want = sorted(adc.items(), key=lambda t: (t[1], t[0]))[:3]
+        got = [(r.neighbor_id, r.adc_micro) for r in rows if r.query_id == q]
+        assert got == [(nid, d) for nid, d in want], q
+
+
 def test_text_quality_and_lang(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat"), (2, "xyzzy plugh frobozz")],
