@@ -286,14 +286,74 @@ FROM ranked WHERE rank <= {K}
 Q66_SQL = _pq_sql()
 
 
+# --------------------------------------------------------------------------
+# q67 — PQ codebook training: 4 rounds of distributed per-subspace
+# k-means (Lloyd's) over the embeddings, then the trained-codebook
+# quantization profile: per (subspace, code) the assigned-vector count
+# and integer-micro quantization error. Iterative float training is not
+# SQL-expressible — rows-only check, like q26; the unit tests pin the
+# semantics against a pure-numpy Lloyd's reference, and determinism
+# comes from seeded init + sorted driver-side reduction.
+# --------------------------------------------------------------------------
+def q67_pq_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import _matrix, pq_fit
+
+    emb = _emb(spark, sf_dir)
+    books = pq_fit(emb, m=PQ_M, n_codes=PQ_CODES, dim=DIM, iters=4, seed=11)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    ds = DIM // PQ_M
+
+    def stats(batches):
+        n = np.zeros((PQ_M, PQ_CODES), dtype=np.int64)
+        err = np.zeros((PQ_M, PQ_CODES), dtype=np.int64)
+        for pdf in batches:
+            M = _matrix(pdf["vec"])
+            for j in range(PQ_M):
+                S = M[:, j * ds : (j + 1) * ds]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                u = np.floor(d2[np.arange(len(a)), a] * 1e6 + 0.5).astype(np.int64)
+                np.add.at(n[j], a, 1)
+                np.add.at(err[j], a, u)
+        out = [
+            (j, c, int(n[j, c]), int(err[j, c]))
+            for j in range(PQ_M)
+            for c in range(PQ_CODES)
+            if n[j, c] > 0
+        ]
+        yield pd.DataFrame(
+            out, columns=["subspace", "code", "n_vectors", "inertia_micro"]
+        )
+
+    return (
+        emb.select(F.col("embedding").alias("vec"))
+        .mapInPandas(stats, "subspace int, code int, n_vectors long, inertia_micro long")
+        .groupBy("subspace", "code")
+        .agg(
+            F.sum("n_vectors").alias("n_vectors"),
+            F.sum("inertia_micro").alias("inertia_micro"),
+        )
+    )
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
     "q52_lsh_topk": q52_lsh_topk,
     "q53_ivf_topk": q53_ivf_topk,
     "q66_pq_topk": q66_pq_topk,
+    "q67_pq_kmeans_train": q67_pq_kmeans_train,
 }
 
+# q67 is intentionally absent from ORACLES (iterative training —
+# rows-only check, same policy as q26).
 ORACLES = {
     "q50_ann_brute_topk": Q50_SQL,
     "q51_cosine_neardup": Q51_SQL,
