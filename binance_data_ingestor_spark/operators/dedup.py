@@ -156,6 +156,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥1 word n-gram with
+    any eval doc, with the shared-gram and touched-eval-doc counts.
+
+    The standard pretraining hygiene pass (GPT-3-style n-gram overlap):
+    eval benchmarks are tiny relative to the corpus, so the eval shingle
+    index is BROADCAST — the train side streams through a map-side hash
+    join with no shuffle of the corpus, then aggregates per train doc.
+    Only contaminated docs survive (inner join), so the aggregate input
+    is overlap-sized, not corpus-sized. Downstream either drops flagged
+    docs (strict) or masks the spans (surgical); both consume exactly
+    this output.
+    """
+    tr = _exploded_shingles(train, text_col, id_col, n)
+    ev = _exploded_shingles(eval_set, text_col, id_col, n).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 # -- MinHash-LSH ------------------------------------------------------------
 
 def minhash_signature(num_hashes: int) -> list[Column]:

@@ -172,6 +172,42 @@ def hash_bucket_sql(dialect: str, col: str = "doc_id", mod: int = 100) -> str:
     return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) % {mod}"
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition scores (Gopher/C4-style quality rule):
+    per doc, the fraction of duplicated word n-grams and the share of
+    the single most-repeated n-gram. High values mark boilerplate,
+    keyword stuffing, and degenerate generations — a standard drop rule
+    in pretraining curation.
+
+    Linear in document length: n-grams are exploded and counted per
+    (doc, gram) — never the O(L²) pairwise form a per-row higher-order
+    function would need for the top-gram share. Tokenization is
+    materialized through the fan-out exchange, and the explode is the
+    guard + explode_outer pattern (plain explode re-inlines the
+    generator below the exchange via InferFiltersFromGenerate).
+    """
+    from .partitioning import fanout
+
+    toks = fanout(df.select(F.col(id_col), tokens(text_col).alias("__tokens")))
+    t = F.col("__tokens")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    ex = (
+        toks.filter(F.size(t) >= n)
+        .select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.round(F.lit(1) - F.count("*") / F.sum("cnt"), 6).alias("dup_gram_frac"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_gram_frac"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring feature block: length, token stats, lexical
     diversity, stopword density. Downstream filters compose on these."""

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     connected_components,
+    contamination,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -648,6 +649,72 @@ FROM cum WHERE cum_incl - n_tokens < {TOKEN_BUDGET}
 """
 
 
+# --------------------------------------------------------------------------
+# q68 — benchmark decontamination: the eval set is a deterministic 5%
+# hash-bucket split of the corpus (stand-in for a held-out benchmark);
+# flag every train doc sharing ≥1 word 4-gram with any eval doc, with
+# shared-gram and touched-eval-doc counts. The eval shingle index is
+# broadcast — the corpus never shuffles (GPT-3-style overlap hygiene).
+# --------------------------------------------------------------------------
+EVAL_PCT = 5
+DECON_N = 4
+
+
+def q68_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(hash_bucket_sql("spark", "doc_id", 100))
+    return contamination(
+        docs.filter(bucket >= EVAL_PCT),
+        docs.filter(bucket < EVAL_PCT),
+        n=DECON_N,
+    )
+
+
+Q68_SQL = f"""
+WITH tok AS (SELECT doc_id, {hash_bucket_sql("duckdb", "doc_id", 100)} AS bucket,
+                    string_split(text, ' ') AS t
+             FROM documents),
+sh AS (SELECT doc_id, bucket,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))))
+                AS shingle
+       FROM tok WHERE len(t) >= {DECON_N}),
+tr AS (SELECT doc_id, shingle FROM sh WHERE bucket >= {EVAL_PCT}),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE bucket < {EVAL_PCT})
+SELECT tr.doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_grams,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q69 — within-document repetition scores (Gopher/C4 boilerplate rule):
+# duplicated-2-gram fraction and top-2-gram share per doc. Linear in
+# doc length (explode + count), never the O(L²) per-row HOF form.
+# --------------------------------------------------------------------------
+def q69_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_features
+
+    return repetition_features(load(spark, sf_dir, "documents"), n=2)
+
+
+Q69_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> concat(t[i], ' ', t[i+1]))) AS gram
+      FROM tok WHERE len(t) >= 2),
+per_gram AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       sum(cnt) AS n_grams,
+       round(1 - count(*) / sum(cnt), 6) AS dup_gram_frac,
+       round(max(cnt) / sum(cnt), 6) AS top_gram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -665,6 +732,8 @@ QUERIES = {
     "q57_tfidf_retrieval": q57_tfidf_retrieval,
     "q58_pack_chunks": q58_pack_chunks,
     "q59_token_budget_mix": q59_token_budget_mix,
+    "q68_decontaminate": q68_decontaminate,
+    "q69_repetition": q69_repetition,
 }
 
 ORACLES = {
@@ -684,4 +753,6 @@ ORACLES = {
     "q57_tfidf_retrieval": Q57_SQL,
     "q58_pack_chunks": Q58_SQL,
     "q59_token_budget_mix": Q59_SQL,
+    "q68_decontaminate": Q68_SQL,
+    "q69_repetition": Q69_SQL,
 }

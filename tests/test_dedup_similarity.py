@@ -102,6 +102,50 @@ def test_brute_topk_ordering(spark):
     assert order == [3, 1]  # closest to the x-axis query first
 
 
+def test_contamination_counts(spark):
+    from binance_data_ingestor_spark.operators.dedup import contamination
+
+    train = spark.createDataFrame(
+        [
+            (10, "a b c d e f"),        # shares "a b c" with eval 1
+            (11, "x y z w v u"),        # clean
+            (12, "a b c x p q r a b c x"),  # shares "a b c" and "b c x"
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c x q"), (2, "b c x j k")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_shared_grams, r.n_eval_docs)
+        for r in contamination(train, ev, n=3).collect()
+    }
+    # doc 10: only "a b c" (eval doc 1) ; doc 12: "a b c" (ev 1) + "b c x" (ev 1+2)
+    assert out[10] == (1, 1)
+    assert out[12] == (2, 2)
+    assert 11 not in out  # clean docs don't appear
+
+
+def test_repetition_features_fractions(spark):
+    from binance_data_ingestor_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),    # grams: ab ba ab ba ab → 5 grams, 2 distinct
+            (1, "p q r s"),        # 3 grams, all distinct
+            (2, "solo"),           # < n tokens → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_features(df, n=2).collect()}
+    assert out[0].n_grams == 5
+    assert abs(out[0].dup_gram_frac - (1 - 2 / 5)) < 1e-9
+    assert abs(out[0].top_gram_frac - 3 / 5) < 1e-9
+    assert out[1].dup_gram_frac == 0.0
+    assert abs(out[1].top_gram_frac - 1 / 3) < 1e-6
+    assert 2 not in out
+
+
 def test_pq_encode_picks_nearest_code(spark):
     from binance_data_ingestor_spark.operators.similarity import pq_encode
 
