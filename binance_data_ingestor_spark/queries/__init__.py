@@ -20,6 +20,7 @@ from .util import load  # noqa: F401  (re-export)
 def _modules():
     from . import (
         binance_ops,
+        cdc_ops,
         multimodal_ops,
         relational,
         similarity_ops,
@@ -34,6 +35,7 @@ def _modules():
         text_ops,
         similarity_ops,
         multimodal_ops,
+        cdc_ops,
     ]
 
 

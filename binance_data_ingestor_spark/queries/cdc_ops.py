@@ -1,0 +1,147 @@
+"""CDC / snapshot queries over the `events` log (operators/merge.py).
+
+Reference parity note: the reference's consumers read only the tail of
+each Redis stream (`/root/reference/tests/test_redis-data.py:56-60`) —
+"current state per key" as an access pattern. These queries are the
+batch-relational equivalents: latest-state snapshot, SCD2 history, and
+MERGE-style application of a change batch with a change audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import latest_snapshot, scd2_intervals, upsert
+from .util import load
+
+# Last day of the 30-day event window is the "change batch" for q75 —
+# chosen so a meaningful fraction of users has NO event in the batch and
+# the audit output distinguishes changed from unchanged keys.
+CDC_CUTOFF = "2024-01-30 00:00:00"
+
+
+# --------------------------------------------------------------------------
+# q73 — latest-state snapshot: one current row per user from the event
+# log. groupBy + max_by(payload, (ts, event_id)) — the map-side partial
+# collapses each input split to ≤1 row per key BEFORE the shuffle, so
+# shuffle volume is O(users), not O(events); a row_number window would
+# sort-shuffle the whole log for the same answer.
+# --------------------------------------------------------------------------
+def q73_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    snap = latest_snapshot(events, key="user_id", order_by=["ts", "event_id"])
+    return snap.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.round("value", 6).alias("value_r"),
+        "props",
+    )
+
+
+Q73_SQL = """
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value_r, props
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q74 — SCD2 validity intervals: every event becomes a [valid_from,
+# valid_to) version row, open-ended for the current one. One shuffle on
+# the key, linear lead() pass — the standard dimension-history build.
+# --------------------------------------------------------------------------
+def q74_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hist = scd2_intervals(events, key="user_id", ts="ts", tie_break="event_id")
+    return hist.select(
+        "user_id", "event_id", "event_type",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+Q74_SQL = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q75 — MERGE apply + change audit: the pre-cutoff snapshot is the base
+# table, post-cutoff events are the CDC batch; upsert() applies them
+# (latest-wins, idempotent) and the query reports each user whose
+# current row changed — old/new event id and a is_insert flag for users
+# born in the batch. Exercises the upsert operator end-to-end against an
+# oracle that recomputes both snapshots independently. Scale: upsert is
+# one shuffle (union + partial max_by); the audit join is keyed on
+# user_id — broadcast-able, since a snapshot diff is O(keys touched).
+# --------------------------------------------------------------------------
+def q75_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    base = latest_snapshot(
+        events.filter(F.col("ts") < cutoff),
+        key="user_id", order_by=["ts", "event_id"],
+    )
+    merged = upsert(
+        base,
+        events.filter(F.col("ts") >= cutoff),
+        key="user_id",
+        order_by=["ts", "event_id"],
+    )
+    old = base.select("user_id", F.col("event_id").alias("old_event_id"))
+    new = merged.select("user_id", F.col("event_id").alias("new_event_id"))
+    return (
+        new.join(old, "user_id", "left")
+        .filter(
+            F.col("old_event_id").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select(
+            "user_id",
+            "old_event_id",
+            "new_event_id",
+            F.col("old_event_id").isNull().alias("is_insert"),
+        )
+    )
+
+
+Q75_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id FROM events
+  WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+merged AS (
+  SELECT user_id, event_id FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT m.user_id,
+       b.event_id AS old_event_id,
+       m.event_id AS new_event_id,
+       b.event_id IS NULL AS is_insert
+FROM merged m LEFT JOIN base b USING (user_id)
+WHERE b.event_id IS NULL OR b.event_id <> m.event_id
+"""
+
+
+QUERIES = {
+    "q73_latest_snapshot": q73_latest_snapshot,
+    "q74_scd2": q74_scd2,
+    "q75_upsert_audit": q75_upsert_audit,
+}
+
+ORACLES = {
+    "q73_latest_snapshot": Q73_SQL,
+    "q74_scd2": Q74_SQL,
+    "q75_upsert_audit": Q75_SQL,
+}

@@ -715,6 +715,179 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q70 — vocabulary construction with frequency cutoff + coverage curve:
+# the tokenizer-training prelude (count every token, keep the top-K by
+# frequency, report each kept token's cumulative share of all token
+# occurrences — the "how big must the vocab be" curve). Scale: explode →
+# groupBy(token) gets a map-side partial so the shuffle is O(vocab), and
+# the top-K is orderBy+limit (TakeOrderedAndProject — per-partition
+# heaps, no global sort); only the ≤K survivor rows hit the final
+# single-partition rank/cumsum window.
+# --------------------------------------------------------------------------
+VOCAB_K = 16
+
+
+def q70_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("__total"))
+    topk = counts.orderBy(F.col("freq").desc(), "token").limit(VOCAB_K)
+    w = W.orderBy(F.col("freq").desc(), "token")
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_coverage",
+            F.round(
+                F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ),
+        )
+        .select("token", "freq", "rank", "cum_coverage")
+    )
+
+
+Q70_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+topk AS (SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT {VOCAB_K})
+SELECT token, freq,
+       row_number() OVER (ORDER BY freq DESC, token) AS rank,
+       round(sum(freq) OVER (ORDER BY freq DESC, token ROWS UNBOUNDED PRECEDING)
+             / (SELECT sum(freq) FROM counts), 6) AS cum_coverage
+FROM topk
+"""
+
+
+# --------------------------------------------------------------------------
+# q71 — length-bucketed batching: assign docs to NTILE(8) buckets by
+# token count (inference/training batching groups similar lengths to cut
+# padding), then per-bucket size stats and the padding waste a
+# pad-to-bucket-max batch layout would pay. All-integer output. Scale:
+# ntile is a global ordered window — fine for the stats summary here
+# (output is 8 rows); a 100 TB assignment pass would swap ntile for
+# fixed length boundaries from an approx-quantile pre-pass, which is the
+# same downstream aggregate.
+# --------------------------------------------------------------------------
+LEN_BUCKETS = 8
+
+
+def q71_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    bucketed = toks.withColumn(
+        "bucket", F.ntile(LEN_BUCKETS).over(W.orderBy("n_tokens", "doc_id"))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias(
+            "padding_waste"
+        ),
+    )
+
+
+Q71_SQL = f"""
+WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+      FROM toks)
+SELECT bucket, count(*) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       sum(n_tokens) AS sum_tokens,
+       count(*) * max(n_tokens) - sum(n_tokens) AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# q72 — sliding-window document chunking with overlap (RAG / long-doc
+# pretraining layout): windows of CHUNK_SIZE tokens every CHUNK_STRIDE,
+# last window clamped to the doc end; emits per-chunk offsets, length,
+# and an md5 content fingerprint so the oracle checks the chunk TEXT,
+# not just the arithmetic. Scale: per-doc sequence+explode — linear
+# output in corpus size (×C/S overlap factor), embarrassingly parallel,
+# no shuffle at all.
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q72_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0)) / CHUNK_STRIDE
+        ).cast("long")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("chunk_start", F.col("chunk_idx") * CHUNK_STRIDE + 1)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.least(
+            F.lit(CHUNK_SIZE), F.col("n") - F.col("chunk_start") + 1
+        ).alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    F.col("chunk_start"),
+                    F.least(
+                        F.lit(CHUNK_SIZE), F.col("n") - F.col("chunk_start") + 1
+                    ),
+                ),
+                " ",
+            )
+        ).alias("chunk_fp"),
+    )
+
+
+Q72_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                    len(string_split(text, ' ')) AS n
+             FROM documents),
+c AS (SELECT doc_id, t, n,
+             unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_SIZE}, 0)
+                                           / {CHUNK_STRIDE}) AS BIGINT)))
+               AS chunk_idx
+      FROM tok),
+s AS (SELECT doc_id, t, n, chunk_idx,
+             chunk_idx * {CHUNK_STRIDE} + 1 AS chunk_start
+      FROM c)
+SELECT doc_id, chunk_idx, chunk_start,
+       least({CHUNK_SIZE}, n - chunk_start + 1) AS chunk_len,
+       md5(array_to_string(t[chunk_start:chunk_start
+                             + least({CHUNK_SIZE}, n - chunk_start + 1) - 1],
+                           ' ')) AS chunk_fp
+FROM s
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -734,6 +907,9 @@ QUERIES = {
     "q59_token_budget_mix": q59_token_budget_mix,
     "q68_decontaminate": q68_decontaminate,
     "q69_repetition": q69_repetition,
+    "q70_vocab": q70_vocab,
+    "q71_length_buckets": q71_length_buckets,
+    "q72_chunking": q72_chunking,
 }
 
 ORACLES = {
@@ -755,4 +931,7 @@ ORACLES = {
     "q59_token_budget_mix": Q59_SQL,
     "q68_decontaminate": Q68_SQL,
     "q69_repetition": Q69_SQL,
+    "q70_vocab": Q70_SQL,
+    "q71_length_buckets": Q71_SQL,
+    "q72_chunking": Q72_SQL,
 }
