@@ -19,6 +19,7 @@ from .util import load  # noqa: F401  (re-export)
 
 def _modules():
     from . import (
+        analytics_ops,
         binance_ops,
         cdc_ops,
         multimodal_ops,
@@ -36,6 +37,7 @@ def _modules():
         similarity_ops,
         multimodal_ops,
         cdc_ops,
+        analytics_ops,
     ]
 
 

@@ -1,0 +1,210 @@
+"""Product-analytics queries over the `events` log: daily actives,
+cohort retention, funnel matching, numeric profiling.
+
+These are the batch-relational forms of questions the reference's
+downstream consumers answer imperatively by tailing Redis streams
+(`/root/reference/tests/test_redis-data.py:48-78` poll-decode-inspect
+loop): who is active, who is new, what sequence did a key follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.funnel import funnel_steps
+from .util import load
+
+
+# --------------------------------------------------------------------------
+# q76 — new vs returning daily active users + cumulative user count.
+# One shuffle for the per-user first day, one keyed join back, tiny
+# per-day aggregate; the running cumsum window runs over ~days rows
+# (30 here), not over users — a driver-scale window even at 100 TB of
+# events, so the unpartitioned window is deliberate.
+# --------------------------------------------------------------------------
+def q76_dau_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        daily.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("n_new"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+Q76_SQL = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+pd AS (SELECT day, count(*) AS n_active,
+              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+       FROM d JOIN f USING (user_id) GROUP BY day)
+SELECT day, n_active, n_new,
+       n_active - n_new AS n_returning,
+       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
+FROM pd
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — weekly cohort retention triangle: users grouped by first-active
+# ISO week, counted in each later week they return. Same shape as q76
+# (per-user min + join back); output is cohorts × offsets, tiny.
+# --------------------------------------------------------------------------
+def q77_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    weekly = ev.distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("offset_weeks"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+Q77_SQL = """
+WITH wkt AS (SELECT DISTINCT user_id,
+                    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM wkt GROUP BY user_id)
+SELECT cohort_wk,
+       date_diff('day', cohort_wk, wk) // 7 AS offset_weeks,
+       count(*) AS n_users
+FROM wkt JOIN c USING (user_id)
+GROUP BY cohort_wk, offset_weeks
+"""
+
+
+# --------------------------------------------------------------------------
+# q78 — view→click→purchase funnel per user (operators/funnel.py):
+# earliest order-respecting completion time per step + completed depth.
+# One shuffle on user_id; the cascaded running-min windows share one
+# sort (same partition/order ⇒ one Window node).
+# --------------------------------------------------------------------------
+def q78_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        key="user_id",
+        ts="ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        tie_break="event_id",
+    )
+
+
+Q78_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS cand_view
+  FROM events),
+s2 AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                  AND min(cand_view) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      IS NOT NULL
+                 THEN ts END AS cand_click
+  FROM s1),
+s3 AS (
+  SELECT *, CASE WHEN event_type = 'purchase'
+                  AND min(cand_click) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      IS NOT NULL
+                 THEN ts END AS cand_purchase
+  FROM s2)
+SELECT user_id,
+       min(cand_view)     AS view_ts,
+       min(cand_click)    AS click_ts,
+       min(cand_purchase) AS purchase_ts,
+       (min(cand_view) IS NOT NULL)::INT
+       + (min(cand_click) IS NOT NULL)::INT
+       + (min(cand_purchase) IS NOT NULL)::INT AS stage
+FROM s3 GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q79 — equi-width histogram profiling of events.value (ANALYZE-style
+# column stats). Two-pass: 1-row min/max aggregate broadcast back over
+# the scan, then a 10-group count — both passes map-side-partial, the
+# histogram shuffle carries ≤ bins×partitions rows. Counts are exact
+# integers; bin bounds derive from min/max only (no cross-engine
+# float-accumulation hazard).
+# --------------------------------------------------------------------------
+HIST_BINS = 10
+
+
+def q79_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * HIST_BINS),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bin",
+            "n_rows",
+            F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo_r"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi_r"),
+        )
+    )
+
+
+Q79_SQL = f"""
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT least({HIST_BINS - 1},
+                   CAST(floor((value - lo) / (hi - lo) * {HIST_BINS}) AS BIGINT))
+                AS bin, lo, hi
+      FROM events, mm)
+SELECT bin, count(*) AS n_rows,
+       round(lo + bin * (hi - lo) / {HIST_BINS}, 6)       AS bin_lo_r,
+       round(lo + (bin + 1) * (hi - lo) / {HIST_BINS}, 6) AS bin_hi_r
+FROM b GROUP BY bin, lo, hi
+"""
+
+
+QUERIES = {
+    "q76_dau_new_returning": q76_dau_new_returning,
+    "q77_cohort_retention": q77_cohort_retention,
+    "q78_funnel": q78_funnel,
+    "q79_value_histogram": q79_value_histogram,
+}
+
+ORACLES = {
+    "q76_dau_new_returning": Q76_SQL,
+    "q77_cohort_retention": Q77_SQL,
+    "q78_funnel": Q78_SQL,
+    "q79_value_histogram": Q79_SQL,
+}
