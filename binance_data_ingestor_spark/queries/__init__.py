@@ -22,11 +22,13 @@ def _modules():
         analytics_ops,
         binance_ops,
         cdc_ops,
+        cleaning_ops,
         multimodal_ops,
         relational,
         similarity_ops,
         streaming_like,
         text_ops,
+        timeseries_ops,
     )
 
     return [
@@ -38,6 +40,8 @@ def _modules():
         multimodal_ops,
         cdc_ops,
         analytics_ops,
+        cleaning_ops,
+        timeseries_ops,
     ]
 
 
