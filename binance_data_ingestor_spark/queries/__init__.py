@@ -24,6 +24,7 @@ def _modules():
         cdc_ops,
         cleaning_ops,
         multimodal_ops,
+        profiling_ops,
         relational,
         similarity_ops,
         streaming_like,
@@ -42,6 +43,7 @@ def _modules():
         analytics_ops,
         cleaning_ops,
         timeseries_ops,
+        profiling_ops,
     ]
 
 

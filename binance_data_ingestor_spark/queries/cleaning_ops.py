@@ -90,12 +90,97 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# q84 — corpus-wide block-level exact dedup with document
+# reconstruction (the "exact substring dedup" pattern of training-data
+# pipelines, at block granularity): split every doc into 20-token
+# blocks, keep only the globally-first occurrence of each distinct
+# block (ordered by doc_id, block position), and rebuild each doc from
+# its surviving blocks. Two keyed shuffles — the dedup window on
+# block text and the per-doc reassembly — both on high-cardinality
+# keys, so the plan scales linearly; block strings could be md5'd
+# before the shuffle at 100 TB to cut exchange width.
+# --------------------------------------------------------------------------
+BLOCK_TOKENS = 20
+
+
+def q84_block_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    nblk = F.greatest(F.ceil(F.size("t") / BLOCK_TOKENS).cast("long"), F.lit(1))
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_join(
+                    F.slice("t", i * BLOCK_TOKENS + 1, BLOCK_TOKENS), " "
+                ),
+            )
+        ).alias("idx", "block"),
+    )
+    w = W.partitionBy("block").orderBy("doc_id", "idx")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    totals = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+Q84_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                    len(string_split(text, ' ')) AS n
+             FROM documents),
+b0 AS (SELECT doc_id, t,
+              unnest(range(0, greatest(CAST(ceil(n / {BLOCK_TOKENS}.0) AS BIGINT), 1)))
+                AS idx
+       FROM tok),
+blocks AS (SELECT doc_id, idx,
+                  array_to_string(
+                    t[idx * {BLOCK_TOKENS} + 1 : idx * {BLOCK_TOKENS} + {BLOCK_TOKENS}],
+                    ' ') AS block
+           FROM b0),
+kept AS (SELECT doc_id, idx, block,
+                row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+         FROM blocks),
+rec AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(block, ' ' ORDER BY idx) AS new_text
+        FROM kept WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY doc_id)
+SELECT t.doc_id, t.n_blocks,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.new_text, '') AS new_text
+FROM tot t LEFT JOIN rec r USING (doc_id)
+"""
+
+
 QUERIES = {
     "q80_text_scrub": q80_text_scrub,
     "q81_pii_mask": q81_pii_mask,
+    "q84_block_dedup_reconstruct": q84_block_dedup_reconstruct,
 }
 
 ORACLES = {
     "q80_text_scrub": Q80_SQL,
     "q81_pii_mask": Q81_SQL,
+    "q84_block_dedup_reconstruct": Q84_SQL,
 }

@@ -1,0 +1,174 @@
+"""Dataset profiling + reproducible splitting — the "know your data"
+operators a training pipeline runs before and after curation.
+
+q85 equi-depth binning, q86 one-pass multi-column profile, q87
+group-aware train/val/test split. All are one- or two-pass
+aggregations with broadcast-sized intermediates; nothing sorts
+globally (the classic ntile formulation would — see q85 docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import hash_bucket_sql
+from .util import load
+
+DEPTH_BINS = 10
+
+
+# --------------------------------------------------------------------------
+# q85 — equi-depth (quantile) binning of events.value. Deliberately NOT
+# ntile(): a no-partition ntile needs a total order — one machine sorts
+# everything. Instead: pass 1 computes exact decile boundaries (one
+# 1-row aggregate), pass 2 bins each row by counting boundaries below
+# its value (O(bins) per row, broadcast join) and aggregates per bin.
+# Boundaries are rounded to 6 dp on BOTH engines before the comparison
+# so bin assignment can't flip on float dust.
+# --------------------------------------------------------------------------
+def q85_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("value")
+    qs = [i / DEPTH_BINS for i in range(1, DEPTH_BINS)]
+    bounds = ev.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+            lambda x: F.round(x, 6),
+        ).alias("bnds")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter("bnds", lambda b: b < F.col("value"))).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo_r"),
+        F.round(F.max("value"), 6).alias("hi_r"),
+    )
+
+
+_QLIST = ", ".join(str(i / DEPTH_BINS) for i in range(1, DEPTH_BINS))
+Q85_SQL = f"""
+WITH b AS (SELECT list_transform(quantile_cont(value, [{_QLIST}]),
+                                 x -> round(x, 6)) AS bnds
+           FROM events),
+x AS (SELECT value, len(list_filter(bnds, v -> v < value)) AS bin
+      FROM events, b)
+SELECT bin, count(*) AS n_rows,
+       round(min(value), 6) AS lo_r, round(max(value), 6) AS hi_r
+FROM x GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# q86 — one-pass multi-column profile of lineitem ("ANALYZE TABLE"
+# shape): per column the non-null count, exact distinct count, min,
+# max, mean. A single agg with four DISTINCT aggregates — Catalyst
+# expands to one scan with an Expand (5 projections of each row),
+# which beats four separate scans at 100 TB; the result is 1 row,
+# unpivoted to (column, stats) rows driver-side-free via explode.
+# --------------------------------------------------------------------------
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q86_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            F.round(F.min(c), 6).alias(f"{c}_min"),
+            F.round(F.max(c), 6).alias(f"{c}_max"),
+            F.round(F.avg(c), 6).alias(f"{c}_avg"),
+        ]
+    row = li.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}_nn").alias("n_nonnull"),
+                        F.col(f"{c}_nd").alias("n_distinct"),
+                        F.col(f"{c}_min").alias("min_r"),
+                        F.col(f"{c}_max").alias("max_r"),
+                        F.col(f"{c}_avg").alias("avg_r"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+Q86_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count({c}) AS n_nonnull,
+       count(DISTINCT {c}) AS n_distinct,
+       round(min({c}), 6) AS min_r, round(max({c}), 6) AS max_r,
+       round(avg({c}), 6) AS avg_r FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+# --------------------------------------------------------------------------
+# q87 — group-aware train/val/test split: every customer lands in
+# exactly one split (md5-hash bucket of the key — reproducible across
+# engines, reruns, partitionings; hash_bucket_sql emits the identical
+# function for Spark and DuckDB), and all of a customer's orders
+# follow — no leakage between splits by construction. Revenue is
+# emitted as exact integer cents (per-row round, then integer sum) so
+# the cross-engine comparison never rides on float accumulation order.
+# --------------------------------------------------------------------------
+def q87_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{hash_bucket_sql('spark', 'c_custkey')} AS bucket"
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        cust.select("c_custkey", split.alias("split"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+Q87_SQL = f"""
+WITH c AS (SELECT c_custkey, {hash_bucket_sql('duckdb', 'c_custkey')} AS bucket
+           FROM customer),
+s AS (SELECT c_custkey,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM c)
+SELECT split, count(DISTINCT c_custkey) AS n_customers,
+       count(o_orderkey) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM s LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY split
+"""
+
+
+QUERIES = {
+    "q85_equidepth_bins": q85_equidepth_bins,
+    "q86_column_profile": q86_column_profile,
+    "q87_grouped_split": q87_grouped_split,
+}
+
+ORACLES = {
+    "q85_equidepth_bins": Q85_SQL,
+    "q86_column_profile": Q86_SQL,
+    "q87_grouped_split": Q87_SQL,
+}
