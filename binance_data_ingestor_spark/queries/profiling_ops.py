@@ -161,14 +161,46 @@ GROUP BY split
 """
 
 
+# --------------------------------------------------------------------------
+# q88 — exact heavy hitters over the token stream without shuffling
+# the token-frequency table (operators/frequent.py): Misra-Gries
+# partial summaries per partition → broadcast candidate recount. The
+# only exchanges carry candidates (≤ capacity rows) and the partial
+# counts of candidates — never the raw vocabulary.
+# --------------------------------------------------------------------------
+HH_MIN_SHARE = 0.01
+
+
+def q88_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.frequent import heavy_hitters
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    return heavy_hitters(toks, "token", HH_MIN_SHARE)
+
+
+Q88_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS tot FROM toks),
+c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt, round(cnt * 1.0 / tot, 6) AS share_r
+FROM c, tot
+WHERE cnt >= tot * {HH_MIN_SHARE}
+"""
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
     "q87_grouped_split": q87_grouped_split,
+    "q88_heavy_hitters": q88_heavy_hitters,
 }
 
 ORACLES = {
     "q85_equidepth_bins": Q85_SQL,
     "q86_column_profile": Q86_SQL,
     "q87_grouped_split": Q87_SQL,
+    "q88_heavy_hitters": Q88_SQL,
 }

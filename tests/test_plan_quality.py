@@ -110,3 +110,44 @@ def test_asof_join_single_shuffle(plans):
     # exchange on the by-key (plus no join operator at all)
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With broadcast off (big-dim regime), the optimizer should inject a
+    bloom filter built from the filtered dim side into the fact scan —
+    the 100 TB shuffle-join safety net. Guarded here so a conf or
+    version change that silently drops it fails loudly."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        fact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
