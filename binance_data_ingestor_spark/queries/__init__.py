@@ -23,6 +23,7 @@ def _modules():
         binance_ops,
         cdc_ops,
         cleaning_ops,
+        ml_ops,
         multimodal_ops,
         profiling_ops,
         relational,
@@ -44,6 +45,7 @@ def _modules():
         cleaning_ops,
         timeseries_ops,
         profiling_ops,
+        ml_ops,
     ]
 
 

@@ -1,0 +1,137 @@
+"""Model-adjacent aggregates: grouped regression and point-in-time
+feature assembly — the feature-engineering queries a training pipeline
+runs against the lake.
+
+q89 fits per-group simple linear regressions in ONE aggregation pass
+(regr_* are plain JVM aggregate functions — sufficient statistics,
+map-side combinable, no iteration). q90 assembles multiple
+time-varying features per target row with a single keyed window —
+the feature-store "point-in-time correct join" without one as-of join
+per feature table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .util import load
+
+
+# --------------------------------------------------------------------------
+# q89 — per-brand price~quantity regression (slope, intercept, R²,
+# n). One broadcast dim join + one groupBy: the regr_* aggregates
+# reduce each group to O(1) sufficient statistics at the mappers, so
+# the shuffle carries 25 brands × a handful of doubles no matter the
+# fact-table size.
+# --------------------------------------------------------------------------
+def q89_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pts"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_r"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept_r"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2_r"),
+        )
+    )
+
+
+Q89_SQL = """
+SELECT p_brand,
+       regr_count(l_extendedprice, l_quantity) AS n_pts,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_r,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_r,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_r
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q90 — point-in-time feature join: every purchase event enriched with
+# the latest-prior signup value AND latest-prior click value of the
+# same user. One union + ONE window shuffle covers all feature
+# streams (vs one as-of join per feature table); feature rows order
+# before targets at equal ts so "at or before" is inclusive. Exact-ts
+# collisions inside a feature stream dedup via max_by(event_id).
+# --------------------------------------------------------------------------
+def q90_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+    def feature(ev_type: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == ev_type)
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias(name))
+        )
+
+    targets = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    unioned = (
+        targets.withColumn("_t", F.lit(1))
+        .unionByName(feature("signup", "signup_val"), allowMissingColumns=True)
+        .unionByName(feature("click", "click_val"), allowMissingColumns=True)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("_t").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "_t",
+            F.last("signup_val", ignorenulls=True).over(w).alias("signup_val"),
+            F.last("click_val", ignorenulls=True).over(w).alias("click_val"),
+        )
+        .filter(F.col("_t") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value_r"),
+            F.round("signup_val", 2).alias("signup_val_r"),
+            F.round("click_val", 2).alias("click_val_r"),
+        )
+    )
+
+
+Q90_SQL = """
+WITH sg AS (SELECT user_id, ts, arg_max(value, event_id) AS signup_val
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+ck AS (SELECT user_id, ts, arg_max(value, event_id) AS click_val
+       FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+t AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT t.event_id, t.user_id, round(t.value, 2) AS value_r,
+       round(sg.signup_val, 2) AS signup_val_r,
+       round(ck.click_val, 2) AS click_val_r
+FROM t
+ASOF LEFT JOIN sg ON t.user_id = sg.user_id AND t.ts >= sg.ts
+ASOF LEFT JOIN ck ON t.user_id = ck.user_id AND t.ts >= ck.ts
+"""
+
+
+QUERIES = {
+    "q89_grouped_regression": q89_grouped_regression,
+    "q90_pit_features": q90_pit_features,
+}
+
+ORACLES = {
+    "q89_grouped_regression": Q89_SQL,
+    "q90_pit_features": Q90_SQL,
+}
