@@ -26,6 +26,7 @@ def _modules():
         ml_ops,
         multimodal_ops,
         profiling_ops,
+        quality_ops,
         relational,
         similarity_ops,
         streaming_like,
@@ -46,6 +47,7 @@ def _modules():
         timeseries_ops,
         profiling_ops,
         ml_ops,
+        quality_ops,
     ]
 
 
