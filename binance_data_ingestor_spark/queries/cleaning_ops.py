@@ -173,14 +173,71 @@ FROM tot t LEFT JOIN rec r USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — winsorized cleaning report: per event_type, cap `value` at the
+# [p01, p99] percentiles and report how many rows each tail clipped and
+# the mean shift — the outlier-capping step a feature pipeline applies
+# before normalization. Two groupBys over one scan: the caps aggregate
+# is groups-sized and broadcast back, so the detail rows shuffle once.
+# Caps are rounded to 6 dp on BOTH sides before clamping so the clamp
+# boundary is engine-exact (Spark `percentile` and DuckDB
+# `quantile_cont` both interpolate; unrounded they can differ in the
+# last ulp).
+# --------------------------------------------------------------------------
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def q95_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    caps = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", WINSOR_LO), 6).alias("lo_cap"),
+        F.round(F.percentile("value", WINSOR_HI), 6).alias("hi_cap"),
+    )
+    clamped = ev.join(F.broadcast(caps), "event_type").select(
+        "event_type",
+        "lo_cap",
+        "hi_cap",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo_cap")), F.col("hi_cap")).alias(
+            "value_w"
+        ),
+    )
+    return clamped.groupBy("event_type", "lo_cap", "hi_cap").agg(
+        F.count_if(F.col("value") < F.col("lo_cap")).alias("n_capped_lo"),
+        F.count_if(F.col("value") > F.col("hi_cap")).alias("n_capped_hi"),
+        F.round(F.avg("value"), 6).alias("mean_before_r"),
+        F.round(F.avg("value_w"), 6).alias("mean_after_r"),
+    )
+
+
+Q95_SQL = f"""
+WITH caps AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS lo_cap,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS hi_cap
+  FROM events GROUP BY event_type
+)
+SELECT event_type, lo_cap, hi_cap,
+       count(*) FILTER (value < lo_cap) AS n_capped_lo,
+       count(*) FILTER (value > hi_cap) AS n_capped_hi,
+       round(avg(value), 6) AS mean_before_r,
+       round(avg(least(greatest(value, lo_cap), hi_cap)), 6) AS mean_after_r
+FROM events JOIN caps USING (event_type)
+GROUP BY event_type, lo_cap, hi_cap
+"""
+
+
 QUERIES = {
     "q80_text_scrub": q80_text_scrub,
     "q81_pii_mask": q81_pii_mask,
     "q84_block_dedup_reconstruct": q84_block_dedup_reconstruct,
+    "q95_winsorize": q95_winsorize,
 }
 
 ORACLES = {
     "q80_text_scrub": Q80_SQL,
     "q81_pii_mask": Q81_SQL,
     "q84_block_dedup_reconstruct": Q84_SQL,
+    "q95_winsorize": Q95_SQL,
 }

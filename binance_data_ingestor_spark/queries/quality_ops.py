@@ -133,12 +133,98 @@ Q92_SQL = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# q94 — distribution drift (PSI): split events at the midpoint of the
+# time range into reference/current periods, bucket `value` into 10
+# equi-width bins from the GLOBAL min/max, and report the per-bin
+# population-stability-index term per event_type. The monitor a lake
+# pipeline runs to catch upstream shifts before retraining. Plan shape:
+# one scan + one 1-row broadcast (global min/max/ts-span) + ONE
+# groupBy(event_type, bin) with conditional counts; the per-type totals
+# come from a groups-sized broadcast self-join, so nothing but the cell
+# counts ever shuffles. Laplace smoothing (+0.5) keeps empty bins
+# finite. Bin arithmetic is written identically in Spark and the oracle
+# so IEEE doubles bin identically.
+# --------------------------------------------------------------------------
+PSI_BINS = 10
+
+
+def q94_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    span = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("mid_us"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * PSI_BINS
+            ),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        (F.col("ts_us") > F.col("mid_us")).alias("is_cur"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count_if(~F.col("is_cur")).alias("n_ref"),
+        F.count_if("is_cur").alias("n_cur"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * PSI_BINS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * PSI_BINS)
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term_r"),
+    )
+
+
+Q94_SQL = f"""
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+span AS (SELECT min(value) AS vmin, max(value) AS vmax,
+                (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM ev),
+binned AS (
+  SELECT event_type,
+         least(floor((value - vmin) / (vmax - vmin) * {PSI_BINS}),
+               {PSI_BINS - 1}) AS bin,
+         ts_us > mid_us AS is_cur
+  FROM ev, span
+),
+cells AS (
+  SELECT event_type, bin,
+         count(*) FILTER (NOT is_cur) AS n_ref,
+         count(*) FILTER (is_cur) AS n_cur
+  FROM binned GROUP BY 1, 2
+),
+totals AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+           FROM cells GROUP BY 1)
+SELECT event_type, bin, n_ref, n_cur,
+       round(((n_cur + 0.5) / (t_cur + 0.5 * {PSI_BINS})
+              - (n_ref + 0.5) / (t_ref + 0.5 * {PSI_BINS}))
+             * ln(((n_cur + 0.5) / (t_cur + 0.5 * {PSI_BINS}))
+                  / ((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BINS}))), 6)
+         AS psi_term_r
+FROM cells JOIN totals USING (event_type)
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
+    "q94_psi_drift": q94_psi_drift,
 }
 
 ORACLES = {
     "q91_constraint_audit": Q91_SQL,
     "q92_embedding_covariance": Q92_SQL,
+    "q94_psi_drift": Q94_SQL,
 }

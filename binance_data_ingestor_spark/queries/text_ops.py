@@ -888,6 +888,114 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q93 — Okapi BM25 retrieval: top-5 docs for each query doc, scored by
+# idf·saturated-tf with length normalization (k1=1.2, b=0.75). The
+# lexical ranker a curation pipeline uses for decontamination lookups
+# and hard-negative mining; q57's cosine is the un-saturated cousin.
+# Same inverted-index shape as q57: the token equi-join IS the posting
+# list, so the shuffle carries only (query, doc) pairs sharing a term —
+# never |Q|×|D|. Query side ignores query-term multiplicity (standard
+# Okapi without the k3 term). Doc-side BM25 weights are materialized
+# once (localCheckpoint) because the index feeds both the score join
+# and, at scale, would be the persisted serving artifact.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df, doclen, postings, query tokens
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    postings = (
+        tf.join(doclen, "doc_id")
+        .join(idf, "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    q = (
+        tf.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("q_id"), "token")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(postings, "token")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("w").alias("score_raw"))
+    )
+    rk = W.partitionBy("q_id").orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= RETRIEVE_K)
+        .select("q_id", "doc_id", "rank", F.round("score_raw", 6).alias("bm25"))
+    )
+
+
+Q93_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+postings AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)) AS w
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN stats
+),
+q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < {N_QUERY_DOCS}),
+scored AS (
+  SELECT q_id, postings.doc_id AS doc_id, sum(w) AS score_raw
+  FROM q JOIN postings USING (token)
+  WHERE postings.doc_id <> q_id GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score_raw DESC, doc_id ASC) AS rank,
+         round(score_raw, 6) AS bm25
+  FROM scored
+)
+SELECT q_id, doc_id, rank, bm25 FROM ranked WHERE rank <= {RETRIEVE_K}
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -910,6 +1018,7 @@ QUERIES = {
     "q70_vocab": q70_vocab,
     "q71_length_buckets": q71_length_buckets,
     "q72_chunking": q72_chunking,
+    "q93_bm25_retrieval": q93_bm25_retrieval,
 }
 
 ORACLES = {
@@ -934,4 +1043,5 @@ ORACLES = {
     "q70_vocab": Q70_SQL,
     "q71_length_buckets": Q71_SQL,
     "q72_chunking": Q72_SQL,
+    "q93_bm25_retrieval": Q93_SQL,
 }
