@@ -343,6 +343,114 @@ def q67_pq_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q96 — reciprocal-rank fusion: rank candidates per query under TWO
+# metrics (cosine and squared-L2) computed from ONE scored pair set
+# (dot + per-side norms, no recomputation), then fuse with
+# RRF(r) = Σ 1/(60 + r). The standard hybrid-retrieval combiner; here
+# both rankers share the candidate pass so fusion costs one extra
+# window, not a second scoring pipeline. Per-side norms are computed
+# once per vector BEFORE pairing (8 query rows + N candidate rows),
+# never per pair. Squared L2 ranks identically to L2 — the sqrt (and
+# its cross-engine ulp risk) is skipped.
+# --------------------------------------------------------------------------
+RRF_K = 60
+
+
+def q96_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import _as_double, dot
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    emb = emb.withColumn("n2", dot("v", "v"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("qv", "v").alias("d"),
+            "qn2",
+            "n2",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("d") / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cos"),
+            (F.col("qn2") + F.col("n2") - 2 * F.col("d")).alias("l2sq"),
+        )
+    )
+    by_cos = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    by_l2 = W.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(by_cos).alias("rank_cos"),
+        F.row_number().over(by_l2).alias("rank_l2"),
+    ).withColumn(
+        "rrf",
+        1.0 / (RRF_K + F.col("rank_cos")) + 1.0 / (RRF_K + F.col("rank_l2")),
+    )
+    fused = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("fused_rank", F.row_number().over(fused))
+        .filter(F.col("fused_rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            "rank_cos",
+            "rank_l2",
+            F.round("rrf", 6).alias("rrf_r"),
+        )
+    )
+
+
+Q96_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) AS n2
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+      FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_inner_product(qv, v) / sqrt(qn2 * e.n2) AS cos,
+         qn2 + e.n2 - 2 * list_inner_product(qv, v) AS l2sq
+  FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2sq ASC, neighbor_id ASC) AS rank_l2
+  FROM pairs
+),
+fused AS (
+  SELECT query_id, neighbor_id, rank_cos, rank_l2,
+         1.0 / ({RRF_K} + rank_cos) + 1.0 / ({RRF_K} + rank_l2) AS rrf,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY 1.0 / ({RRF_K} + rank_cos)
+                    + 1.0 / ({RRF_K} + rank_l2) DESC,
+                    neighbor_id ASC) AS fused_rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, fused_rank, rank_cos, rank_l2,
+       round(rrf, 6) AS rrf_r
+FROM fused WHERE fused_rank <= {K}
+"""
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -350,6 +458,7 @@ QUERIES = {
     "q53_ivf_topk": q53_ivf_topk,
     "q66_pq_topk": q66_pq_topk,
     "q67_pq_kmeans_train": q67_pq_kmeans_train,
+    "q96_rrf_fusion": q96_rrf_fusion,
 }
 
 # q67 is intentionally absent from ORACLES (iterative training —
@@ -360,4 +469,5 @@ ORACLES = {
     "q52_lsh_topk": Q52_SQL,
     "q53_ivf_topk": Q53_SQL,
     "q66_pq_topk": Q66_SQL,
+    "q96_rrf_fusion": Q96_SQL,
 }

@@ -996,6 +996,122 @@ SELECT q_id, doc_id, rank, bm25 FROM ranked WHERE rank <= {RETRIEVE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q97 — deterministic negative sampling for contrastive training: for
+# each anchor doc (doc_id < 10), draw 5 pseudo-random negatives from
+# documents with a DIFFERENT source (the cheap positive-exclusion
+# heuristic), ordered by md5(anchor:candidate) so the draw is
+# reproducible across runs and engines with no RNG state. The anchor
+# set broadcasts (10 rows); candidates never shuffle more than the
+# per-anchor rank window. At scale the md5 order IS the sample — no
+# sort of the full corpus, the window's top-k is all that survives.
+# --------------------------------------------------------------------------
+NEG_K = 5
+N_ANCHORS = 10
+
+
+def q97_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    anchors = docs.filter(F.col("doc_id") < N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
+    )
+    cands = (
+        docs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("source") != F.col("anchor_source"))
+        .select(
+            "anchor_id",
+            "doc_id",
+            F.md5(
+                F.concat_ws(":", F.col("anchor_id"), F.col("doc_id"))
+            ).alias("draw"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.asc("draw"), F.asc("doc_id"))
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("anchor_id", "neg_rank", F.col("doc_id").alias("negative_id"))
+    )
+
+
+Q97_SQL = f"""
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source
+  FROM documents WHERE doc_id < {N_ANCHORS}
+),
+cands AS (
+  SELECT anchor_id, doc_id,
+         md5(anchor_id || ':' || doc_id) AS draw
+  FROM documents CROSS JOIN anchors
+  WHERE source <> anchor_source
+),
+ranked AS (
+  SELECT anchor_id, doc_id,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY draw ASC, doc_id ASC) AS neg_rank
+  FROM cands
+)
+SELECT anchor_id, neg_rank, doc_id AS negative_id
+FROM ranked WHERE neg_rank <= {NEG_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q98 — unigram surprisal quality score (the CCNet-style LM filter): fit
+# a corpus unigram model, score each document by its tokens' mean
+# negative log-probability. Low = boilerplate/repetitive, high =
+# noise/garbled; pipelines keep the middle band. Token instances are
+# pre-aggregated to per-(doc, token) counts first, so the model join is
+# tf-sized, not instance-sized, and the final score is the tf-weighted
+# mean — same value, one shuffle less. The corpus total broadcasts as a
+# 1-row aggregate; the token→count join stays a shuffled hash join
+# because at 100 TB the vocabulary does NOT fit in a broadcast.
+# --------------------------------------------------------------------------
+def q98_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds the model AND the scoring join
+    )
+    model = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            (-F.log(F.col("cnt") / F.col("total"))).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.col("surprisal")) / F.sum("tf"), 6
+        ).alias("surprisal_r"),
+    )
+
+
+Q98_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+model AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+total AS (SELECT sum(cnt) AS total FROM model)
+SELECT doc_id, sum(tf) AS n_tokens,
+       round(sum(tf * (-ln(cnt / total))) / sum(tf), 6) AS surprisal_r
+FROM tf JOIN model USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1019,6 +1135,8 @@ QUERIES = {
     "q71_length_buckets": q71_length_buckets,
     "q72_chunking": q72_chunking,
     "q93_bm25_retrieval": q93_bm25_retrieval,
+    "q97_negative_sampling": q97_negative_sampling,
+    "q98_unigram_surprisal": q98_unigram_surprisal,
 }
 
 ORACLES = {
@@ -1044,4 +1162,6 @@ ORACLES = {
     "q71_length_buckets": Q71_SQL,
     "q72_chunking": Q72_SQL,
     "q93_bm25_retrieval": Q93_SQL,
+    "q97_negative_sampling": Q97_SQL,
+    "q98_unigram_surprisal": Q98_SQL,
 }
