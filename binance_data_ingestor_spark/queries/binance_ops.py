@@ -353,12 +353,165 @@ FROM events
 """
 
 
+# -- microstructure analytics over the DECODED trade stream ----------------
+# q35-q37 run downstream of the real wire pipeline (synthesize →
+# from_json → P4 normalize), i.e. they query what a consumer of the
+# ingested stream sees — then cast the 8-dp price strings back to exact
+# integer cents so every aggregate is integer-exact until the final
+# division. The oracle computes the same values straight from `events`.
+
+
+def _trades_cents(spark: SparkSession, sf_dir: str, keep=("symbol",)) -> DataFrame:
+    t = normalize_trades(
+        parse_raw(_raw_trade_frames(spark, sf_dir), "trades"), keep=list(keep)
+    )
+    return t.select(
+        *keep,
+        "trade_time",
+        "is_buyer_maker",
+        (F.col("price").cast("decimal(38,8)") * 100).cast("long").alias("pc"),
+        (F.col("quantity").cast("decimal(38,8)") * 100).cast("long").alias("qc"),
+        F.expr("trade_time div 60000").alias("minute"),
+    )
+
+
+_SQL_TT = f"({_SQL_EMS} - 3)"
+
+
+# --------------------------------------------------------------------------
+# q35 — per-(symbol, minute) VWAP: one hash aggregate over the decoded
+# stream; numerator/denominator stay exact longs (cents), the division
+# happens once per output row. Partial aggregation makes the shuffle
+# carry (symbols × minutes) rows, not trades.
+# --------------------------------------------------------------------------
+def q35_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades_cents(spark, sf_dir)
+    return t.groupBy("symbol", "minute").agg(
+        F.count("*").alias("n_trades"),
+        F.sum("qc").alias("base_vol_cents"),
+        F.round(
+            (F.sum(F.col("pc") * F.col("qc")) / F.sum("qc")) / 100.0, 6
+        ).alias("vwap_r"),
+    )
+
+
+Q35_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} // 60000 AS minute,
+         {_SQL_CENTS} AS pc, ({_SQL_CENTS}) * 2 AS qc
+  FROM events
+)
+SELECT symbol, minute, count(*) AS n_trades, sum(qc) AS base_vol_cents,
+       round((sum(pc * qc) / sum(qc)) / 100.0, 6) AS vwap_r
+FROM t GROUP BY symbol, minute
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — order-flow imbalance per (symbol, minute): taker-buy volume
+# (maker='False') vs taker-sell volume, (buy−sell)/(buy+sell). Unknown
+# maker flags ('None' — the reference's Python-repr null, §1.4) are
+# excluded. Same single-aggregate shape as q35; the denominator is
+# null-guarded identically on both engines.
+# --------------------------------------------------------------------------
+def q36_orderflow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades_cents(spark, sf_dir).filter(F.col("is_buyer_maker") != "None")
+    agg = t.groupBy("symbol", "minute").agg(
+        F.sum(F.when(F.col("is_buyer_maker") == "False", F.col("qc")).otherwise(0)).alias(
+            "buy_vol"
+        ),
+        F.sum(F.when(F.col("is_buyer_maker") == "True", F.col("qc")).otherwise(0)).alias(
+            "sell_vol"
+        ),
+    )
+    denom = F.col("buy_vol") + F.col("sell_vol")
+    return agg.select(
+        "symbol",
+        "minute",
+        "buy_vol",
+        "sell_vol",
+        F.round(
+            (F.col("buy_vol") - F.col("sell_vol")) / F.nullif(denom, F.lit(0)), 6
+        ).alias("imbalance_r"),
+    )
+
+
+Q36_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} // 60000 AS minute,
+         ({_SQL_CENTS}) * 2 AS qc,
+         CASE WHEN event_id % 7 = 0 THEN 'None'
+              WHEN event_id % 2 = 0 THEN 'True'
+              ELSE 'False' END AS m
+  FROM events
+),
+agg AS (
+  SELECT symbol, minute,
+         sum(CASE WHEN m = 'False' THEN qc ELSE 0 END) AS buy_vol,
+         sum(CASE WHEN m = 'True' THEN qc ELSE 0 END) AS sell_vol
+  FROM t WHERE m <> 'None' GROUP BY symbol, minute
+)
+SELECT symbol, minute, buy_vol, sell_vol,
+       round((buy_vol - sell_vol) / nullif(buy_vol + sell_vol, 0), 6)
+         AS imbalance_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — realized volatility: squared log returns over consecutive
+# trades per symbol (lag window, deterministic (trade_time, event_id)
+# order), summed per (symbol, minute). ONE shuffle: the window's
+# partitionBy(symbol) hash also serves the downstream groupBy via
+# partial aggregation. Zero prices are excluded before the ratio on
+# both engines.
+# --------------------------------------------------------------------------
+def q37_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).filter(
+        F.col("pc") > 0
+    )
+    w = W.partitionBy("symbol").orderBy("trade_time", "event_id")
+    r = t.select(
+        "symbol",
+        "minute",
+        F.log(F.col("pc") / F.lag("pc").over(w)).alias("lr"),
+    )
+    return r.filter(F.col("lr").isNotNull()).groupBy("symbol", "minute").agg(
+        F.count("*").alias("n_returns"),
+        F.round(F.sum(F.col("lr") * F.col("lr")), 6).alias("rv_r"),
+    )
+
+
+Q37_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_TT} // 60000 AS minute, {_SQL_CENTS} AS pc
+  FROM events
+  WHERE {_SQL_CENTS} > 0
+),
+r AS (
+  SELECT symbol, minute,
+         ln(pc / lag(pc) OVER (PARTITION BY symbol
+                               ORDER BY tt, event_id)) AS lr
+  FROM t
+)
+SELECT symbol, minute, count(*) AS n_returns,
+       round(sum(lr * lr), 6) AS rv_r
+FROM r WHERE lr IS NOT NULL GROUP BY symbol, minute
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
     "q32_trades_normalize": q32_trades_normalize,
     "q33_klines_normalize": q33_klines_normalize,
     "q34_envelope_filter": q34_envelope_filter,
+    "q35_vwap": q35_vwap,
+    "q36_orderflow_imbalance": q36_orderflow_imbalance,
+    "q37_realized_vol": q37_realized_vol,
 }
 
 ORACLES = {
@@ -367,4 +520,7 @@ ORACLES = {
     "q32_trades_normalize": Q32_SQL,
     "q33_klines_normalize": Q33_SQL,
     "q34_envelope_filter": Q34_SQL,
+    "q35_vwap": Q35_SQL,
+    "q36_orderflow_imbalance": Q36_SQL,
+    "q37_realized_vol": Q37_SQL,
 }
