@@ -23,6 +23,7 @@ def _modules():
         binance_ops,
         cdc_ops,
         cleaning_ops,
+        graph_ops,
         ml_ops,
         multimodal_ops,
         profiling_ops,
@@ -44,6 +45,7 @@ def _modules():
         cdc_ops,
         analytics_ops,
         cleaning_ops,
+        graph_ops,
         timeseries_ops,
         profiling_ops,
         ml_ops,

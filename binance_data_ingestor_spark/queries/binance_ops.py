@@ -503,6 +503,65 @@ FROM r WHERE lr IS NOT NULL GROUP BY symbol, minute
 """
 
 
+# --------------------------------------------------------------------------
+# q38 — TWAP (time-weighted average price) per (symbol, minute): each
+# trade's price is weighted by how long it stayed the latest print —
+# the interval to the next trade, clipped to the trade's own minute
+# (the final print of a minute extends to the minute boundary; carry
+# across minutes is deliberately not modeled so the aggregate stays a
+# pure partition-local window + groupBy). Same ONE-shuffle shape as
+# q37: the symbol-keyed window hash feeds the (symbol, minute) partial
+# aggregation. Weights and prices stay exact integer ms × cents until
+# the single final division.
+# --------------------------------------------------------------------------
+def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+    w = W.partitionBy("symbol").orderBy("trade_time", "event_id")
+    minute_end = (F.col("minute") + 1) * 60000
+    seg = t.select(
+        "symbol",
+        "minute",
+        "pc",
+        (
+            F.least(
+                F.coalesce(F.lead("trade_time").over(w), minute_end), minute_end
+            )
+            - F.col("trade_time")
+        ).alias("w_ms"),
+    )
+    return seg.groupBy("symbol", "minute").agg(
+        F.count("*").alias("n_trades"),
+        F.sum("w_ms").alias("live_ms"),
+        F.round(
+            (F.sum(F.col("pc") * F.col("w_ms")) / F.nullif(F.sum("w_ms"), F.lit(0)))
+            / 100.0,
+            6,
+        ).alias("twap_r"),
+    )
+
+
+Q38_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_TT} // 60000 AS minute, {_SQL_CENTS} AS pc
+  FROM events
+),
+seg AS (
+  SELECT symbol, minute, pc,
+         least(coalesce(lead(tt) OVER (PARTITION BY symbol
+                                       ORDER BY tt, event_id),
+                        (minute + 1) * 60000),
+               (minute + 1) * 60000) - tt AS w_ms
+  FROM t
+)
+SELECT symbol, minute, count(*) AS n_trades, sum(w_ms) AS live_ms,
+       round((sum(pc * w_ms) / nullif(sum(w_ms), 0)) / 100.0, 6) AS twap_r
+FROM seg GROUP BY symbol, minute
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -512,6 +571,7 @@ QUERIES = {
     "q35_vwap": q35_vwap,
     "q36_orderflow_imbalance": q36_orderflow_imbalance,
     "q37_realized_vol": q37_realized_vol,
+    "q38_twap": q38_twap,
 }
 
 ORACLES = {
@@ -523,4 +583,5 @@ ORACLES = {
     "q35_vwap": Q35_SQL,
     "q36_orderflow_imbalance": Q36_SQL,
     "q37_realized_vol": Q37_SQL,
+    "q38_twap": Q38_SQL,
 }

@@ -1,0 +1,87 @@
+"""Graph-propagation queries: PageRank over the customer–supplier
+bipartite graph.
+
+The reference has no graph surface; this is a north-star curation
+operator (SURVEY §2.9 — rank hosts/domains by link structure before
+drawing training data). The fixed iteration count makes the result
+deterministic, so the DuckDB oracle simply unrolls the rounds as
+chained CTEs — the strongest check an iterative algorithm can get
+(connected components q54 only gets rows-only checks for its
+data-dependent round count; here every rank value is hash-compared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from .util import load
+
+_ITERS = 3
+_SUPP_BASE = 1_000_000  # supplier node ids offset above customer keys
+
+
+# --------------------------------------------------------------------------
+# q99 — 3-round damped PageRank on the (customer)—(supplier) graph
+# induced by orders⨝lineitem, symmetrized. Edge construction is two
+# shuffles (join + distinct); each round then shuffles only the
+# O(nodes) rank vector against the src-partitioned checkpointed edge
+# list (see operators/graph.py). Output: per-supplier rank.
+# --------------------------------------------------------------------------
+def q99_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_ITERS)
+    return ranks.filter(F.col("node") >= _SUPP_BASE).select(
+        (F.col("node") - _SUPP_BASE).alias("suppkey"),
+        F.round("rank", 6).alias("rank_r"),
+    )
+
+
+def _sql_round(i: int) -> str:
+    return (
+        f"r{i} AS (SELECT e.dst AS node,\n"
+        f"              0.15 + 0.85 * sum(p.r * (1.0 / d.outdeg)) AS r\n"
+        f"       FROM e JOIN r{i - 1} p ON e.src = p.node\n"
+        f"              JOIN deg d ON e.src = d.src\n"
+        f"       GROUP BY e.dst)"
+    )
+
+
+Q99_SQL = (
+    f"""
+WITH p AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT c AS src, {_SUPP_BASE} + s AS dst FROM p
+      UNION ALL SELECT {_SUPP_BASE} + s AS src, c AS dst FROM p),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT src AS node, 1.0 AS r FROM deg),
+"""
+    + ",\n".join(_sql_round(i) for i in range(1, _ITERS + 1))
+    + f"""
+SELECT node - {_SUPP_BASE} AS suppkey, round(r, 6) AS rank_r
+FROM r{_ITERS} WHERE node >= {_SUPP_BASE}
+"""
+)
+
+
+QUERIES = {
+    "q99_pagerank": q99_pagerank,
+}
+
+ORACLES = {
+    "q99_pagerank": Q99_SQL,
+}
