@@ -680,6 +680,53 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+# --------------------------------------------------------------------------
+# q103 — 2-D skyline (Pareto frontier): parts no other part beats on
+# BOTH price (lower better) and size (higher better). Computed by
+# level compression, not a self-join: collapse to distinct price
+# levels (groupBy → max size), running-max over strictly-cheaper
+# levels (ROWS … 1 PRECEDING), join survivors back by price. The
+# quadratic dominance EXISTS-check becomes one grouped aggregate + a
+# window over the (bounded, values-sized) level table + one keyed
+# join — the level table is orders of magnitude smaller than the fact
+# at 100 TB, so the unpartitioned window is a non-issue (same stance
+# as q76's days-sized cumsum).
+# --------------------------------------------------------------------------
+def q103_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    lvl = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    run = lvl.withColumn("prev_max", F.max("msize").over(w))
+    return (
+        part.join(run, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )
+
+
+Q103_SQL = """
+WITH lvl AS (SELECT p_retailprice, max(p_size) AS msize
+             FROM part GROUP BY 1),
+run AS (SELECT p_retailprice, msize,
+               max(msize) OVER (ORDER BY p_retailprice
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+        FROM lvl)
+SELECT p_partkey, p_retailprice AS price, p_size AS size
+FROM part JOIN run USING (p_retailprice)
+WHERE p_size = msize AND (prev_max IS NULL OR p_size > prev_max)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -700,6 +747,7 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_big_orders": q18_big_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q103_skyline": q103_skyline,
 }
 
 ORACLES = {
@@ -722,4 +770,5 @@ ORACLES = {
     "q17_small_qty_revenue": Q17_SQL,
     "q18_big_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q103_skyline": Q103_SQL,
 }

@@ -1112,6 +1112,136 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q100 — token↔source mutual information (feature selection): which
+# tokens are most source-distinctive. Plug-in MI estimator over the
+# (token, source) contingency table — joint counts via ONE explode +
+# groupBy shuffle; marginals derive from the joint table (vocab-sized,
+# tiny), so no second pass over the corpus. All probability ratios are
+# built from integer count products (n_ts*N)/(n_t*n_s) so both engines
+# feed ln() the exact same double. N arrives via a 1-row broadcast
+# cross join (the expected-BNLJ pattern of q27/q49).
+# --------------------------------------------------------------------------
+def q100_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode_outer(F.split("text", " ")).alias("token")
+    )
+    joint = tok.groupBy("token", "source").agg(F.count("*").alias("n_ts"))
+    tmarg = joint.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
+    smarg = joint.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    total = joint.agg(F.sum("n_ts").alias("n_total"))
+    contrib = (
+        joint.join(F.broadcast(tmarg), "token")
+        .join(F.broadcast(smarg), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_t",
+            (
+                (F.col("n_ts") / F.col("n_total"))
+                * F.log(
+                    (F.col("n_ts") * F.col("n_total"))
+                    / (F.col("n_t") * F.col("n_s"))
+                )
+            ).alias("mi_part"),
+        )
+    )
+    return contrib.groupBy("token", "n_t").agg(
+        F.round(F.sum("mi_part"), 6).alias("mi_r")
+    )
+
+
+Q100_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+joint AS (SELECT token, source, count(*) AS n_ts FROM tok GROUP BY 1, 2),
+tmarg AS (SELECT token, sum(n_ts) AS n_t FROM joint GROUP BY 1),
+smarg AS (SELECT source, sum(n_ts) AS n_s FROM joint GROUP BY 1),
+total AS (SELECT sum(n_ts) AS n_total FROM joint)
+SELECT token, n_t,
+       round(sum((n_ts / n_total)
+                 * ln((n_ts * n_total) / (n_t * n_s))), 6) AS mi_r
+FROM joint JOIN tmarg USING (token) JOIN smarg USING (source), total
+GROUP BY token, n_t
+"""
+
+
+# --------------------------------------------------------------------------
+# q101 — per-document token-distribution Shannon entropy (quality /
+# repetitiveness signal: low entropy = repetitive doc). Uses the
+# shuffle-free identity H = ln(N) − (Σ c·ln c)/N so each per-token
+# count contributes one term. Two keyed shuffles — (doc_id, token)
+# counts, then per-doc partial-aggregated rollup — both carrying
+# counts, never text.
+# --------------------------------------------------------------------------
+def q101_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy_r"),
+    )
+
+
+Q101_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id, sum(c) AS n_tokens,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_r
+FROM c GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q102 — deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis exponential race): per-source top-5 documents
+# drawn with probability ∝ n_chars. The "random" draw is the md5-hash
+# uniform (hash_bucket_sql's 4-hex-digit primitive widened to (0,1)),
+# so the sample is reproducible across engines, reruns, and
+# partitionings — the same property q56's stratified sampler has, plus
+# size-biased weights. One shuffle (window by source); candidates
+# carry only (source, doc_id, weight, key), never text.
+# --------------------------------------------------------------------------
+def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    h = hash_bucket_sql("spark", "doc_id", 65536)
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (-F.log((F.expr(h) + 1) / 65537.0) / F.col("n_chars")).alias("es_key"),
+    )
+    win = W.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "w", F.round("es_key", 9).alias("es_key_r"))
+    )
+
+
+_H102 = hash_bucket_sql("duckdb", "doc_id", 65536)
+
+Q102_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars AS w,
+         -ln(({_H102} + 1) / 65537.0) / n_chars AS es_key
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key, doc_id) AS rk FROM d)
+SELECT source, doc_id, w, round(es_key, 9) AS es_key_r
+FROM r WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1137,6 +1267,9 @@ QUERIES = {
     "q93_bm25_retrieval": q93_bm25_retrieval,
     "q97_negative_sampling": q97_negative_sampling,
     "q98_unigram_surprisal": q98_unigram_surprisal,
+    "q100_token_mi": q100_token_mi,
+    "q101_token_entropy": q101_token_entropy,
+    "q102_weighted_sample": q102_weighted_sample,
 }
 
 ORACLES = {
@@ -1164,4 +1297,7 @@ ORACLES = {
     "q93_bm25_retrieval": Q93_SQL,
     "q97_negative_sampling": Q97_SQL,
     "q98_unigram_surprisal": Q98_SQL,
+    "q100_token_mi": Q100_SQL,
+    "q101_token_entropy": Q101_SQL,
+    "q102_weighted_sample": Q102_SQL,
 }

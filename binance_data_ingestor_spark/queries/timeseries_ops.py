@@ -117,12 +117,99 @@ WHERE n_prev >= {ZSCORE_MIN_N} AND sd > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q104 — rolling cross-series correlation: per-minute mean `value` of
+# the click and purchase streams, inner-joined on minute, then Pearson
+# correlation over a trailing 60-observation frame computed from the
+# five sufficient-statistic window sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+# portable across engines where a native corr() window is not. The
+# joint minute series is grid-sized (bounded like q76's day table), so
+# the single-partition window is deliberate; the per-minute aggregate
+# upstream is the real data-sized stage and partial-aggregates before
+# its one shuffle. Guards: frames with < 10 joint minutes or zero
+# variance yield NULL.
+# --------------------------------------------------------------------------
+def q104_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_min = ev.groupBy(
+        F.expr("unix_millis(ts) div 60000").alias("minute"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    x = per_min.filter(F.col("event_type") == "click").select(
+        "minute", F.col("v").alias("x")
+    )
+    y = per_min.filter(F.col("event_type") == "purchase").select(
+        "minute", F.col("v").alias("y")
+    )
+    j = x.join(y, "minute")
+    w = W.orderBy("minute").rowsBetween(-59, 0)
+    s = j.select(
+        "minute",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "minute",
+        "n",
+        F.round(
+            F.when(
+                (F.col("n") >= 10) & (varx > 0) & (vary > 0),
+                cov / (F.sqrt(varx) * F.sqrt(vary)),
+            ),
+            6,
+        ).alias("corr_r"),
+    )
+
+
+Q104_SQL = """
+WITH pm AS (
+  SELECT epoch_ms(ts) // 60000 AS minute, event_type, avg(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT x.minute, x.v AS x, y.v AS y
+  FROM (SELECT minute, v FROM pm WHERE event_type = 'click') x
+  JOIN (SELECT minute, v FROM pm WHERE event_type = 'purchase') y
+    USING (minute)
+),
+s AS (
+  SELECT minute,
+         count(*)   OVER w AS n,
+         sum(x)     OVER w AS sx,
+         sum(y)     OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx,
+         sum(y * y) OVER w AS syy
+  FROM j
+  WINDOW w AS (ORDER BY minute ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT minute, n,
+       round(CASE WHEN n >= 10 AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS corr_r
+FROM s
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q83_rolling_zscore": q83_rolling_zscore,
+    "q104_rolling_corr": q104_rolling_corr,
 }
 
 ORACLES = {
     "q82_gapfill_locf": Q82_SQL,
     "q83_rolling_zscore": Q83_SQL,
+    "q104_rolling_corr": Q104_SQL,
 }
