@@ -1,0 +1,102 @@
+"""PageRank operator: correctness vs a dense numpy reference, and the
+skyline query's level-compression logic vs brute-force dominance."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from binance_data_ingestor_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, iterations, damping=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = np.zeros(len(nodes))
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.ones(len(nodes))
+    for _ in range(iterations):
+        nxt = np.full(len(nodes), 1.0 - damping)
+        for s, d in edges:
+            nxt[idx[d]] += damping * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {n: r[idx[n]] for n in nodes}
+
+
+def _run(spark, edges, iterations):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(df, iterations=iterations).collect()
+    }
+    want = _numpy_pagerank(edges, iterations)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-9), n
+    return got
+
+
+def test_pagerank_star(spark):
+    # undirected star: hub 0 <-> leaves 1..4; hub rank must dominate
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    got = _run(spark, edges, iterations=3)
+    assert got[0] > got[1]
+    assert got[1] == pytest.approx(got[4])
+
+
+def test_pagerank_random_graph_matches_numpy(spark):
+    rng = random.Random(42)
+    base = {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+    edges = sorted({(s, d) for s, d in base if s != d})
+    edges = sorted(set(edges) | {(d, s) for s, d in edges})  # symmetrize
+    _run(spark, edges, iterations=4)
+
+
+def test_pagerank_total_mass_conserved(spark):
+    # symmetric graph, no dangling nodes: Σrank stays ≈ node count
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edges += [(d, s) for s, d in edges]
+    got = _run(spark, sorted(set(edges)), iterations=5)
+    assert sum(got.values()) == pytest.approx(len(got), rel=1e-9)
+
+
+def _brute_skyline(points):
+    # keep p unless some q has (price<=, size>=) with one strict
+    out = []
+    for i, (pp, ps) in enumerate(points):
+        dominated = any(
+            (qp <= pp and qs >= ps and (qp < pp or qs > ps))
+            for j, (qp, qs) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((pp, ps))
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    from pyspark.sql import Window as W
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(100), rng.randrange(50)) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pts)], "id long, price long, size long"
+    )
+    lvl = df.groupBy("price").agg(F.max("size").alias("msize"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    run = lvl.withColumn("prev", F.max("msize").over(w))
+    got = sorted(
+        (r["price"], r["size"])
+        for r in df.join(run, "price")
+        .filter(
+            (F.col("size") == F.col("msize"))
+            & (F.col("prev").isNull() | (F.col("size") > F.col("prev")))
+        )
+        .collect()
+    )
+    assert got == _brute_skyline(pts)
