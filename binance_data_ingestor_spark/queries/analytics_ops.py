@@ -195,11 +195,56 @@ FROM b GROUP BY bin, lo, hi
 """
 
 
+# --------------------------------------------------------------------------
+# q107 — trailing 7-day distinct active users per day (the classic
+# WAU-by-day metric). Exact sliding-window distinct is not
+# window-function-expressible, so the scale-correct plan is the
+# bounded expand: each (user, day) row contributes to the ≤7 window
+# ends it can appear in (explode of a 7-element date sequence), then
+# one count-distinct shuffle keyed by window end. That is a fixed 7×
+# blowup of the *deduplicated* (user, day) set — at 100 TB the dedup
+# happens first and the expand stays linear, vs. the quadratic
+# day×activity range join the naive SQL form (used as the oracle
+# here) would need. Window ends past the observed calendar are
+# dropped with a broadcast semi-join on real days.
+# --------------------------------------------------------------------------
+def q107_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "day"
+        ),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("d", "day")), "day", "semi"
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
+
+
+Q107_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT w.d AS day, count(DISTINCT u.user_id) AS users_7d
+FROM days w JOIN ud u ON u.d BETWEEN w.d - 6 AND w.d
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
     "q78_funnel": q78_funnel,
     "q79_value_histogram": q79_value_histogram,
+    "q107_rolling_distinct_users": q107_rolling_distinct_users,
 }
 
 ORACLES = {
@@ -207,4 +252,5 @@ ORACLES = {
     "q77_cohort_retention": Q77_SQL,
     "q78_funnel": Q78_SQL,
     "q79_value_histogram": Q79_SQL,
+    "q107_rolling_distinct_users": Q107_SQL,
 }

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_stats
 from .util import load
 
 _ITERS = 3
@@ -78,10 +78,61 @@ FROM r{_ITERS} WHERE node >= {_SUPP_BASE}
 )
 
 
+# --------------------------------------------------------------------------
+# q105 — triangle census of the part co-purchase graph. Nodes are
+# parts; an undirected edge connects two parts that appear together in
+# ≥2 distinct orders (the weight floor sparsifies away one-off
+# co-occurrence noise, the same move a 100 TB run needs to keep the
+# wedge space bounded). The operator enumerates wedges on a
+# degree-ordered orientation (operators/graph.triangle_stats) so hub
+# parts can't blow up the intermediate; the DuckDB oracle uses the
+# naive key-ordered 3-way join — triangle count is
+# orientation-invariant, which is exactly what makes it checkable.
+# --------------------------------------------------------------------------
+def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = li.distinct()
+    a, b = pr.alias("a"), pr.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return triangle_stats(edges)
+
+
+Q105_SQL = """
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT n, count(*) AS deg FROM
+          (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+       CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       round(3.0 * (SELECT n_triangles FROM tri)
+             / sum(deg * (deg - 1) / 2), 6) AS global_cc
+FROM deg
+"""
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
+    "q105_triangle_count": q105_triangle_count,
 }
 
 ORACLES = {
     "q99_pagerank": Q99_SQL,
+    "q105_triangle_count": Q105_SQL,
 }

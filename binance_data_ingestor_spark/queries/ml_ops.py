@@ -126,12 +126,102 @@ ASOF LEFT JOIN ck ON t.user_id = ck.user_id AND t.ts >= ck.ts
 """
 
 
+# --------------------------------------------------------------------------
+# q106 — market-basket association mining over order baskets: for part
+# pairs co-purchased in ≥2 distinct orders, support / directional
+# confidence / lift, top-20 by lift. The pair expansion is the same
+# codegen'd distinct self-join as the dedup family (per-basket
+# quadratic, bounded by max basket size ~13); per-item counts join
+# back onto the pairs keyed by part, and the single basket-count row
+# broadcasts. Ranking rounds lift to 9 dp BEFORE the top-k sort so
+# float ties break identically on both engines (then u, v as total
+# tie-break).
+# --------------------------------------------------------------------------
+def q106_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("pc"))
+        .filter(F.col("pc") >= 2)
+    )
+    scored = (
+        pairs.join(item.select(F.col("p").alias("u"), F.col("cnt").alias("cu")), "u")
+        .join(item.select(F.col("p").alias("v"), F.col("cnt").alias("cv")), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u",
+            "v",
+            "pc",
+            F.round(F.col("pc") / F.col("n_orders"), 6).alias("support_r"),
+            F.round(F.col("pc") / F.col("cu"), 6).alias("conf_uv_r"),
+            F.round(F.col("pc") / F.col("cv"), 6).alias("conf_vu_r"),
+            F.round(
+                F.col("pc") * F.col("n_orders") / (F.col("cu") * F.col("cv")), 9
+            ).alias("lift_key"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift_key").desc(), "u", "v")
+        .limit(20)
+        .select(
+            "u",
+            "v",
+            "pc",
+            "support_r",
+            "conf_uv_r",
+            "conf_vu_r",
+            F.round("lift_key", 6).alias("lift_r"),
+        )
+    )
+
+
+Q106_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item AS (SELECT l_partkey AS p, count(*) AS cnt FROM baskets GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS pc
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+scored AS (
+  SELECT u, v, pc,
+         round(pc / CAST(n_orders AS DOUBLE), 6) AS support_r,
+         round(pc / CAST(cu.cnt AS DOUBLE), 6) AS conf_uv_r,
+         round(pc / CAST(cv.cnt AS DOUBLE), 6) AS conf_vu_r,
+         round(pc * n_orders / CAST(cu.cnt * cv.cnt AS DOUBLE), 9) AS lift_key
+  FROM pairs
+  JOIN item cu ON cu.p = pairs.u
+  JOIN item cv ON cv.p = pairs.v
+  CROSS JOIN n)
+SELECT u, v, pc, support_r, conf_uv_r, conf_vu_r,
+       round(lift_key, 6) AS lift_r
+FROM scored ORDER BY lift_key DESC, u, v LIMIT 20
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q90_pit_features": q90_pit_features,
+    "q106_copurchase_lift": q106_copurchase_lift,
 }
 
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
     "q90_pit_features": Q90_SQL,
+    "q106_copurchase_lift": Q106_SQL,
 }
