@@ -196,6 +196,53 @@ FROM b GROUP BY bin, lo, hi
 
 
 # --------------------------------------------------------------------------
+# q110 — peak concurrent user presence per day. Each user's presence
+# on a day is the closed interval [first event, last event]; the peak
+# is evaluated at interval starts only (the maximum of a step function
+# that only rises at starts), so the operator is an equi-join on day
+# + a range predicate instead of an order-dependent sweep — no
+# tie-break semantics to keep aligned across engines. The per-day
+# self-join is quadratic in concurrent-users-per-day (bounded by
+# DAU, partitioned by day); at 100 TB cardinalities the same query
+# drops to the sweep-line form over (ts, ±1) deltas partitioned by
+# day, which is one sort per day-partition.
+# --------------------------------------------------------------------------
+def q110_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id", "ts")
+        .groupBy("day", "user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("b.s") <= F.col("a.s"))
+            & (F.col("b.e") >= F.col("a.s")),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.user_id"))
+        .agg(F.count("*").alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak_concurrent"))
+    )
+
+
+Q110_SQL = """
+WITH iv AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                   min(ts) AS s, max(ts) AS e
+            FROM events GROUP BY 1, 2)
+SELECT a.day AS day, max(cnt) AS peak_concurrent
+FROM (SELECT a.day, a.user_id, count(*) AS cnt
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND b.s <= a.s AND b.e >= a.s
+      GROUP BY 1, 2) a
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q107 — trailing 7-day distinct active users per day (the classic
 # WAU-by-day metric). Exact sliding-window distinct is not
 # window-function-expressible, so the scale-correct plan is the
@@ -245,6 +292,7 @@ QUERIES = {
     "q78_funnel": q78_funnel,
     "q79_value_histogram": q79_value_histogram,
     "q107_rolling_distinct_users": q107_rolling_distinct_users,
+    "q110_peak_concurrency": q110_peak_concurrency,
 }
 
 ORACLES = {
@@ -253,4 +301,5 @@ ORACLES = {
     "q78_funnel": Q78_SQL,
     "q79_value_histogram": Q79_SQL,
     "q107_rolling_distinct_users": Q107_SQL,
+    "q110_peak_concurrency": Q110_SQL,
 }

@@ -727,6 +727,42 @@ WHERE p_size = msize AND (prev_max IS NULL OR p_size > prev_max)
 """
 
 
+# --------------------------------------------------------------------------
+# q109 — recursive CTE (Spark 4.x WITH RECURSIVE): walk each supplier
+# up the synthetic binary hierarchy parent(k) = k DIV 2 down to root 1,
+# accumulating depth and the account-balance sum along the ancestor
+# chain. Exercises the engine's native recursive-query execution
+# (iterative UNION ALL expansion with a working table — ~log2(N)
+# rounds here, each one keyed join against the broadcast-able supplier
+# dim). The DuckDB oracle runs the identical recursion (only the
+# integer-division operator differs by dialect). Chain sums accumulate
+# in a fixed order (leaf→root), so float results are bit-stable across
+# engines before the final round.
+# --------------------------------------------------------------------------
+def _q109_sql(intdiv: str) -> str:
+    return f"""
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS suppkey, s_suppkey AS cur,
+         s_acctbal AS bal, 1 AS depth
+  FROM supplier_q109
+  UNION ALL
+  SELECT c.suppkey, p.s_suppkey, c.bal + p.s_acctbal, c.depth + 1
+  FROM chain c JOIN supplier_q109 p ON p.s_suppkey = {intdiv}
+  WHERE c.cur > 1
+)
+SELECT suppkey, depth, round(bal, 2) AS anc_bal_r
+FROM chain WHERE cur = 1
+"""
+
+
+def q109_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q109")
+    return spark.sql(_q109_sql("c.cur DIV 2"))
+
+
+Q109_SQL = _q109_sql("c.cur // 2").replace("supplier_q109", "supplier")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -748,6 +784,7 @@ QUERIES = {
     "q18_big_orders": q18_big_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q103_skyline": q103_skyline,
+    "q109_recursive_hierarchy": q109_recursive_hierarchy,
 }
 
 ORACLES = {
@@ -771,4 +808,5 @@ ORACLES = {
     "q18_big_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q103_skyline": Q103_SQL,
+    "q109_recursive_hierarchy": Q109_SQL,
 }

@@ -451,6 +451,49 @@ FROM fused WHERE fused_rank <= {K}
 """
 
 
+# --------------------------------------------------------------------------
+# q108 — blocked edit-distance similarity self-join (entity-resolution
+# style). Blocking key = 12-char text prefix: candidate generation is
+# an equi-join on the block (one shuffle, pairs only form inside a
+# block), then the verifier is Spark's codegen'd bounded levenshtein
+# (threshold arg → early-exit DP, returns -1 past the bound) on
+# 40-char prefixes. This is the standard scale shape for string
+# similarity joins: cheap blocking bounds the candidate set, the
+# expensive distance only runs inside blocks. At 100 TB you'd salt
+# giant blocks; block sizes here are single-digit.
+# --------------------------------------------------------------------------
+_ED_MAX = 8
+
+
+def q108_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("p"),
+        F.substring("text", 1, 12).alias("blk"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p"), _ED_MAX).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
+Q108_SQL = f"""
+WITH dd AS (SELECT doc_id, substr(text, 1, 40) AS p,
+                   substr(text, 1, 12) AS blk FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.p, b.p) AS dist
+FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {_ED_MAX}
+"""
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -459,6 +502,7 @@ QUERIES = {
     "q66_pq_topk": q66_pq_topk,
     "q67_pq_kmeans_train": q67_pq_kmeans_train,
     "q96_rrf_fusion": q96_rrf_fusion,
+    "q108_editdist_join": q108_editdist_join,
 }
 
 # q67 is intentionally absent from ORACLES (iterative training —
@@ -470,4 +514,5 @@ ORACLES = {
     "q53_ivf_topk": Q53_SQL,
     "q66_pq_topk": Q66_SQL,
     "q96_rrf_fusion": Q96_SQL,
+    "q108_editdist_join": Q108_SQL,
 }
