@@ -202,14 +202,189 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q111 — truncated-window EWMA smoothing of the daily mean value per
+# event_type: weights a·(1-a)^i over the trailing 10 days, normalized
+# by the weight mass actually present (series edges use the partial
+# mass, the standard `adjust=True` convention). A 10-term trailing
+# EWMA is exactly window-expressible as 10 lag() taps sharing ONE
+# Window sort — no recursion, no state, no applyInPandas; the exact
+# infinite-memory recurrence is deliberately avoided because its
+# (1-a)^(-t) rescaling trick overflows on long series and a recursive
+# form would serialize per key. Weighted taps are summed in a fixed
+# left-to-right chain so both engines evaluate bit-identically.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 10
+
+
+def q111_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(_EWMA_TAPS):
+        wt = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i
+        tap = F.lag("v", i).over(w)
+        num = num + F.when(tap.isNotNull(), F.lit(wt) * tap).otherwise(F.lit(0.0))
+        den = den + F.when(tap.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("v", 6).alias("daily_mean_r"),
+        F.round(num / den, 6).alias("ewma_r"),
+    )
+
+
+def _ewma_terms() -> tuple[str, str]:
+    lagv = "lag(v, {i}) OVER (PARTITION BY event_type ORDER BY day)"
+    num, den = "0.0", "0.0"
+    for i in range(_EWMA_TAPS):
+        wt = repr(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i)
+        tap = lagv.format(i=i)
+        num += f" + (CASE WHEN {tap} IS NOT NULL THEN {wt} * {tap} ELSE 0.0 END)"
+        den += f" + (CASE WHEN {tap} IS NOT NULL THEN {wt} ELSE 0.0 END)"
+    return num, den
+
+
+_N, _D = _ewma_terms()
+
+Q111_SQL = f"""
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      avg(value) AS v
+               FROM events GROUP BY 1, 2)
+SELECT event_type, day, round(v, 6) AS daily_mean_r,
+       round(({_N}) / ({_D}), 6) AS ewma_r
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# q112 — maximum drawdown per event_type over the cumulative daily
+# value curve: running-max minus current, argmax with earliest-day
+# tie-break. Two stacked windows on the same (event_type, day) sort —
+# cumulative sum and running max collapse into one Window node — then
+# a row_number pick. Drawdowns are rounded BEFORE the argmax so float
+# ties resolve identically on both engines.
+# --------------------------------------------------------------------------
+def q112_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = daily.select(
+        "event_type", "day", F.sum("v").over(w).alias("equity")
+    )
+    dd = curve.select(
+        "event_type",
+        "day",
+        F.round(
+            F.max("equity").over(w) - F.col("equity"), 6
+        ).alias("dd_r"),
+    )
+    pick = W.partitionBy("event_type").orderBy(F.desc("dd_r"), F.asc("day"))
+    return (
+        dd.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            F.col("dd_r").alias("max_drawdown_r"),
+        )
+    )
+
+
+Q112_SQL = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      sum(value) AS v
+               FROM events GROUP BY 1, 2),
+curve AS (SELECT event_type, day,
+                 sum(v) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS equity
+          FROM daily),
+dd AS (SELECT event_type, day,
+              round(max(equity) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)
+                    - equity, 6) AS dd_r
+       FROM curve),
+pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dd_r DESC, day ASC) AS rk
+         FROM dd)
+SELECT event_type, day AS trough_day, dd_r AS max_drawdown_r
+FROM pick WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q113 — seasonal-naive forecast backtest: predict each day's total
+# value per event_type with the value 7 days (one season) earlier,
+# then score MAE and sMAPE over the days where the lag exists. One
+# shuffle for the daily aggregate, one keyed window for the lag, a
+# groups-sized final aggregate — the canonical shape of a forecasting
+# backtest as a query instead of a driver loop.
+# --------------------------------------------------------------------------
+_SEASON_DAYS = 7
+
+
+def q113_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", _SEASON_DAYS).over(w).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    err = F.abs(F.col("f") - F.col("v"))
+    smape = F.lit(2.0) * err / (F.abs("f") + F.abs("v"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg(err), 6).alias("mae_r"),
+        F.round(F.avg(smape), 6).alias("smape_r"),
+    )
+
+
+Q113_SQL = f"""
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      sum(value) AS v
+               FROM events GROUP BY 1, 2),
+scored AS (SELECT event_type, v,
+                  lag(v, {_SEASON_DAYS}) OVER (PARTITION BY event_type
+                                               ORDER BY day) AS f
+           FROM daily)
+SELECT event_type, count(*) AS n_days,
+       round(avg(abs(f - v)), 6) AS mae_r,
+       round(avg(2.0 * abs(f - v) / (abs(f) + abs(v))), 6) AS smape_r
+FROM scored WHERE f IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q83_rolling_zscore": q83_rolling_zscore,
     "q104_rolling_corr": q104_rolling_corr,
+    "q111_ewma": q111_ewma,
+    "q112_max_drawdown": q112_max_drawdown,
+    "q113_seasonal_backtest": q113_seasonal_backtest,
 }
 
 ORACLES = {
     "q82_gapfill_locf": Q82_SQL,
     "q83_rolling_zscore": Q83_SQL,
     "q104_rolling_corr": Q104_SQL,
+    "q111_ewma": Q111_SQL,
+    "q112_max_drawdown": Q112_SQL,
+    "q113_seasonal_backtest": Q113_SQL,
 }
