@@ -134,14 +134,104 @@ WHERE b.event_id IS NULL OR b.event_id <> m.event_id
 """
 
 
+# --------------------------------------------------------------------------
+# q115 — snapshot reconciliation (dataset diff): given two versions of
+# the orders table, report added / removed / changed / unchanged row
+# counts plus per-column change counts — the audit a pipeline runs
+# after every backfill. The two "snapshots" are derived
+# deterministically from orders by key arithmetic (A drops key%7=0,
+# B drops key%5=0, reprices key%3=0 and re-statuses key%11=0), so the
+# diff is reproducible without extra fixtures. Core op: one full outer
+# join on the key — single co-partitioned shuffle pair; all
+# classification is row-local column compare after it. Prices compare
+# as integer cents (CAST(round(p*100)) then *11/10 integer math), so
+# no float-equality hazard crosses the engines.
+# --------------------------------------------------------------------------
+def q115_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_b"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("cents") * 11 / 10).cast("long"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents_b"),
+    )
+    j = snap_a.join(snap_b, "o_orderkey", "full_outer")
+    is_add = F.col("cents_a").isNull()
+    is_rm = F.col("cents_b").isNull()
+    price_chg = (
+        ~is_add & ~is_rm & (F.col("cents_a") != F.col("cents_b"))
+    ).cast("long")
+    status_chg = (
+        ~is_add & ~is_rm & (F.col("status_a") != F.col("status_b"))
+    ).cast("long")
+    return j.agg(
+        F.sum(is_add.cast("long")).alias("n_added"),
+        F.sum(is_rm.cast("long")).alias("n_removed"),
+        F.sum(F.greatest(price_chg, status_chg)).alias("n_changed"),
+        F.sum(
+            (~is_add & ~is_rm).cast("long")
+            - F.greatest(price_chg, status_chg)
+        ).alias("n_unchanged"),
+        F.sum(price_chg).alias("n_price_changed"),
+        F.sum(status_chg).alias("n_status_changed"),
+    )
+
+
+Q115_SQL = """
+WITH o AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+a AS (SELECT o_orderkey, o_orderstatus AS status_a, cents AS cents_a
+      FROM o WHERE o_orderkey % 7 <> 0),
+b AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS status_b,
+             CASE WHEN o_orderkey % 3 = 0 THEN cents * 11 // 10
+                  ELSE cents END AS cents_b
+      FROM o WHERE o_orderkey % 5 <> 0),
+j AS (SELECT a.o_orderkey, status_a, cents_a, status_b, cents_b,
+             (cents_a IS NULL)::INT AS is_add,
+             (cents_b IS NULL)::INT AS is_rm,
+             CASE WHEN cents_a IS NOT NULL AND cents_b IS NOT NULL
+                       AND cents_a <> cents_b THEN 1 ELSE 0 END AS pchg,
+             CASE WHEN cents_a IS NOT NULL AND cents_b IS NOT NULL
+                       AND status_a <> status_b THEN 1 ELSE 0 END AS schg
+      FROM a FULL OUTER JOIN b USING (o_orderkey))
+SELECT sum(is_add) AS n_added,
+       sum(is_rm) AS n_removed,
+       sum(greatest(pchg, schg)) AS n_changed,
+       sum(1 - is_add - is_rm - greatest(pchg, schg)) AS n_unchanged,
+       sum(pchg) AS n_price_changed,
+       sum(schg) AS n_status_changed
+FROM j
+"""
+
+
 QUERIES = {
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
     "q75_upsert_audit": q75_upsert_audit,
+    "q115_snapshot_diff": q115_snapshot_diff,
 }
 
 ORACLES = {
     "q73_latest_snapshot": Q73_SQL,
     "q74_scd2": Q74_SQL,
     "q75_upsert_audit": Q75_SQL,
+    "q115_snapshot_diff": Q115_SQL,
 }

@@ -191,11 +191,98 @@ WHERE cnt >= tot * {HH_MIN_SHARE}
 """
 
 
+# --------------------------------------------------------------------------
+# q116 — count-min sketch frequency estimation with an error
+# certificate. Three md5-derived hash rows × 32 buckets (deliberately
+# tight so collisions actually occur and the overestimate is visible):
+# building the sketch is d map-side-combinable groupBys over the token
+# stream (the sketch is O(d·w) — the whole point is that it never
+# shuffles the vocabulary); querying estimates the top-20 exact tokens
+# as min over rows of their bucket counts. Output carries exact count,
+# CM estimate, and the overestimate — `over_est ≥ 0` always (CM never
+# underestimates), which the oracle proves cell-by-cell since both
+# engines rebuild the identical sketch from the identical hashes.
+# --------------------------------------------------------------------------
+CM_W = 32
+CM_D = 3
+
+
+def _cm_hash(dialect: str, j: int) -> str:
+    return hash_bucket_sql(
+        dialect, col=f"concat('{j}:', token)", mod=CM_W
+    )
+
+
+def q116_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = (
+        exact.orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+        .select("token", "exact_cnt")
+    )
+    est = None
+    for j in range(CM_D):
+        bucket = F.expr(_cm_hash("spark", j))
+        row = (
+            toks.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("bc"))
+        )
+        probe = top.select(
+            "token", "exact_cnt", F.expr(_cm_hash("spark", j)).alias("b")
+        ).join(F.broadcast(row), "b")
+        cur = probe.select(
+            "token", "exact_cnt", F.col("bc").alias(f"est_{j}")
+        )
+        est = cur if est is None else est.join(
+            cur.select("token", f"est_{j}"), "token"
+        )
+    return est.select(
+        "token",
+        "exact_cnt",
+        F.least(*[F.col(f"est_{j}") for j in range(CM_D)]).alias("cm_est"),
+        (
+            F.least(*[F.col(f"est_{j}") for j in range(CM_D)])
+            - F.col("exact_cnt")
+        ).alias("over_est"),
+    )
+
+
+def _cm_sql() -> str:
+    rows = "\n".join(
+        f"r{j} AS (SELECT {_cm_hash('duckdb', j)} AS b, count(*) AS bc"
+        f" FROM toks GROUP BY 1),"
+        for j in range(CM_D)
+    )
+    joins = "\n".join(
+        f"JOIN r{j} ON r{j}.b = {_cm_hash('duckdb', j)}"
+        for j in range(CM_D)
+    )
+    est = "least(" + ", ".join(f"r{j}.bc" for j in range(CM_D)) + ")"
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+{rows}
+top AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token
+        ORDER BY exact_cnt DESC, token LIMIT 20)
+SELECT token, exact_cnt, {est} AS cm_est,
+       {est} - exact_cnt AS over_est
+FROM top
+{joins}
+"""
+
+
+Q116_SQL = _cm_sql()
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
     "q87_grouped_split": q87_grouped_split,
     "q88_heavy_hitters": q88_heavy_hitters,
+    "q116_countmin": q116_countmin,
 }
 
 ORACLES = {
@@ -203,4 +290,5 @@ ORACLES = {
     "q86_column_profile": Q86_SQL,
     "q87_grouped_split": Q87_SQL,
     "q88_heavy_hitters": Q88_SQL,
+    "q116_countmin": Q116_SQL,
 }

@@ -217,14 +217,72 @@ FROM cells JOIN totals USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q114 — chi-square test of independence between document language and
+# source (is the corpus mix balanced, or does each source skew to its
+# own languages?). Observed counts are one tiny groupBy; expected
+# counts come from the row/column marginal product over the FULL
+# R×C grid (zero cells included — built by crossing the two marginal
+# aggregates, which are groups-sized, then left-joining observed).
+# Everything after the first shuffle operates on ≤ R×C rows, so the
+# statistic costs one scan regardless of corpus size.
+# --------------------------------------------------------------------------
+def q114_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    return grid.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6
+        ).alias("chi2_r"),
+        (
+            (F.count_distinct("lang") - 1)
+            * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        F.sum("o").alias("n_docs"),
+    )
+
+
+Q114_SQL = """
+WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs),
+grid AS (SELECT rt.lang, ct.source, coalesce(obs.o, 0) AS o,
+                rt * ct / CAST(n AS DOUBLE) AS e
+         FROM rt CROSS JOIN ct
+         LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+         CROSS JOIN n)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2_r,
+       (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+       sum(o) AS n_docs
+FROM grid
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
     "q94_psi_drift": q94_psi_drift,
+    "q114_chi_square": q114_chi_square,
 }
 
 ORACLES = {
     "q91_constraint_audit": Q91_SQL,
     "q92_embedding_covariance": Q92_SQL,
     "q94_psi_drift": Q94_SQL,
+    "q114_chi_square": Q114_SQL,
 }
