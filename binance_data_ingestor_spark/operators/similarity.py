@@ -182,6 +182,96 @@ def _centroid_sims(vec_col: Column, cents: list[list[float]]) -> Column:
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid cell assignment: one Arrow-batched GEMM against
+    the (tiny) centroid matrix. Returns (out_id, cell, vec). Argmax
+    takes the first occurrence on ties, matching
+    list_position(s, list_max(s)) on the DuckDB oracle side."""
+    C = np.array(cents, dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = _matrix(pdf["vec"])
+            v_norm = np.sqrt((M * M).sum(axis=1))
+            S = (M @ C.T) / np.outer(v_norm, c_norm)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id],
+                    "cell": S.argmax(axis=1).astype("int32"),
+                    "vec": pdf["vec"],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(out_id), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign, f"{out_id} long, cell int, vec array<float>")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-quantize into
+    centroid cells, then prune every vector that has a lower-id
+    near-duplicate (rounded cosine ≥ threshold) inside its cell.
+
+    Scale shape: the O(n²) similarity never crosses cells — each cell
+    is one applyInPandas group doing a single float64 GEMM, so total
+    work is Σ|cell|² instead of n², and the only shuffle is the
+    groupBy(cell). Keeping the lowest id per near-dup neighborhood is
+    the deterministic representative rule (no RNG, no iteration
+    order). Returns the PRUNED rows: (vec_id, cell, witness_id,
+    witness_cos_r, n_witnesses) where witness_id is the smallest
+    qualifying lower id.
+    """
+    thr = float(threshold)
+    cells = assign_cells(df, centroids(dim, n_centroids, seed),
+                         id_col=id_col, vec_col=vec_col)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        M = _matrix(pdf["vec"])
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        n = len(ids)
+        qual = (S >= thr) & (np.arange(n)[:, None] < np.arange(n)[None, :])
+        out = []
+        for j in range(n):
+            wit = np.nonzero(qual[:, j])[0]
+            if len(wit):
+                w = wit[0]  # ids sorted ascending ⇒ first hit = min id
+                out.append(
+                    (ids[j], int(pdf["cell"].iloc[0]), ids[w],
+                     S[w, j], len(wit))
+                )
+        return pd.DataFrame(
+            out,
+            columns=["vec_id", "cell", "witness_id",
+                     "witness_cos_r", "n_witnesses"],
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        lambda _, pdf: prune(pdf),
+        "vec_id long, cell int, witness_id long, "
+        "witness_cos_r double, n_witnesses long",
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -206,28 +296,9 @@ def ivf_topk(
     query-side probe scoring stays in column expressions (|Q| is small).
     """
     cents = centroids(dim, n_centroids, seed)
-
-    C = np.array(cents, dtype=np.float64)
-    c_norm = np.sqrt((C * C).sum(axis=1))
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            M = _matrix(pdf["c_vec"])
-            v_norm = np.sqrt((M * M).sum(axis=1))
-            S = (M @ C.T) / np.outer(v_norm, c_norm)
-            # argmax = first occurrence on ties, matching array_position/
-            # list_position(list_max) on the oracle side
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cell": S.argmax(axis=1).astype("int32"),
-                    "c_vec": pdf["c_vec"],
-                }
-            )
-
-    c = candidates.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).mapInPandas(assign, "neighbor_id long, cell int, c_vec array<float>")
+    c = assign_cells(
+        candidates, cents, id_col=id_col, vec_col=vec_col, out_id="neighbor_id"
+    ).withColumnRenamed("vec", "c_vec")
 
     q_sims = _centroid_sims(F.col(vec_col), cents)
     q_cells = queries.select(

@@ -222,11 +222,98 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# q119 — incremental aggregate maintenance: the per-priority
+# (count, revenue) rollup of snapshot A is advanced to snapshot B by
+# applying only the CDC delta (inserts +x, deletes -x, updates
+# new-old), never rescanning B. The oracle recomputes the rollup
+# directly from B — the hash-match IS the proof that the delta
+# algebra (sum/count are self-maintainable aggregates) lands on the
+# exact full-recompute answer. Snapshots derive from orders by the
+# same key arithmetic as q115; revenue stays in integer cents so
+# maintenance arithmetic is exact. Scale shape: the delta join is
+# keyed by o_orderkey (co-partitioned), the maintained rollup is
+# groups-sized — the whole update costs O(delta), the point of the
+# operator.
+# --------------------------------------------------------------------------
+def q119_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio_b"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.expr("cents * 11 div 10"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents_b"),
+    )
+    agg_a = a.groupBy(F.col("prio_a").alias("o_orderpriority")).agg(
+        F.count("*").alias("n_a"), F.sum("cents_a").alias("cents_sum_a")
+    )
+    delta = (
+        a.join(b, "o_orderkey", "full_outer")
+        .filter(
+            F.col("cents_a").isNull()
+            | F.col("cents_b").isNull()
+            | (F.col("cents_a") != F.col("cents_b"))
+        )
+        .select(
+            F.coalesce("prio_b", "prio_a").alias("o_orderpriority"),
+            (
+                F.coalesce("cents_b", F.lit(0))
+                - F.coalesce("cents_a", F.lit(0))
+            ).alias("d_cents"),
+            (
+                F.col("cents_b").isNotNull().cast("long")
+                - F.col("cents_a").isNotNull().cast("long")
+            ).alias("d_cnt"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("d_cents").alias("d_cents"), F.sum("d_cnt").alias("d_cnt"))
+    )
+    return (
+        agg_a.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("n_a", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("cents_sum_a", F.lit(0))
+                + F.coalesce("d_cents", F.lit(0))
+            ).alias("cents_sum"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+Q119_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+         AS cents_sum
+FROM orders WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
     "q75_upsert_audit": q75_upsert_audit,
     "q115_snapshot_diff": q115_snapshot_diff,
+    "q119_incremental_agg": q119_incremental_agg,
 }
 
 ORACLES = {
@@ -234,4 +321,5 @@ ORACLES = {
     "q74_scd2": Q74_SQL,
     "q75_upsert_audit": Q75_SQL,
     "q115_snapshot_diff": Q115_SQL,
+    "q119_incremental_agg": Q119_SQL,
 }

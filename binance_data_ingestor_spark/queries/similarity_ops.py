@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     centroids,
+    semantic_dedup,
     codebooks,
     cosine_neardup_pairs,
     hyperplanes,
@@ -494,6 +495,65 @@ WHERE levenshtein(a.p, b.p) <= {_ED_MAX}
 """
 
 
+# --------------------------------------------------------------------------
+# q118 — SemDeDup-style semantic deduplication: coarse IVF cells
+# (same deterministic centroids as q53), then inside each cell prune
+# every vector with a lower-id near-duplicate at rounded cosine ≥
+# 0.4, keeping the smallest id as the representative. The quadratic
+# similarity never crosses cells (one GEMM per cell via
+# applyInPandas; the only shuffle is groupBy(cell)), which is what
+# makes embedding-level dedup tractable at corpus scale. Output =
+# the pruned rows with their witness (smallest qualifying lower id).
+# --------------------------------------------------------------------------
+SEMDEDUP_T = 0.4
+
+
+def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        threshold=SEMDEDUP_T,
+        n_centroids=N_CENTROIDS,
+        dim=DIM,
+        seed=7,
+    )
+
+
+def _semdedup_sql() -> str:
+    cents = centroids(DIM, N_CENTROIDS, seed=7)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT vec_id, v,
+         list_transform(cl, c -> list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) AS s
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell FROM sims
+),
+pairs AS (
+  SELECT a.cell AS cell, a.vec_id AS a, b.vec_id AS b,
+         round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_r
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT b AS vec_id, cell, min(a) AS witness_id,
+       arg_min(cos_r, a) AS witness_cos_r,
+       count(*) AS n_witnesses
+FROM pairs WHERE cos_r >= {SEMDEDUP_T}
+GROUP BY b, cell
+"""
+
+
+Q118_SQL = _semdedup_sql()
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -503,6 +563,7 @@ QUERIES = {
     "q67_pq_kmeans_train": q67_pq_kmeans_train,
     "q96_rrf_fusion": q96_rrf_fusion,
     "q108_editdist_join": q108_editdist_join,
+    "q118_semantic_dedup": q118_semantic_dedup,
 }
 
 # q67 is intentionally absent from ORACLES (iterative training —
@@ -515,4 +576,5 @@ ORACLES = {
     "q66_pq_topk": Q66_SQL,
     "q96_rrf_fusion": Q96_SQL,
     "q108_editdist_join": Q108_SQL,
+    "q118_semantic_dedup": Q118_SQL,
 }

@@ -1242,6 +1242,93 @@ FROM r WHERE rk <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# q117 — interpolated bigram language-model surprisal per document
+# (the KenLM-style quality filter one order up from q98's unigram
+# score). Model: P(w2|w1) = lambda * c(w1,w2)/ctx(w1)
+# + (1-lambda) * c(w2)/total, fit on the corpus itself; score = mean
+# -ln P over each doc's bigrams. Bigrams come from one posexplode +
+# a per-doc lag window (shuffle keyed by doc_id); the bigram model
+# join is keyed by (w1, w2) and the unigram/total factors ride along
+# broadcast — the same partial-agg + model-join shape as q98, one
+# extra keyed join for the conditional counts. The vocabulary-sized
+# model tables shuffle, never broadcast (they scale with the corpus).
+# --------------------------------------------------------------------------
+_LM_LAMBDA = 0.7
+
+
+def q117_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id", F.lag("w").over(wd).alias("w1"), F.col("w").alias("w2")
+        )
+        .filter(F.col("w1").isNotNull())
+        .localCheckpoint(eager=True)  # feeds the model AND the scoring join
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    uni = c2.groupBy("w2").agg(F.sum("c2").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    model = (
+        c2.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.lit(_LM_LAMBDA) * (F.col("c2") / F.col("ctx"))
+                + F.lit(1.0 - _LM_LAMBDA) * (F.col("c1") / F.col("total"))
+            ).alias("p"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("bigram_surprisal_r"),
+        )
+    )
+
+
+Q117_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         w AS w2
+  FROM toks QUALIFY w1 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS ctx FROM c2 GROUP BY 1),
+uni AS (SELECT w2, sum(c2) AS c1 FROM c2 GROUP BY 1),
+total AS (SELECT sum(c1) AS total FROM uni),
+model AS (
+  SELECT w1, w2,
+         {_LM_LAMBDA} * (c2 / CAST(ctx AS DOUBLE))
+         + {1.0 - _LM_LAMBDA} * (c1 / CAST(total AS DOUBLE)) AS p
+  FROM c2 JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(p)), 6) AS bigram_surprisal_r
+FROM big JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1270,6 +1357,7 @@ QUERIES = {
     "q100_token_mi": q100_token_mi,
     "q101_token_entropy": q101_token_entropy,
     "q102_weighted_sample": q102_weighted_sample,
+    "q117_bigram_surprisal": q117_bigram_surprisal,
 }
 
 ORACLES = {
@@ -1300,4 +1388,5 @@ ORACLES = {
     "q100_token_mi": Q100_SQL,
     "q101_token_entropy": Q101_SQL,
     "q102_weighted_sample": Q102_SQL,
+    "q117_bigram_surprisal": Q117_SQL,
 }
