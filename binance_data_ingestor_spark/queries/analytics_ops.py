@@ -196,6 +196,136 @@ FROM b GROUP BY bin, lo, hi
 
 
 # --------------------------------------------------------------------------
+# q120 — first-order Markov transition matrix over per-user event
+# sequences: count (prev → next) event-type transitions and the
+# conditional probability per source state. One shuffle keyed by
+# user_id for the lag window; everything after operates on the
+# states² matrix (25 rows), where the per-source normalization runs
+# as a groups-sized window. The row-count certificate n ≥ 1 rules out
+# silent state-space truncation.
+# --------------------------------------------------------------------------
+def q120_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(wu).alias("prev_type"), "event_type"
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p_r"),
+    )
+
+
+Q120_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+),
+trans AS (SELECT prev_type, event_type, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS p_r
+FROM trans
+"""
+
+
+# --------------------------------------------------------------------------
+# q121 — funnel transition-time distribution: for users who completed
+# view→click→purchase (q78's funnel operator), the p50/p90 of each
+# step-to-step delay in seconds. Composition proof: the funnel output
+# feeds straight into exact percentile aggregation — one extra
+# groups-sized pass over the per-user funnel rows, nothing re-scans
+# the event log.
+# --------------------------------------------------------------------------
+def q121_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fun = funnel_steps(
+        ev,
+        key="user_id",
+        ts="ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        tie_break="event_id",
+    )
+    full = fun.filter(F.col("purchase_ts").isNotNull()).select(
+        (
+            F.unix_micros("click_ts") - F.unix_micros("view_ts")
+        ).alias("view_to_click_us"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("click_to_purchase_us"),
+    )
+    pct = "percentile_cont({q}) WITHIN GROUP (ORDER BY {c})"
+    return full.agg(
+        F.count("*").alias("n_completed"),
+        F.round(
+            F.expr(pct.format(q=0.5, c="view_to_click_us")) / 1e6, 6
+        ).alias("v2c_p50_s"),
+        F.round(
+            F.expr(pct.format(q=0.9, c="view_to_click_us")) / 1e6, 6
+        ).alias("v2c_p90_s"),
+        F.round(
+            F.expr(pct.format(q=0.5, c="click_to_purchase_us")) / 1e6, 6
+        ).alias("c2p_p50_s"),
+        F.round(
+            F.expr(pct.format(q=0.9, c="click_to_purchase_us")) / 1e6, 6
+        ).alias("c2p_p90_s"),
+    )
+
+
+Q121_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS cand_view
+  FROM events),
+s2 AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                  AND min(cand_view) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      IS NOT NULL
+                 THEN ts END AS cand_click
+  FROM s1),
+s3 AS (
+  SELECT *, CASE WHEN event_type = 'purchase'
+                  AND min(cand_click) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      IS NOT NULL
+                 THEN ts END AS cand_purchase
+  FROM s2),
+fun AS (
+  SELECT user_id,
+         min(cand_view) AS view_ts,
+         min(cand_click) AS click_ts,
+         min(cand_purchase) AS purchase_ts
+  FROM s3 GROUP BY user_id),
+full_funnel AS (
+  SELECT epoch_us(click_ts) - epoch_us(view_ts) AS view_to_click_us,
+         epoch_us(purchase_ts) - epoch_us(click_ts) AS click_to_purchase_us
+  FROM fun WHERE purchase_ts IS NOT NULL)
+SELECT count(*) AS n_completed,
+       round(quantile_cont(view_to_click_us, 0.5) / 1e6, 6) AS v2c_p50_s,
+       round(quantile_cont(view_to_click_us, 0.9) / 1e6, 6) AS v2c_p90_s,
+       round(quantile_cont(click_to_purchase_us, 0.5) / 1e6, 6) AS c2p_p50_s,
+       round(quantile_cont(click_to_purchase_us, 0.9) / 1e6, 6) AS c2p_p90_s
+FROM full_funnel
+"""
+
+
+# --------------------------------------------------------------------------
 # q110 — peak concurrent user presence per day. Each user's presence
 # on a day is the closed interval [first event, last event]; the peak
 # is evaluated at interval starts only (the maximum of a step function
@@ -293,6 +423,8 @@ QUERIES = {
     "q79_value_histogram": q79_value_histogram,
     "q107_rolling_distinct_users": q107_rolling_distinct_users,
     "q110_peak_concurrency": q110_peak_concurrency,
+    "q120_transition_matrix": q120_transition_matrix,
+    "q121_funnel_timing": q121_funnel_timing,
 }
 
 ORACLES = {
@@ -302,4 +434,6 @@ ORACLES = {
     "q79_value_histogram": Q79_SQL,
     "q107_rolling_distinct_users": Q107_SQL,
     "q110_peak_concurrency": Q110_SQL,
+    "q120_transition_matrix": Q120_SQL,
+    "q121_funnel_timing": Q121_SQL,
 }

@@ -390,7 +390,12 @@ def q35_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_trades"),
         F.sum("qc").alias("base_vol_cents"),
         F.round(
-            (F.sum(F.col("pc") * F.col("qc")) / F.sum("qc")) / 100.0, 6
+            (
+                F.sum(F.col("pc") * F.col("qc"))
+                / F.nullif(F.sum("qc"), F.lit(0))
+            )
+            / 100.0,
+            6,
         ).alias("vwap_r"),
     )
 
@@ -402,7 +407,7 @@ WITH t AS (
   FROM events
 )
 SELECT symbol, minute, count(*) AS n_trades, sum(qc) AS base_vol_cents,
-       round((sum(pc * qc) / sum(qc)) / 100.0, 6) AS vwap_r
+       round((sum(pc * qc) / nullif(sum(qc), 0)) / 100.0, 6) AS vwap_r
 FROM t GROUP BY symbol, minute
 """
 

@@ -1,0 +1,182 @@
+"""Randomized checks for the operators added in the q105-q121 wave:
+triangle census, semantic dedup, and the incremental-agg delta algebra.
+
+The oracle suite proves fixture-scale agreement with DuckDB; these
+tests prove the operators on inputs the fixtures don't exercise
+(random graphs, adversarial cells, random CDC batches) against
+brute-force references.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _random_edges(rng: random.Random, n_nodes: int, n_edges: int):
+    seen = set()
+    while len(seen) < n_edges:
+        u = rng.randrange(n_nodes)
+        v = rng.randrange(n_nodes)
+        if u == v:
+            continue
+        seen.add((min(u, v), max(u, v)))
+    return sorted(seen)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_stats_matches_bruteforce(spark, seed):
+    from binance_data_ingestor_spark.operators.graph import triangle_stats
+
+    rng = random.Random(seed)
+    edges = _random_edges(rng, 30, 120)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    assert row.global_cc == round(3.0 * tri / wedges, 6)
+
+
+def test_semantic_dedup_partition_and_witness(spark):
+    from binance_data_ingestor_spark.operators.similarity import (
+        assign_cells,
+        centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 80
+    base = rng.normal(size=(10, dim))
+    # near-dup clusters: each vector is a tiny perturbation of a base
+    vecs = np.array(
+        [base[i % 10] + rng.normal(scale=0.01, size=dim) for i in range(n)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    thr, ncent, seed = 0.9, 4, 7
+    pruned = semantic_dedup(
+        df, threshold=thr, n_centroids=ncent, dim=dim, seed=seed
+    ).collect()
+    cells = {
+        r.vec_id: r.cell
+        for r in assign_cells(df, centroids(dim, ncent, seed)).collect()
+    }
+    # float32 storage round-trip, then float64 math — mirror the operator
+    vf = vecs.astype(np.float32).astype(np.float64)
+    norm = vf / np.linalg.norm(vf, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 6)
+
+    def has_lower_neighbor(j):
+        return any(
+            cos[i, j] >= thr
+            for i in range(j)
+            if cells[i] == cells[j]
+        )
+
+    expected_pruned = {j for j in range(n) if has_lower_neighbor(j)}
+    assert {r.vec_id for r in pruned} == expected_pruned
+    for r in pruned:
+        assert r.witness_id < r.vec_id
+        assert cells[r.witness_id] == r.cell
+        assert r.witness_cos_r >= thr
+        # witness is the SMALLEST qualifying lower id
+        first = min(
+            i
+            for i in range(r.vec_id)
+            if cells[i] == r.cell and cos[i, r.vec_id] >= thr
+        )
+        assert r.witness_id == first
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_incremental_agg_equals_full_recompute(spark, seed):
+    """The q119 delta algebra on random snapshots: maintain agg(A) to
+    agg(B) via the classified diff, compare against agg(B) direct."""
+    rng = random.Random(seed)
+    keys = list(range(200))
+    a_rows = [
+        (k, rng.choice("xyz"), rng.randrange(1000))
+        for k in keys
+        if rng.random() < 0.8
+    ]
+    # B: drop some, mutate some, add some
+    b_rows = []
+    a_keys = {k for k, _, _ in a_rows}
+    for k, g, v in a_rows:
+        r = rng.random()
+        if r < 0.15:
+            continue  # deleted
+        if r < 0.45:
+            b_rows.append((k, g, v + rng.randrange(1, 50)))  # updated
+        else:
+            b_rows.append((k, g, v))
+    for k in range(200, 240):
+        b_rows.append((k, rng.choice("xyz"), rng.randrange(1000)))
+
+    a = spark.createDataFrame(a_rows, "k long, g string, v long")
+    b = spark.createDataFrame(b_rows, "k long, g string, v long")
+
+    agg_a = a.groupBy("g").agg(
+        F.count("*").alias("n_a"), F.sum("v").alias("s_a")
+    )
+    delta = (
+        a.select("k", F.col("g").alias("g_a"), F.col("v").alias("v_a"))
+        .join(
+            b.select("k", F.col("g").alias("g_b"), F.col("v").alias("v_b")),
+            "k",
+            "full_outer",
+        )
+        .filter(
+            F.col("v_a").isNull()
+            | F.col("v_b").isNull()
+            | (F.col("v_a") != F.col("v_b"))
+        )
+        .select(
+            F.coalesce("g_b", "g_a").alias("g"),
+            (F.coalesce("v_b", F.lit(0)) - F.coalesce("v_a", F.lit(0))).alias(
+                "dv"
+            ),
+            (
+                F.col("v_b").isNotNull().cast("long")
+                - F.col("v_a").isNotNull().cast("long")
+            ).alias("dn"),
+        )
+        .groupBy("g")
+        .agg(F.sum("dv").alias("dv"), F.sum("dn").alias("dn"))
+    )
+    maintained = {
+        (r.g, r.n, r.s)
+        for r in agg_a.join(delta, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s_a", F.lit(0)) + F.coalesce("dv", F.lit(0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    direct = {
+        (r.g, r.n, r.s)
+        for r in b.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert maintained == direct
