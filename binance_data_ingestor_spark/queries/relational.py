@@ -763,6 +763,291 @@ def q109_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q109_SQL = _q109_sql("c.cur // 2").replace("supplier_q109", "supplier")
 
 
+# --------------------------------------------------------------------------
+# q122 — TPC-H Q7 shape: bilateral shipping volume between two
+# nations by ship year. Two independent dim chains hang off lineitem
+# (supplier→nation and orders→customer→nation); both nation dims are
+# fixed-size → broadcast, so the only big shuffles are
+# lineitem⨝orders and the final (nation, nation, year) aggregate,
+# which is groups-sized. The pair filter applies post-join on the two
+# broadcast-joined nation names — Catalyst pushes each side's IN
+# filter into its dim.
+# --------------------------------------------------------------------------
+_N1, _N2 = "NATION_1", "NATION_2"
+
+
+def q122_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q122_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = '{_N1}' AND cn.n_name = '{_N2}')
+   OR (sn.n_name = '{_N2}' AND cn.n_name = '{_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q123 — TPC-H Q8 shape: market share of one supplier nation inside
+# one customer region for one part type, by order year. The share is
+# a conditional-sum / total-sum ratio inside one aggregate (no second
+# pass); the denominator is nullif-guarded on both engines (years
+# where the filtered market is empty yield NULL, not an ANSI error —
+# the q35 lesson institutionalized).
+# --------------------------------------------------------------------------
+_MKT_NATION, _MKT_REGION, _MKT_TYPE = "NATION_3", "EUROPE", "PROMO"
+
+
+def q123_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == _MKT_TYPE)
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == _MKT_REGION)
+    cust_dim = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation["n_regionkey"] == region["r_regionkey"],
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_dim = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_dim, F.col("o_custkey") == cust_dim["c_custkey"])
+        .join(supp_dim, li["l_suppkey"] == supp_dim["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == _MKT_NATION, vol).otherwise(0.0))
+                / F.nullif(F.sum(vol), F.lit(0.0)),
+                6,
+            ).alias("mkt_share_r")
+        )
+    )
+
+
+Q123_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = '{_MKT_NATION}'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / nullif(sum(l_extendedprice * (1 - l_discount)), 0.0), 6)
+         AS mkt_share_r
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = '{_MKT_TYPE}' AND r_name = '{_MKT_REGION}'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q124 — TPC-H Q9 shape: product profit by supplier nation and year.
+# (No partsupp table in this star schema — supply cost is proxied as
+# 20% of p_retailprice, mirrored in the oracle.) Part/supplier/nation
+# dims broadcast; profit terms are per-row expressions folded into one
+# aggregate. Profit is emitted as integer cents (per-row round, then
+# exact integer sum) — a straight double SUM rounds differently per
+# accumulation order across engines at .005 boundaries (observed:
+# …2.88 vs …2.87 at sf0.01).
+# --------------------------------------------------------------------------
+def q124_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%o%"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * (F.col("p_retailprice") * 0.2)
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.round(profit * 100).cast("long")).alias("profit_cents")
+        )
+    )
+
+
+Q124_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)
+                       - l_quantity * (p_retailprice * 0.2)) * 100)
+                AS BIGINT)) AS profit_cents
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%o%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q125 — explicit GROUPING SETS (the A4 grouping family beyond
+# rollup/cube): detail, one-dimension subtotal, and grand total in a
+# single Expand + one shuffle. Subtotal rows are labeled via
+# null-coalescing (portable across engines, no grouping_id dialect
+# dependence — group columns are never null in the data, so NULL
+# means "aggregated away").
+# --------------------------------------------------------------------------
+def q125_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q125")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+               coalesce(l_linestatus, 'ALL') AS line_status,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_q125
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+Q125_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# q126 — distribution-analytic window battery: ntile quartile,
+# percent_rank, cume_dist over order value within each priority.
+# One Window node (same partition/order for all three); ntile's
+# row-order dependence is made deterministic with the orderkey
+# tie-break, percent_rank/cume_dist are tie-stable by definition.
+# --------------------------------------------------------------------------
+def q126_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_r"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist_r"),
+    )
+
+
+Q126_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank_r,
+       round(cume_dist() OVER w, 6) AS cume_dist_r
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q127 — array / higher-order-function surface: per-order quantity
+# vector (sorted on collect for determinism), folded with aggregate(),
+# filtered with filter(), span from element access. HOF lambdas are
+# interpreted (the known slow path) — correct here because each array
+# is ≤13 elements; bulk math stays in the groupBy that builds the
+# arrays. The sort fixes the fold order, so double sums are
+# bit-identical across engines.
+# --------------------------------------------------------------------------
+def q127_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.round(
+            F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("qty_sum"),
+        F.size(F.filter("qtys", lambda x: x > 25)).alias("n_large"),
+        F.round(
+            F.element_at("qtys", -1) - F.element_at("qtys", 1), 2
+        ).alias("qty_span"),
+    )
+
+
+Q127_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_items,
+       round(list_aggregate(qtys, 'sum'), 2) AS qty_sum,
+       len(list_filter(qtys, x -> x > 25)) AS n_large,
+       round(qtys[-1] - qtys[1], 2) AS qty_span
+FROM per_order
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -785,6 +1070,12 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q103_skyline": q103_skyline,
     "q109_recursive_hierarchy": q109_recursive_hierarchy,
+    "q122_nation_volume": q122_nation_volume,
+    "q123_market_share": q123_market_share,
+    "q124_product_profit": q124_product_profit,
+    "q125_grouping_sets": q125_grouping_sets,
+    "q126_window_analytics": q126_window_analytics,
+    "q127_array_hof": q127_array_hof,
 }
 
 ORACLES = {
@@ -809,4 +1100,10 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q103_skyline": Q103_SQL,
     "q109_recursive_hierarchy": Q109_SQL,
+    "q122_nation_volume": Q122_SQL,
+    "q123_market_share": Q123_SQL,
+    "q124_product_profit": Q124_SQL,
+    "q125_grouping_sets": Q125_SQL,
+    "q126_window_analytics": Q126_SQL,
+    "q127_array_hof": Q127_SQL,
 }
