@@ -277,12 +277,99 @@ FROM top
 Q116_SQL = _cm_sql()
 
 
+# --------------------------------------------------------------------------
+# q129 — Poisson-bootstrap confidence interval for mean order value:
+# 32 deterministic resampling replicas, each weighting every row by a
+# Poisson(1) draw derived from md5(replica:key) — the scalable
+# bootstrap (no with-replacement shuffle, weights computed row-local,
+# one pass over a 32× expanded stream that partial aggregation
+# collapses to 32 rows before the shuffle). Replica means → p2.5/p97.5
+# quantiles + bootstrap SE. Hash-derived uniforms are engine-identical
+# (4-hex-digit md5 primitive), so every replica weight — and therefore
+# every output digit — reproduces bit-for-bit on both engines.
+# --------------------------------------------------------------------------
+_BOOT_R = 32
+# Poisson(1) inverse-CDF thresholds (cumulative, 6 dp — literal on both
+# engines so the comparison is on identical doubles)
+_POIS_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406]
+
+
+def _boot_weight(dialect: str) -> str:
+    u = (
+        "("
+        + hash_bucket_sql(
+            dialect, col="concat(rep, ':', o_orderkey)", mod=65536
+        )
+        + ") / 65536.0"
+    )
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE {len(_POIS_CDF)} END"
+
+
+def q129_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+    ).selectExpr(
+        "rep", "o_totalprice", f"{_boot_weight('spark')} AS w"
+    )
+    means = reps.groupBy("rep").agg(
+        (
+            F.sum(F.col("w") * F.col("o_totalprice"))
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("m")
+    )
+    point = orders.agg(F.avg("o_totalprice").alias("point_mean"))
+    return means.crossJoin(F.broadcast(point)).agg(
+        F.round(F.first("point_mean"), 6).alias("point_mean_r"),
+        F.round(
+            F.expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY m)"), 6
+        ).alias("ci_lo_r"),
+        F.round(
+            F.expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY m)"), 6
+        ).alias("ci_hi_r"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se_r"),
+        F.count("*").alias("n_replicas"),
+    )
+
+
+def _boot_sql() -> str:
+    return f"""
+WITH reps AS (
+  SELECT unnest(range(0, {_BOOT_R})) AS rep, o_orderkey, o_totalprice
+  FROM orders
+),
+weighted AS (
+  SELECT rep, o_totalprice, {_boot_weight("duckdb")} AS w FROM reps
+),
+means AS (
+  SELECT rep, sum(w * o_totalprice) / nullif(sum(w), 0) AS m
+  FROM weighted GROUP BY rep
+),
+pt AS (SELECT avg(o_totalprice) AS point_mean FROM orders)
+SELECT round((SELECT point_mean FROM pt), 6) AS point_mean_r,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo_r,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi_r,
+       round(stddev_samp(m), 6) AS boot_se_r,
+       count(*) AS n_replicas
+FROM means
+"""
+
+
+Q129_SQL = _boot_sql()
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
     "q87_grouped_split": q87_grouped_split,
     "q88_heavy_hitters": q88_heavy_hitters,
     "q116_countmin": q116_countmin,
+    "q129_poisson_bootstrap": q129_poisson_bootstrap,
 }
 
 ORACLES = {
@@ -291,4 +378,5 @@ ORACLES = {
     "q87_grouped_split": Q87_SQL,
     "q88_heavy_hitters": Q88_SQL,
     "q116_countmin": Q116_SQL,
+    "q129_poisson_bootstrap": Q129_SQL,
 }

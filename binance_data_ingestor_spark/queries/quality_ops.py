@@ -273,11 +273,59 @@ FROM grid
 """
 
 
+# --------------------------------------------------------------------------
+# q128 — k-anonymity / l-diversity privacy audit over the customer
+# quasi-identifiers (mktsegment, nationkey): every equivalence class
+# with its size, the diversity of the sensitive attribute (account
+# balance bucketed to hundreds), and violation flags for k=5 / l=3.
+# The canonical pre-release audit for training data carrying user
+# attributes. One groupBy over the QI pair with a count-distinct on
+# the sensitive bucket — Expand-based, single shuffle; output is
+# classes-sized.
+# --------------------------------------------------------------------------
+_K_ANON, _L_DIV = 5, 3
+
+
+def q128_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("bal_bucket"),
+    )
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct("bal_bucket").alias("l_diversity"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") < _K_ANON).alias("k_violation"),
+            (F.col("l_diversity") < _L_DIV).alias("l_violation"),
+        )
+    )
+
+
+Q128_SQL = f"""
+SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+       count(DISTINCT CAST(floor(c_acctbal / 100) AS BIGINT)) AS l_diversity,
+       count(*) < {_K_ANON} AS k_violation,
+       count(DISTINCT CAST(floor(c_acctbal / 100) AS BIGINT)) < {_L_DIV}
+         AS l_violation
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
     "q94_psi_drift": q94_psi_drift,
     "q114_chi_square": q114_chi_square,
+    "q128_k_anonymity": q128_k_anonymity,
 }
 
 ORACLES = {
@@ -285,4 +333,5 @@ ORACLES = {
     "q92_embedding_covariance": Q92_SQL,
     "q94_psi_drift": Q94_SQL,
     "q114_chi_square": Q114_SQL,
+    "q128_k_anonymity": Q128_SQL,
 }
