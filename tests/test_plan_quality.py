@@ -151,3 +151,71 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_census_no_wedge_cartesian(plans):
+    # q105: wedge generation and the closing-edge probe must be
+    # equi-joins; the only nested-loop allowed is crossing the two
+    # 1-row census aggregates at the very top
+    p = plans("q105_triangle_count")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_rolling_distinct_expands_not_range_joins(plans):
+    # q107: the 7-day window must come from the bounded explode (7×),
+    # not a day×activity non-equi join
+    p = plans("q107_rolling_distinct_users")
+    assert "Generate explode" in p or "Generate" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_editdist_join_blocks_before_verifying(plans):
+    # q108: candidate generation must be an equi-join on the blocking
+    # key — levenshtein runs post-join, never as a join condition
+    p = plans("q108_editdist_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "levenshtein" in p.lower()
+
+
+def test_ewma_taps_share_one_window_sort(plans):
+    # q111: all 10 lag taps must collapse into ONE Window node over one
+    # sort — per-tap windows would sort the series 10 times
+    p = plans("q111_ewma")
+    assert p.count("Window") <= 2  # running + (optional) rank pick
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_q7_broadcasts_nation_dims(plans):
+    # At sf0.001 the bilateral pair is empty, so AQE collapses the whole
+    # query to EmptyRelation — what must still hold: the OR-pair filter
+    # is decomposed into per-dim IN filters pushed to BOTH nation scans
+    # (each nation dim reads 2 of 25 rows), and no cartesian appears.
+    p = plans("q122_nation_volume")
+    assert "CartesianProduct" not in p
+    assert p.count("(n_name") >= 2  # derived filter present on each dim
+    assert "BroadcastHashJoin" in p or "EmptyRelation" in p
+
+
+def test_grouping_sets_single_expand(plans):
+    # q125: all three grouping sets from one Expand + one shuffle
+    p = plans("q125_grouping_sets")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_window_battery_single_window_node(plans):
+    # q126: ntile + percent_rank + cume_dist share one partition/order
+    # spec — they must compile into a single Window operator
+    p = plans("q126_window_analytics")
+    assert p.count("Window") == 1
+
+
+def test_bootstrap_replica_means_partial_agg(plans):
+    # q129: the 32× expanded stream must collapse via partial
+    # aggregation before the shuffle — the exchange carries per-replica
+    # partials, not the expanded rows (HashAggregate pair around the
+    # replica exchange)
+    p = plans("q129_poisson_bootstrap")
+    assert p.count("HashAggregate") >= 4
+    assert "Generate explode" in p or "Generate" in p
