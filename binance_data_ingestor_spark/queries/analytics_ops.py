@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.funnel import funnel_steps
+from ..operators.text import hash_bucket_sql
 from .util import load
 
 
@@ -192,6 +193,68 @@ SELECT bin, count(*) AS n_rows,
        round(lo + bin * (hi - lo) / {HIST_BINS}, 6)       AS bin_lo_r,
        round(lo + (bin + 1) * (hi - lo) / {HIST_BINS}, 6) AS bin_hi_r
 FROM b GROUP BY bin, lo, hi
+"""
+
+
+# --------------------------------------------------------------------------
+# q131 — A/B experiment readout: users assigned to control/treatment
+# by md5 bucket parity (the same reproducible-assignment primitive as
+# the q87 split — assignment survives reruns, engines, partitioning),
+# conversion = had a purchase event; per-variant rates plus the
+# pooled two-proportion z-statistic. One per-user aggregate, then
+# variant-level math on a 2-row frame via a single conditional
+# aggregate. The synthetic assignment makes the expected z ≈ 0 — the
+# query is the harness, the certificate is cross-engine digit
+# equality.
+# --------------------------------------------------------------------------
+def q131_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    assigned = per_user.selectExpr(
+        "conv", f"({hash_bucket_sql('spark', 'user_id', 2)}) AS variant"
+    )
+    stats = assigned.agg(
+        F.count_if(F.col("variant") == 0).alias("n0"),
+        F.count_if(F.col("variant") == 1).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return stats.select(
+        "n0",
+        "n1",
+        F.round(p0, 6).alias("rate0_r"),
+        F.round(p1, 6).alias("rate1_r"),
+        F.round((p1 - p0) / F.nullif(se, F.lit(0.0)), 6).alias("z_r"),
+    )
+
+
+Q131_SQL = f"""
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+a AS (SELECT conv, ({hash_bucket_sql("duckdb", "user_id", 2)}) AS variant
+      FROM pu),
+s AS (SELECT count(*) FILTER (variant = 0) AS n0,
+             count(*) FILTER (variant = 1) AS n1,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+      FROM a)
+SELECT n0, n1,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0_r,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1_r,
+       round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / nullif(sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE)
+                           * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                           * (1.0 / n0 + 1.0 / n1)), 0.0), 6) AS z_r
+FROM s
 """
 
 
@@ -425,6 +488,7 @@ QUERIES = {
     "q110_peak_concurrency": q110_peak_concurrency,
     "q120_transition_matrix": q120_transition_matrix,
     "q121_funnel_timing": q121_funnel_timing,
+    "q131_ab_test": q131_ab_test,
 }
 
 ORACLES = {
@@ -436,4 +500,5 @@ ORACLES = {
     "q110_peak_concurrency": Q110_SQL,
     "q120_transition_matrix": Q120_SQL,
     "q121_funnel_timing": Q121_SQL,
+    "q131_ab_test": Q131_SQL,
 }

@@ -1329,6 +1329,110 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q130 — ranking-quality evaluation (NDCG@10): score each of 5 query
+# tokens against every document with a length-normalized tf score
+# (BM25-lite), rank top-10, and compare against the ideal ordering of
+# a graded relevance label (raw tf capped at 3). Scorer and label
+# deliberately differ — NDCG < 1 measures how much length
+# normalization reorders raw-frequency relevance. One tokenize pass,
+# postings-sized joins keyed by token, two windows sharing the
+# per-query partition; DCG discounts are 1/log2(pos+1) literals on
+# both engines.
+# --------------------------------------------------------------------------
+_NDCG_K = 10
+_NDCG_QUERIES = ("data", "spark", "table", "stream", "query")
+
+
+def q130_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    qlit = F.array(*[F.lit(q) for q in _NDCG_QUERIES])
+    tf = (
+        toks.filter(F.array_contains(qlit, F.col("token")))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.select(
+        F.col("token").alias("query"),
+        "doc_id",
+        (F.col("tf") / (F.col("tf") + 0.5 + 1.5 * F.col("dl") / 100.0)).alias(
+            "score"
+        ),
+        F.least(F.col("tf"), F.lit(3)).cast("double").alias("rel"),
+    )
+    wr = W.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    wi = W.partitionBy("query").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = scored.select(
+        "query",
+        "rel",
+        F.row_number().over(wr).alias("pos"),
+        F.row_number().over(wi).alias("ideal_pos"),
+    )
+    dcg = F.sum(
+        F.when(
+            F.col("pos") <= _NDCG_K,
+            F.col("rel") / F.log2(F.col("pos") + 1),
+        ).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ideal_pos") <= _NDCG_K,
+            F.col("rel") / F.log2(F.col("ideal_pos") + 1),
+        ).otherwise(0.0)
+    )
+    return ranked.groupBy("query").agg(
+        F.round(dcg, 6).alias("dcg_r"),
+        F.round(idcg, 6).alias("idcg_r"),
+        F.round(dcg / F.nullif(idcg, F.lit(0.0)), 6).alias("ndcg_r"),
+    )
+
+
+_NDCG_IN = ", ".join(f"'{q}'" for q in _NDCG_QUERIES)
+
+Q130_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, dl, count(*) AS tf FROM toks
+       WHERE token IN ({_NDCG_IN}) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT token AS query, doc_id,
+         tf / (tf + 0.5 + 1.5 * dl / 100.0) AS score,
+         CAST(least(tf, 3) AS DOUBLE) AS rel
+  FROM tf
+),
+ranked AS (
+  SELECT query, rel,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id ASC) AS pos,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY rel DESC, doc_id ASC) AS ideal_pos
+  FROM scored
+)
+SELECT query,
+       round(sum(CASE WHEN pos <= {_NDCG_K}
+                      THEN rel / log2(pos + 1) ELSE 0.0 END), 6) AS dcg_r,
+       round(sum(CASE WHEN ideal_pos <= {_NDCG_K}
+                      THEN rel / log2(ideal_pos + 1) ELSE 0.0 END), 6)
+         AS idcg_r,
+       round(sum(CASE WHEN pos <= {_NDCG_K}
+                      THEN rel / log2(pos + 1) ELSE 0.0 END)
+             / nullif(sum(CASE WHEN ideal_pos <= {_NDCG_K}
+                              THEN rel / log2(ideal_pos + 1)
+                              ELSE 0.0 END), 0.0), 6) AS ndcg_r
+FROM ranked GROUP BY query
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1358,6 +1462,7 @@ QUERIES = {
     "q101_token_entropy": q101_token_entropy,
     "q102_weighted_sample": q102_weighted_sample,
     "q117_bigram_surprisal": q117_bigram_surprisal,
+    "q130_ndcg_eval": q130_ndcg_eval,
 }
 
 ORACLES = {
@@ -1389,4 +1494,5 @@ ORACLES = {
     "q101_token_entropy": Q101_SQL,
     "q102_weighted_sample": Q102_SQL,
     "q117_bigram_surprisal": Q117_SQL,
+    "q130_ndcg_eval": Q130_SQL,
 }
