@@ -214,14 +214,153 @@ FROM scored ORDER BY lift_key DESC, u, v LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q132 — gains table / decile lift: rank customers by a model score
+# (account balance as the stand-in), cut into score deciles, and
+# report per-decile and cumulative response rates and lift vs the
+# overall base rate. The standard offline model-evaluation readout.
+# Response = customer placed ≥1 urgent-priority order (semi-join).
+# One window for the decile cut (global ntile is acceptable: the
+# sorted set is customers, 10^8 rows at 100 TB — if that ever
+# dominates, the two-pass q85 boundary-broadcast pattern replaces
+# it); the cumulative stage runs over 10 rows.
+# --------------------------------------------------------------------------
+def q132_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    responders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    labeled = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("o_custkey").isNotNull().cast("long").alias("resp"),
+    )
+    wd = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    deciles = labeled.select(
+        F.ntile(10).over(wd).alias("decile"), "resp"
+    ).groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("resp").alias("n_resp")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy()
+    return deciles.select(
+        "decile",
+        "n",
+        "n_resp",
+        F.round(F.col("n_resp") / F.col("n"), 6).alias("rate_r"),
+        F.round(
+            (F.sum("n_resp").over(wc) / F.sum("n").over(wc))
+            / (F.sum("n_resp").over(wt) / F.sum("n").over(wt)),
+            6,
+        ).alias("cum_lift_r"),
+    )
+
+
+Q132_SQL = """
+WITH labeled AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS resp
+  FROM customer),
+d AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+               AS decile, resp
+      FROM labeled),
+g AS (SELECT decile, count(*) AS n, sum(resp) AS n_resp
+      FROM d GROUP BY decile)
+SELECT decile, n, n_resp,
+       round(n_resp / CAST(n AS DOUBLE), 6) AS rate_r,
+       round((sum(n_resp) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+              / CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE))
+             / (sum(n_resp) OVER () / CAST(sum(n) OVER () AS DOUBLE)), 6)
+         AS cum_lift_r
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q133 — AUC via the Mann-Whitney rank-sum identity:
+# AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg), with ranks over
+# the score ordering. Ranks use row_number with a deterministic key
+# tie-break (score ties are broken identically on both engines rather
+# than averaged — documented deviation from tie-averaged MW, exact
+# for continuous scores). One global sort for ranking (same scale
+# note as q132), one 1-row aggregate.
+# --------------------------------------------------------------------------
+def q133_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    responders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    labeled = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select(
+        "c_acctbal",
+        "c_custkey",
+        F.col("o_custkey").isNotNull().cast("long").alias("pos"),
+    )
+    wr = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ranked = labeled.select("pos", F.row_number().over(wr).alias("rk"))
+    return ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("rk"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2
+            )
+            / F.nullif(
+                (F.sum("pos") * F.sum(F.lit(1) - F.col("pos"))).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("auc_r"),
+    )
+
+
+Q133_SQL = """
+WITH labeled AS (
+  SELECT c_acctbal, c_custkey,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS pos
+  FROM customer),
+ranked AS (
+  SELECT pos, row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+           AS rk
+  FROM labeled)
+SELECT sum(pos) AS n_pos,
+       sum(1 - pos) AS n_neg,
+       round((sum(pos * rk) - sum(pos) * (sum(pos) + 1) / 2)
+             / nullif(CAST(sum(pos) * sum(1 - pos) AS DOUBLE), 0.0), 6)
+         AS auc_r
+FROM ranked
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q90_pit_features": q90_pit_features,
     "q106_copurchase_lift": q106_copurchase_lift,
+    "q132_decile_lift": q132_decile_lift,
+    "q133_auc_ranksum": q133_auc_ranksum,
 }
 
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
     "q90_pit_features": Q90_SQL,
     "q106_copurchase_lift": Q106_SQL,
+    "q132_decile_lift": Q132_SQL,
+    "q133_auc_ranksum": Q133_SQL,
 }
