@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -290,3 +291,113 @@ def dedup_stream(
     key is freed once the watermark passes it (so state is O(keys per
     horizon), which is what makes this viable on an unbounded stream)."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+# state: (last emitted type or '' , buffered ts_us[], event_id[], type[])
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_type", ArrayType(StringType())),
+    ]
+)
+
+
+def _transition_fn():
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last = ""
+        buf: list[Tuple[int, int, str]] = []
+        if state.exists:
+            last, ts_l, id_l, ty_l = state.get
+            buf = [(int(a), int(b), str(c)) for a, b, c in zip(ts_l, id_l, ty_l)]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for u, eid, ty in zip(us, pdf["event_id"], pdf["event_type"]):
+                    buf.append((int(u), int(eid), str(ty)))
+
+        # watermark-driven ordered flush: only events no late arrival
+        # can precede are released, in (ts, event_id) order
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        ready = [e for e in buf if e[0] < wm_us]
+        hold = [e for e in buf if e[0] >= wm_us]
+
+        out_prev, out_cur = [], []
+        for _, _, ty in ready:
+            if last:
+                out_prev.append(last)
+                out_cur.append(ty)
+            last = ty
+
+        if hold or last:
+            state.update(
+                (
+                    last,
+                    [e[0] for e in hold],
+                    [e[1] for e in hold],
+                    [e[2] for e in hold],
+                )
+            )
+            if hold:
+                state.setTimeoutTimestamp(
+                    max(min(e[0] for e in hold) // 1000 + 1000,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        else:
+            state.remove()
+
+        if out_prev:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_prev),
+                    "prev_type": out_prev,
+                    "event_type": out_cur,
+                }
+            )
+
+    return fn
+
+
+def transition_counts_stream(
+    events: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of the q120 Markov transition matrix: per-key
+    event-time sequence reconstruction under a watermark.
+
+    Events buffer in keyed state until the watermark guarantees no
+    earlier event can still arrive; they are then released in
+    (ts, event_id) order and each adjacent pair emits one
+    (prev_type → event_type) transition row (append mode). State per
+    key is the out-of-watermark tail plus one string — O(late window),
+    not O(stream). Downstream, a plain streaming/batch groupBy turns
+    the pairs into the transition matrix; the test proves equality
+    with the batch lag-window form.
+    """
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn(),
+            TRANSITION_OUTPUT_SCHEMA,
+            TRANSITION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

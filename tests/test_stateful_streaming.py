@@ -196,3 +196,67 @@ def test_dedup_stream(spark, tmp_path):
     q.awaitTermination(120)
     res = spark.table("dedup_out").collect()
     assert sorted(r["k"] for r in res) == ["a", "b"]
+
+
+@pytest.fixture(scope="module")
+def replay_dir_full(spark, tmp_path_factory):
+    """Full event rows + far-future sentinel (for the transition op)."""
+    path = str(tmp_path_factory.mktemp("events_replay_full"))
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "view")], "user_id long, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_transition_stream_matches_batch_lag(spark, replay_dir_full, tmp_path):
+    from binance_data_ingestor_spark.streaming.stateful import (
+        transition_counts_stream,
+    )
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, event_type string"
+    ).parquet(replay_dir_full)
+    out = transition_counts_stream(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("transitions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        ((r.user_id, r.prev_type, r.event_type)): r.n
+        for r in spark.table("transitions_out")
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id", "prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    ev = load(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        ((r.user_id, r.prev_type, r.event_type)): r.n
+        for r in ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
