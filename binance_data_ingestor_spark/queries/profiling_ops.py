@@ -363,6 +363,49 @@ FROM means
 Q129_SQL = _boot_sql()
 
 
+# --------------------------------------------------------------------------
+# q134 — join-key skew diagnosis: for each prospective lineitem join
+# key, the row count, distinct keys, hottest-key frequency, and the
+# skew factor (max_freq / avg_freq) that tells the planner story:
+# factor ≈ 1 → plain shuffle join is safe; factor ≫ 1 → pre-salt
+# (operators/skew.salted_join) or rely on AQE skew splitting. One
+# groupBy per key column (three scans Catalyst can't share — the
+# price of exact per-key maxima; at 100 TB run it on a sample or one
+# key at a time), all reduced map-side; output is 3 rows.
+# --------------------------------------------------------------------------
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q134_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = None
+    for k in _SKEW_KEYS:
+        freq = li.groupBy(F.col(k).alias("key")).agg(
+            F.count("*").alias("f")
+        )
+        rep = freq.agg(
+            F.lit(k).alias("key_col"),
+            F.sum("f").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("f").alias("max_freq"),
+            F.round(
+                F.max("f") / (F.sum("f") / F.count("*")), 6
+            ).alias("skew_factor_r"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+Q134_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{k}' AS key_col, sum(f) AS n_rows, count(*) AS n_keys,
+       max(f) AS max_freq,
+       round(max(f) / (sum(f) / CAST(count(*) AS DOUBLE)), 6)
+         AS skew_factor_r
+FROM (SELECT {k}, count(*) AS f FROM lineitem GROUP BY {k})"""
+    for k in _SKEW_KEYS
+)
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -370,6 +413,7 @@ QUERIES = {
     "q88_heavy_hitters": q88_heavy_hitters,
     "q116_countmin": q116_countmin,
     "q129_poisson_bootstrap": q129_poisson_bootstrap,
+    "q134_skew_report": q134_skew_report,
 }
 
 ORACLES = {
@@ -379,4 +423,5 @@ ORACLES = {
     "q88_heavy_hitters": Q88_SQL,
     "q116_countmin": Q116_SQL,
     "q129_poisson_bootstrap": Q129_SQL,
+    "q134_skew_report": Q134_SQL,
 }
