@@ -567,6 +567,66 @@ FROM seg GROUP BY symbol, minute
 """
 
 
+# --------------------------------------------------------------------------
+# q135 — depth-weighted average price over the top-3 book levels (the
+# §3.2 mid/spread family extended one level of realism): the weighted
+# sum folds over the parsed nested [price, qty] arrays with
+# aggregate() — row-local, ≤3 elements per side, no shuffle at all —
+# and the fold order is the array order, so double math is
+# bit-identical across engines. Empty books (every 10th update) pass
+# through the same size()>0 guard as q31 and yield NULLs.
+# --------------------------------------------------------------------------
+def q135_depth_weighted_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _raw_book_frames(spark, sf_dir)
+    book = normalize_order_book(parse_raw(frames, "order-book"))
+
+    def side_sum(col: str, k: int, what: str) -> Column:
+        # normalized levels are struct(price, qty) decimals (SURVEY P3)
+        top = F.slice(F.col(col), 1, k)
+        if what == "pq":
+            return F.aggregate(
+                top,
+                F.lit(0.0),
+                lambda acc, lvl: acc
+                + lvl["price"].cast("double") * lvl["qty"].cast("double"),
+            )
+        return F.aggregate(
+            top, F.lit(0.0), lambda acc, lvl: acc + lvl["qty"].cast("double")
+        )
+
+    nonempty = (F.size("bids") > 0) & (F.size("asks") > 0)
+    num = side_sum("bids", 3, "pq") + side_sum("asks", 3, "pq")
+    den = side_sum("bids", 3, "q") + side_sum("asks", 3, "q")
+    return book.select(
+        "lastUpdateId",
+        F.when(nonempty, F.round(num / den, 6)).alias("dwap_r"),
+        F.when(nonempty, F.round(side_sum("bids", 3, "q"), 6)).alias(
+            "bid_depth_q"
+        ),
+        F.when(nonempty, F.round(side_sum("asks", 3, "q"), 6)).alias(
+            "ask_depth_q"
+        ),
+    )
+
+
+Q135_SQL = f"""
+WITH base AS (
+  SELECT event_id, ({_SQL_CENTS}) + 1000 AS b, event_id % 10 = 0 AS empty
+  FROM events
+)
+SELECT event_id AS lastUpdateId,
+       CASE WHEN empty THEN NULL ELSE
+         round(((b / 100.0) * 1.0 + ((b - 1) / 100.0) * 2.0
+                + ((b - 2) / 100.0) * 3.0
+                + ((b + 1) / 100.0) * 1.0 + ((b + 2) / 100.0) * 2.0
+                + ((b + 3) / 100.0) * 3.0)
+               / (1.0 + 2.0 + 3.0 + 1.0 + 2.0 + 3.0), 6) END AS dwap_r,
+       CASE WHEN empty THEN NULL ELSE 6.0 END AS bid_depth_q,
+       CASE WHEN empty THEN NULL ELSE 6.0 END AS ask_depth_q
+FROM base
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -577,6 +637,7 @@ QUERIES = {
     "q36_orderflow_imbalance": q36_orderflow_imbalance,
     "q37_realized_vol": q37_realized_vol,
     "q38_twap": q38_twap,
+    "q135_depth_weighted_mid": q135_depth_weighted_mid,
 }
 
 ORACLES = {
@@ -589,4 +650,5 @@ ORACLES = {
     "q36_orderflow_imbalance": Q36_SQL,
     "q37_realized_vol": Q37_SQL,
     "q38_twap": Q38_SQL,
+    "q135_depth_weighted_mid": Q135_SQL,
 }

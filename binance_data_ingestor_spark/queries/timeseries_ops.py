@@ -371,6 +371,45 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q136 — full pairwise correlation matrix across the five event-type
+# daily series (q104's rolling pair generalized to the static
+# all-pairs matrix). The daily aggregate is one shuffle; the pair
+# expansion is a self-join on the day key (5× fan-out per row, 10
+# unordered pairs) and corr() reduces each pair to sufficient
+# statistics map-side. At thousands of series the same query becomes
+# the block-GEMM path (operators/similarity) — the SQL shape here is
+# the exact-sufficient-statistics reference.
+# --------------------------------------------------------------------------
+def q136_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.sum("value").alias("v"))
+    )
+    a = daily.select("day", F.col("event_type").alias("ta"), F.col("v").alias("va"))
+    b = daily.select("day", F.col("event_type").alias("tb"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.corr("va", "vb"), 6).alias("corr_r"),
+        )
+    )
+
+
+Q136_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, sum(value) AS v
+               FROM events GROUP BY 1, 2)
+SELECT a.event_type AS ta, b.event_type AS tb,
+       count(*) AS n_days, round(corr(a.v, b.v), 6) AS corr_r
+FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q83_rolling_zscore": q83_rolling_zscore,
@@ -378,6 +417,7 @@ QUERIES = {
     "q111_ewma": q111_ewma,
     "q112_max_drawdown": q112_max_drawdown,
     "q113_seasonal_backtest": q113_seasonal_backtest,
+    "q136_corr_matrix": q136_corr_matrix,
 }
 
 ORACLES = {
@@ -387,4 +427,5 @@ ORACLES = {
     "q111_ewma": Q111_SQL,
     "q112_max_drawdown": Q112_SQL,
     "q113_seasonal_backtest": Q113_SQL,
+    "q136_corr_matrix": Q136_SQL,
 }
