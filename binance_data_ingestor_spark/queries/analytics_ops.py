@@ -197,6 +197,160 @@ FROM b GROUP BY bin, lo, hi
 
 
 # --------------------------------------------------------------------------
+# q137 — session entry/exit analysis: sessionize (q24's 30-min-gap
+# rule, tie-broken by event_id), then per event_type count how often
+# it opens a session, closes one, and is the ONLY event (bounce).
+# Composition: the session window and the first/last picks share one
+# (user_id, ts) sort; the final aggregate is states-sized. The
+# bounce-rate column is the single-page-session metric every
+# analytics stack reports.
+# --------------------------------------------------------------------------
+def q137_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1)
+        .otherwise(F.when(F.lag(sec).over(w).isNull(), 1).otherwise(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wcum))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("exit_type"),
+        F.count("*").alias("n_events"),
+    )
+    entries = per_sess.groupBy(F.col("entry_type").alias("event_type")).agg(
+        F.count("*").alias("n_entries"),
+        F.count_if(F.col("n_events") == 1).alias("n_bounces"),
+    )
+    exits = per_sess.groupBy(F.col("exit_type").alias("event_type")).agg(
+        F.count("*").alias("n_exits")
+    )
+    return (
+        entries.join(exits, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_entries", F.lit(0)).alias("n_entries"),
+            F.coalesce("n_exits", F.lit(0)).alias("n_exits"),
+            F.coalesce("n_bounces", F.lit(0)).alias("n_bounces"),
+            F.round(
+                F.coalesce("n_bounces", F.lit(0))
+                / F.nullif(F.coalesce("n_entries", F.lit(0)), F.lit(0)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("bounce_rate_r"),
+        )
+    )
+
+
+Q137_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM sessions
+),
+per_sess AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+         count(*) AS n_events
+  FROM ranked GROUP BY user_id, session_id
+),
+entries AS (
+  SELECT entry_type AS event_type, count(*) AS n_entries,
+         count(*) FILTER (n_events = 1) AS n_bounces
+  FROM per_sess GROUP BY 1
+),
+exits AS (SELECT exit_type AS event_type, count(*) AS n_exits
+          FROM per_sess GROUP BY 1)
+SELECT event_type,
+       coalesce(n_entries, 0) AS n_entries,
+       coalesce(n_exits, 0) AS n_exits,
+       coalesce(n_bounces, 0) AS n_bounces,
+       round(coalesce(n_bounces, 0)
+             / CAST(nullif(coalesce(n_entries, 0), 0) AS DOUBLE), 6)
+         AS bounce_rate_r
+FROM entries FULL OUTER JOIN exits USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# q139 — top event-type trigrams per user population (sequential
+# pattern mining lite): two lag taps over one (user, ts) sort build
+# each consecutive 3-step path; the count of each distinct path and
+# its share. The q120 transition matrix extended one order — the
+# sequence-level signal a behavioral model trains on.
+# --------------------------------------------------------------------------
+def q139_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+    )
+    total = tri.agg(F.sum("n").alias("tot"))
+    return (
+        tri.crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("share_r"),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(25)
+    )
+
+
+Q139_SQL = """
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (SELECT t1, t2, t3, count(*) AS n FROM seq
+        WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT sum(n) AS tot FROM tri)
+SELECT t1, t2, t3, n, round(n / CAST(tot AS DOUBLE), 6) AS share_r
+FROM tri CROSS JOIN tot
+ORDER BY n DESC, t1, t2, t3 LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
 # q131 — A/B experiment readout: users assigned to control/treatment
 # by md5 bucket parity (the same reproducible-assignment primitive as
 # the q87 split — assignment survives reruns, engines, partitioning),
@@ -489,6 +643,8 @@ QUERIES = {
     "q120_transition_matrix": q120_transition_matrix,
     "q121_funnel_timing": q121_funnel_timing,
     "q131_ab_test": q131_ab_test,
+    "q137_session_entry_exit": q137_session_entry_exit,
+    "q139_event_trigrams": q139_event_trigrams,
 }
 
 ORACLES = {
@@ -501,4 +657,6 @@ ORACLES = {
     "q120_transition_matrix": Q120_SQL,
     "q121_funnel_timing": Q121_SQL,
     "q131_ab_test": Q131_SQL,
+    "q137_session_entry_exit": Q137_SQL,
+    "q139_event_trigrams": Q139_SQL,
 }

@@ -1433,6 +1433,94 @@ FROM ranked GROUP BY query
 """
 
 
+
+# --------------------------------------------------------------------------
+# q138 — skip-gram co-occurrence PMI (word2vec preprocessing): token
+# pairs within a ±2-position window per document, PMI from pair and
+# unigram counts, top-30 by rounded PMI among pairs seen ≥5 times.
+# The pair expansion is a position self-join inside each doc (bounded
+# fan-out 2 per token — the window size, not the vocabulary); counts
+# reduce map-side; the corpus-size singleton broadcasts. The q100
+# doc-level MI's micro-scale sibling.
+# --------------------------------------------------------------------------
+_SG_WIN = 2
+_SG_MIN = 5
+
+
+def q138_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).localCheckpoint(eager=True)
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") - F.col("pa") <= _SG_WIN)
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("pc"))
+        .filter(F.col("pc") >= _SG_MIN)
+    )
+    uni = toks.groupBy(F.col("w")).agg(F.count("*").alias("c"))
+    tot = uni.agg(
+        F.sum("c").alias("n_tok"),
+    )
+    n_pairs = pairs.agg(F.sum("pc").alias("n_pairs"))
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("wa"), F.col("c").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("c").alias("cb")), "wb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "wa",
+            "wb",
+            "pc",
+            F.round(
+                F.log(
+                    (F.col("pc") / F.col("n_pairs"))
+                    / (
+                        (F.col("ca") / F.col("n_tok"))
+                        * (F.col("cb") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_r"), "wa", "wb").limit(30)
+
+
+Q138_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT a.w AS wa, b.w AS wb, count(*) AS pc
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= {_SG_WIN}
+  GROUP BY 1, 2 HAVING count(*) >= {_SG_MIN}
+),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n_tok FROM uni),
+np AS (SELECT sum(pc) AS n_pairs FROM pairs)
+SELECT wa, wb, pc,
+       round(ln((pc / CAST(n_pairs AS DOUBLE))
+                / ((ca.c / CAST(n_tok AS DOUBLE))
+                   * (cb.c / CAST(n_tok AS DOUBLE)))), 6) AS pmi_r
+FROM pairs
+JOIN uni ca ON ca.w = wa
+JOIN uni cb ON cb.w = wb
+CROSS JOIN tot CROSS JOIN np
+ORDER BY pmi_r DESC, wa, wb LIMIT 30
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1463,6 +1551,7 @@ QUERIES = {
     "q102_weighted_sample": q102_weighted_sample,
     "q117_bigram_surprisal": q117_bigram_surprisal,
     "q130_ndcg_eval": q130_ndcg_eval,
+    "q138_skipgram_pmi": q138_skipgram_pmi,
 }
 
 ORACLES = {
@@ -1495,4 +1584,5 @@ ORACLES = {
     "q102_weighted_sample": Q102_SQL,
     "q117_bigram_surprisal": Q117_SQL,
     "q130_ndcg_eval": Q130_SQL,
+    "q138_skipgram_pmi": Q138_SQL,
 }
