@@ -633,6 +633,69 @@ GROUP BY 1
 """
 
 
+
+# --------------------------------------------------------------------------
+# q141 — D7 rolling retention: for each day's active cohort, the
+# fraction of users who return within the next 7 days. Same
+# dedup-first bounded-expand shape as q107 (each (user, day) activity
+# contributes to the ≤7 cohort days it can "retain"), so the join is
+# a 7× expansion of the deduplicated activity set keyed by (user,
+# cohort day) — never a day×activity range join.
+# --------------------------------------------------------------------------
+def q141_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds cohorts AND the return probe
+    )
+    cohort = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("n_active")
+    )
+    # each activity (user, d) can retain cohorts d-7 .. d-1
+    probe = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.date_sub(F.col("d"), 7), F.date_sub(F.col("d"), 1))
+        ).alias("day"),
+    ).distinct()
+    retained = (
+        ud.withColumnRenamed("d", "day")
+        .join(probe, ["user_id", "day"], "left_semi")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    return (
+        cohort.join(retained, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0))
+                / F.col("n_active").cast("double"),
+                6,
+            ).alias("d7_retention_r"),
+        )
+    )
+
+
+Q141_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+cohort AS (SELECT d AS day, count(*) AS n_active FROM ud GROUP BY 1),
+retained AS (
+  SELECT a.d AS day, count(DISTINCT a.user_id) AS n_retained
+  FROM ud a JOIN ud b
+    ON b.user_id = a.user_id AND b.d > a.d AND b.d <= a.d + 7
+  GROUP BY 1
+)
+SELECT day, n_active, coalesce(n_retained, 0) AS n_retained,
+       round(coalesce(n_retained, 0) / CAST(n_active AS DOUBLE), 6)
+         AS d7_retention_r
+FROM cohort LEFT JOIN retained USING (day)
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -645,6 +708,7 @@ QUERIES = {
     "q131_ab_test": q131_ab_test,
     "q137_session_entry_exit": q137_session_entry_exit,
     "q139_event_trigrams": q139_event_trigrams,
+    "q141_d7_retention": q141_d7_retention,
 }
 
 ORACLES = {
@@ -659,4 +723,5 @@ ORACLES = {
     "q131_ab_test": Q131_SQL,
     "q137_session_entry_exit": Q137_SQL,
     "q139_event_trigrams": Q139_SQL,
+    "q141_d7_retention": Q141_SQL,
 }

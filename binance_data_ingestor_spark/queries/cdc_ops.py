@@ -308,12 +308,65 @@ GROUP BY 1
 """
 
 
+
+# --------------------------------------------------------------------------
+# q140 — right-to-be-forgotten purge audit (GDPR-style): given a
+# deletion-request list (deterministically derived: user_id % 13 = 0),
+# produce the audit a compliance pipeline must emit — per requested
+# user the number of event rows purged, plus whether any row survives
+# the purge (must be zero). The purge itself is one broadcast-able
+# anti-join; the audit is the complementary semi-join aggregate. The
+# residual check is a LEFT join against the purged set so users with
+# zero surviving rows still appear with residual_rows = 0.
+# --------------------------------------------------------------------------
+def q140_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    requests = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 13 == 0)
+    )
+    purged = ev.join(requests, "user_id", "left_anti")
+    per_user = ev.join(requests, "user_id", "left_semi").groupBy(
+        "user_id"
+    ).agg(F.count("*").alias("rows_purged"))
+    residual = purged.groupBy("user_id").agg(
+        F.count("*").alias("residual_rows")
+    )
+    return (
+        per_user.join(residual, "user_id", "left")
+        .select(
+            "user_id",
+            "rows_purged",
+            F.coalesce("residual_rows", F.lit(0)).alias("residual_rows"),
+        )
+    )
+
+
+Q140_SQL = """
+WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+per_user AS (
+  SELECT user_id, count(*) AS rows_purged
+  FROM events SEMI JOIN req USING (user_id)
+  GROUP BY user_id
+),
+residual AS (
+  SELECT user_id, count(*) AS residual_rows
+  FROM events ANTI JOIN req USING (user_id)
+  GROUP BY user_id
+)
+SELECT p.user_id, rows_purged, coalesce(residual_rows, 0) AS residual_rows
+FROM per_user p LEFT JOIN residual USING (user_id)
+"""
+
+
 QUERIES = {
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
     "q75_upsert_audit": q75_upsert_audit,
     "q115_snapshot_diff": q115_snapshot_diff,
     "q119_incremental_agg": q119_incremental_agg,
+    "q140_purge_audit": q140_purge_audit,
 }
 
 ORACLES = {
@@ -322,4 +375,5 @@ ORACLES = {
     "q75_upsert_audit": Q75_SQL,
     "q115_snapshot_diff": Q115_SQL,
     "q119_incremental_agg": Q119_SQL,
+    "q140_purge_audit": Q140_SQL,
 }
