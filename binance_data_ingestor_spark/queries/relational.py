@@ -1048,6 +1048,65 @@ FROM per_order
 """
 
 
+
+# --------------------------------------------------------------------------
+# q142 — ABC (Pareto) classification of parts by revenue: rank parts
+# by total revenue, compute each part's cumulative share of the grand
+# total, and classify A (≤80%), B (≤95%), C (rest). Revenue is exact
+# integer cents so the ranking key and the cumulative sums are
+# order-deterministic on both engines; the running window orders by
+# (cents DESC, partkey) — a global sort over the parts aggregate
+# (items-sized, not lineitem-sized; the q85 two-pass boundary pattern
+# replaces it if the item dimension itself outgrows a sort).
+# --------------------------------------------------------------------------
+def q142_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy()
+    share = F.sum("cents").over(w) / F.sum("cents").over(wt)
+    cls = (
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    per_part = rev.select("l_partkey", "cents", cls.alias("abc_class"))
+    return per_part.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+Q142_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING)
+           / CAST(sum(cents) OVER () AS DOUBLE) AS cum_share
+  FROM rev
+)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+       count(*) AS n_parts, sum(cents) AS cents_sum
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -1076,6 +1135,7 @@ QUERIES = {
     "q125_grouping_sets": q125_grouping_sets,
     "q126_window_analytics": q126_window_analytics,
     "q127_array_hof": q127_array_hof,
+    "q142_abc_classification": q142_abc_classification,
 }
 
 ORACLES = {
@@ -1106,4 +1166,5 @@ ORACLES = {
     "q125_grouping_sets": Q125_SQL,
     "q126_window_analytics": Q126_SQL,
     "q127_array_hof": Q127_SQL,
+    "q142_abc_classification": Q142_SQL,
 }
