@@ -1,9 +1,22 @@
-"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line with per-query wall seconds.
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+compact JSON line with per-query wall seconds.
+
+Driver contract notes (learned in round 1 — BENCH_r01 had "parsed": null):
+  * The driver keeps only a few KB of output tail; a 141-query JSON line
+    gets truncated mid-line and fails to parse.  The headline set is the
+    registry PRIORITY block (~50 queries, every operator family), times
+    rounded to 2 dp, so the line stays well under 2 KB.
+  * Everything else (per-repeat samples, the full-registry sweep with
+    --all) goes to BENCH_DETAIL.json, never stdout.
+  * Per-query variance on this box is ±2×; every query is timed
+    --repeat times (default 2) and the MIN is reported, so
+    round-over-round comparisons are signal, not GC noise.
 
 Execution uses the noop sink (format("noop")) so the FULL plan runs —
 count() would let Catalyst prune the very projections we're measuring.
+
+Usage: python bench.py [--all] [--repeat N] [name_filter ...]
 """
 
 from __future__ import annotations
@@ -15,8 +28,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from binance_data_ingestor_spark.queries import registry  # noqa: E402
+from binance_data_ingestor_spark.queries import PRIORITY, registry  # noqa: E402
 from binance_data_ingestor_spark.session import get_spark  # noqa: E402
+
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
 def main() -> None:
@@ -26,8 +41,19 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    argv = sys.argv[1:]
+    run_all = "--all" in argv or os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    repeat = 2
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        del argv[i : i + 2]
+    argv = [a for a in argv if a != "--all"]
+    only = argv
+
     spark = get_spark("bench")
     qs, _ = registry()
+    headline = set(PRIORITY)
 
     # JVM/codegen warmup on the smallest query so q01 isn't charged for it
     qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -43,26 +69,41 @@ def main() -> None:
         .save()
     )
 
-    times: dict[str, float] = {}
-    only = sys.argv[1:]
-    for name, fn in qs.items():
-        if only and not any(f in name for f in only):
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {}
+    for _ in range(max(1, repeat)):
+        for name, fn in qs.items():
+            if only and not any(f in name for f in only):
+                continue
+            if not only and not run_all and name not in headline:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
 
-    total = round(sum(times.values()), 3)
+    best = {name: min(ts) for name, ts in samples.items()}
+    # the driver-facing line reports the headline set only, 2 dp — keeps
+    # the JSON line short enough to survive the driver's output tail
+    line_queries = {
+        n: round(t, 2) for n, t in best.items() if run_all is False or n in headline
+    }
+    total = round(sum(best[n] for n in line_queries), 3)
+
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(
+            {"sf": sf, "repeat": repeat, "samples": samples, "min": best}, f, indent=1
+        )
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_seconds",
+                "metric": "headline_query_wall_seconds_min_of_%d" % repeat,
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": line_queries,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

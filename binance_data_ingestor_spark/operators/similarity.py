@@ -193,7 +193,10 @@ def assign_cells(
     """Nearest-centroid cell assignment: one Arrow-batched GEMM against
     the (tiny) centroid matrix. Returns (out_id, cell, vec). Argmax
     takes the first occurrence on ties, matching
-    list_position(s, list_max(s)) on the DuckDB oracle side."""
+    list_position(s, list_max(s)) on the DuckDB oracle side. Sims are
+    rounded to 6 dp BEFORE the argmax (same convention as cos_r): BLAS
+    GEMM and a scalar dot product can differ in the last ulp, and a
+    near-tie argmax flip would move the vector to a different cell."""
     C = np.array(cents, dtype=np.float64)
     c_norm = np.sqrt((C * C).sum(axis=1))
 
@@ -201,7 +204,7 @@ def assign_cells(
         for pdf in batches:
             M = _matrix(pdf["vec"])
             v_norm = np.sqrt((M * M).sum(axis=1))
-            S = (M @ C.T) / np.outer(v_norm, c_norm)
+            S = np.round((M @ C.T) / np.outer(v_norm, c_norm), 6)
             yield pd.DataFrame(
                 {
                     out_id: pdf[out_id],
@@ -306,7 +309,11 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.posexplode(q_sims).alias("cell", "sim"),
     )
-    wp = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    # probe ranking on 6-dp-rounded sims (cell asc tie-break) — keeps the
+    # probed-cell set identical across engines at near-tie scores
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("cell")
+    )
     probes = (
         q_cells.withColumn("probe_rank", F.row_number().over(wp))
         .filter(F.col("probe_rank") <= n_probe)

@@ -55,11 +55,13 @@ Q76_SQL = """
 WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
 pd AS (SELECT day, count(*) AS n_active,
-              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+              CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_new
        FROM d JOIN f USING (user_id) GROUP BY day)
 SELECT day, n_active, n_new,
        n_active - n_new AS n_returning,
-       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
 FROM pd
 """
 

@@ -389,25 +389,29 @@ def q35_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("symbol", "minute").agg(
         F.count("*").alias("n_trades"),
         F.sum("qc").alias("base_vol_cents"),
-        F.round(
-            (
-                F.sum(F.col("pc") * F.col("qc"))
-                / F.nullif(F.sum("qc"), F.lit(0))
-            )
-            / 100.0,
-            6,
+        (
+            (F.sum(F.col("pc") * F.col("qc")) / F.nullif(F.sum("qc"), F.lit(0)))
+            / F.lit(100.0)
         ).alias("vwap_r"),
     )
 
 
+# Parity notes (driver hashes pandas-level values, full precision):
+#  - DuckDB sum(BIGINT) is HUGEINT → float64 in pandas; CAST to BIGINT so
+#    base_vol_cents stays an exact int64 like Spark's long.
+#  - vwap_r is a single IEEE division chain of exact integer sums — both
+#    engines round each step identically, so NO round() (round-of-double
+#    is the one op the engines disagree on in the last ulp).
 Q35_SQL = f"""
 WITH t AS (
   SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} // 60000 AS minute,
          {_SQL_CENTS} AS pc, ({_SQL_CENTS}) * 2 AS qc
   FROM events
 )
-SELECT symbol, minute, count(*) AS n_trades, sum(qc) AS base_vol_cents,
-       round((sum(pc * qc) / nullif(sum(qc), 0)) / 100.0, 6) AS vwap_r
+SELECT symbol, minute, count(*) AS n_trades,
+       CAST(sum(qc) AS BIGINT) AS base_vol_cents,
+       (CAST(sum(pc * qc) AS BIGINT) / nullif(CAST(sum(qc) AS BIGINT), 0)) / 100.0
+         AS vwap_r
 FROM t GROUP BY symbol, minute
 """
 
@@ -435,12 +439,14 @@ def q36_orderflow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minute",
         "buy_vol",
         "sell_vol",
-        F.round(
-            (F.col("buy_vol") - F.col("sell_vol")) / F.nullif(denom, F.lit(0)), 6
-        ).alias("imbalance_r"),
+        ((F.col("buy_vol") - F.col("sell_vol")) / F.nullif(denom, F.lit(0))).alias(
+            "imbalance_r"
+        ),
     )
 
 
+# buy/sell vols CAST to BIGINT (hugeint→float64 pandas hazard); the ratio
+# is one IEEE division of exact integers — no round() (see Q35 note).
 Q36_SQL = f"""
 WITH t AS (
   SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} // 60000 AS minute,
@@ -452,13 +458,12 @@ WITH t AS (
 ),
 agg AS (
   SELECT symbol, minute,
-         sum(CASE WHEN m = 'False' THEN qc ELSE 0 END) AS buy_vol,
-         sum(CASE WHEN m = 'True' THEN qc ELSE 0 END) AS sell_vol
+         CAST(sum(CASE WHEN m = 'False' THEN qc ELSE 0 END) AS BIGINT) AS buy_vol,
+         CAST(sum(CASE WHEN m = 'True' THEN qc ELSE 0 END) AS BIGINT) AS sell_vol
   FROM t WHERE m <> 'None' GROUP BY symbol, minute
 )
 SELECT symbol, minute, buy_vol, sell_vol,
-       round((buy_vol - sell_vol) / nullif(buy_vol + sell_vol, 0), 6)
-         AS imbalance_r
+       (buy_vol - sell_vol) / nullif(buy_vol + sell_vol, 0) AS imbalance_r
 FROM agg
 """
 
@@ -539,10 +544,9 @@ def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("symbol", "minute").agg(
         F.count("*").alias("n_trades"),
         F.sum("w_ms").alias("live_ms"),
-        F.round(
+        (
             (F.sum(F.col("pc") * F.col("w_ms")) / F.nullif(F.sum("w_ms"), F.lit(0)))
-            / 100.0,
-            6,
+            / F.lit(100.0)
         ).alias("twap_r"),
     )
 
@@ -561,8 +565,10 @@ seg AS (
                (minute + 1) * 60000) - tt AS w_ms
   FROM t
 )
-SELECT symbol, minute, count(*) AS n_trades, sum(w_ms) AS live_ms,
-       round((sum(pc * w_ms) / nullif(sum(w_ms), 0)) / 100.0, 6) AS twap_r
+SELECT symbol, minute, count(*) AS n_trades,
+       CAST(sum(w_ms) AS BIGINT) AS live_ms,
+       (CAST(sum(pc * w_ms) AS BIGINT) / nullif(CAST(sum(w_ms) AS BIGINT), 0))
+         / 100.0 AS twap_r
 FROM seg GROUP BY symbol, minute
 """
 

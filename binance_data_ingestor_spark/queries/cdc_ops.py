@@ -165,7 +165,7 @@ def q115_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status_b"),
         F.when(
             F.col("o_orderkey") % 3 == 0,
-            (F.col("cents") * 11 / 10).cast("long"),
+            F.expr("cents * 11 div 10"),
         )
         .otherwise(F.col("cents"))
         .alias("cents_b"),
@@ -212,12 +212,13 @@ j AS (SELECT a.o_orderkey, status_a, cents_a, status_b, cents_b,
              CASE WHEN cents_a IS NOT NULL AND cents_b IS NOT NULL
                        AND status_a <> status_b THEN 1 ELSE 0 END AS schg
       FROM a FULL OUTER JOIN b USING (o_orderkey))
-SELECT sum(is_add) AS n_added,
-       sum(is_rm) AS n_removed,
-       sum(greatest(pchg, schg)) AS n_changed,
-       sum(1 - is_add - is_rm - greatest(pchg, schg)) AS n_unchanged,
-       sum(pchg) AS n_price_changed,
-       sum(schg) AS n_status_changed
+SELECT CAST(sum(is_add) AS BIGINT) AS n_added,
+       CAST(sum(is_rm) AS BIGINT) AS n_removed,
+       CAST(sum(greatest(pchg, schg)) AS BIGINT) AS n_changed,
+       CAST(sum(1 - is_add - is_rm - greatest(pchg, schg)) AS BIGINT)
+         AS n_unchanged,
+       CAST(sum(pchg) AS BIGINT) AS n_price_changed,
+       CAST(sum(schg) AS BIGINT) AS n_status_changed
 FROM j
 """
 
@@ -299,10 +300,10 @@ def q119_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q119_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CASE WHEN o_orderkey % 3 = 0
-                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10
-                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
-         AS cents_sum
+       CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents_sum
 FROM orders WHERE o_orderkey % 5 <> 0
 GROUP BY 1
 """

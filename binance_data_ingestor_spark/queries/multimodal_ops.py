@@ -153,7 +153,8 @@ byte_vals AS (
   FROM ks
 ),
 stats AS (
-  SELECT doc_id, count(*) AS n_samples, sum(v) AS byte_sum
+  SELECT doc_id, count(*) AS n_samples,
+         CAST(sum(v) AS BIGINT) AS byte_sum
   FROM byte_vals GROUP BY doc_id
 )
 SELECT hx.doc_id AS doc_id, media_type, width, height,

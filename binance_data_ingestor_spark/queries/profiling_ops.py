@@ -155,7 +155,8 @@ s AS (SELECT c_custkey,
       FROM c)
 SELECT split, count(DISTINCT c_custkey) AS n_customers,
        count(o_orderkey) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM s LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY split
 """
@@ -397,7 +398,8 @@ def q134_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q134_SQL = "\nUNION ALL\n".join(
-    f"""SELECT '{k}' AS key_col, sum(f) AS n_rows, count(*) AS n_keys,
+    f"""SELECT '{k}' AS key_col, CAST(sum(f) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
        max(f) AS max_freq,
        round(max(f) / (sum(f) / CAST(count(*) AS DOUBLE)), 6)
          AS skew_factor_r

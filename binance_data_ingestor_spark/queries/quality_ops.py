@@ -194,8 +194,8 @@ span AS (SELECT min(value) AS vmin, max(value) AS vmax,
                 (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM ev),
 binned AS (
   SELECT event_type,
-         least(floor((value - vmin) / (vmax - vmin) * {PSI_BINS}),
-               {PSI_BINS - 1}) AS bin,
+         CAST(least(floor((value - vmin) / (vmax - vmin) * {PSI_BINS}),
+                    {PSI_BINS - 1}) AS BIGINT) AS bin,
          ts_us > mid_us AS is_cur
   FROM ev, span
 ),

@@ -932,9 +932,11 @@ def q124_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q124_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       sum(CAST(round((l_extendedprice * (1 - l_discount)
-                       - l_quantity * (p_retailprice * 0.2)) * 100)
-                AS BIGINT)) AS profit_cents
+       -- outer CAST: DuckDB sum(BIGINT) is HUGEINT → float64 in pandas,
+       -- which hash-mismatches Spark's exact int64 on the driver
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                            - l_quantity * (p_retailprice * 0.2)) * 100)
+                     AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1089,8 +1091,8 @@ def q142_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q142_SQL = """
 WITH rev AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS cents
   FROM lineitem GROUP BY 1
 ),
 ranked AS (
@@ -1102,7 +1104,7 @@ ranked AS (
 )
 SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
             WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
-       count(*) AS n_parts, sum(cents) AS cents_sum
+       count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS cents_sum
 FROM ranked GROUP BY 1
 """
 

@@ -173,8 +173,8 @@ WITH cents AS (SELECT [{cent_lits}] AS cl),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (
   SELECT vec_id, v,
-         list_transform(cl, c -> list_inner_product(v, c) /
-             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) AS s
+         list_transform(cl, c -> round(list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c))), 6)) AS s
   FROM e CROSS JOIN cents
 ),
 assigned AS (
@@ -528,8 +528,8 @@ WITH cents AS (SELECT [{cent_lits}] AS cl),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (
   SELECT vec_id, v,
-         list_transform(cl, c -> list_inner_product(v, c) /
-             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) AS s
+         list_transform(cl, c -> round(list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c))), 6)) AS s
   FROM e CROSS JOIN cents
 ),
 assigned AS (

@@ -82,22 +82,53 @@ GROUP BY date_trunc('hour', ts), event_type
 # --------------------------------------------------------------------------
 # q22 — rolling 24 h stats (A2): the ticker stream's sliding aggregate,
 # expressed as a RANGE window over event-time seconds.
-# Scale: one shuffle on event_type; the range frame is a streaming scan
-# per partition — no O(n²) self-join.
+# Scale: event_type alone has ~4 values, so a plain
+# partitionBy(event_type) range window serializes into 4 tasks no
+# matter how many executors exist. Instead the stream is chunked into
+# 3-day buckets and each event in a chunk's trailing 24 h is ALSO
+# replicated into the next chunk as a context-only row: every 24 h
+# lookback is then fully contained in one (event_type, chunk)
+# partition, the window parallelism is |types| × |chunks| (grows with
+# data span), and context rows are dropped after the frame is
+# computed. Replication overhead is ≤ 24h/72h of the data. The frame
+# CONTENT per surviving row is identical to the global window, so the
+# oracle keeps the plain formulation.
 # --------------------------------------------------------------------------
+Q22_CHUNK_SEC = 3 * 86400
+
+
 def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-86400, 0)
-    )
-    return ev.select(
+    base = ev.select(
         "event_id",
         "event_type",
-        F.round(F.sum("value").over(w), 2).alias("rolling_sum_24h"),
-        F.count("*").over(w).alias("rolling_n_24h"),
-        F.round(F.max("value").over(w), 2).alias("rolling_max_24h"),
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    chunk = F.expr(f"sec div {Q22_CHUNK_SEC}")
+    own = base.select(
+        "*", chunk.alias("chunk"), F.lit(0).alias("is_ctx")
+    )
+    ctx = base.filter(
+        F.col("sec") >= (chunk + 1) * Q22_CHUNK_SEC - 86400
+    ).select("*", (chunk + 1).alias("chunk"), F.lit(1).alias("is_ctx"))
+    w = (
+        W.partitionBy("event_type", "chunk")
+        .orderBy("sec")
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        own.unionByName(ctx)
+        .select(
+            "event_id",
+            "event_type",
+            "is_ctx",
+            F.round(F.sum("value").over(w), 2).alias("rolling_sum_24h"),
+            F.count("*").over(w).alias("rolling_n_24h"),
+            F.round(F.max("value").over(w), 2).alias("rolling_max_24h"),
+        )
+        .filter(F.col("is_ctx") == 0)
+        .drop("is_ctx")
     )
 
 
@@ -160,11 +191,16 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("new_sess"),
     )
     sessions = with_flag.withColumn("session_id", F.sum("new_sess").over(wcum))
+    # `value` is 2-dp → exact integer cents; summing cents then dividing
+    # once keeps the result independent of accumulation order (a plain
+    # double sum + round(,2) differed between engines in the last ulp).
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sess_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sess_value"
+            ),
             F.min("ts").alias("sess_start"),
             F.max("ts").alias("sess_end"),
         )
@@ -183,12 +219,14 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS sess_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sess_value,
        min(ts) AS sess_start, max(ts) AS sess_end
 FROM sessions
 GROUP BY user_id, session_id

@@ -805,12 +805,13 @@ Q71_SQL = f"""
 WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
               FROM documents),
 b AS (SELECT doc_id, n_tokens,
-             ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+             CAST(ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id)
+                  AS BIGINT) AS bucket
       FROM toks)
 SELECT bucket, count(*) AS n_docs,
        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
-       sum(n_tokens) AS sum_tokens,
-       count(*) * max(n_tokens) - sum(n_tokens) AS padding_waste
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
 FROM b GROUP BY bucket
 """
 
@@ -1156,7 +1157,7 @@ Q100_SQL = """
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
              FROM documents),
 joint AS (SELECT token, source, count(*) AS n_ts FROM tok GROUP BY 1, 2),
-tmarg AS (SELECT token, sum(n_ts) AS n_t FROM joint GROUP BY 1),
+tmarg AS (SELECT token, CAST(sum(n_ts) AS BIGINT) AS n_t FROM joint GROUP BY 1),
 smarg AS (SELECT source, sum(n_ts) AS n_s FROM joint GROUP BY 1),
 total AS (SELECT sum(n_ts) AS n_total FROM joint)
 SELECT token, n_t,
@@ -1438,8 +1439,10 @@ FROM ranked GROUP BY query
 # q138 — skip-gram co-occurrence PMI (word2vec preprocessing): token
 # pairs within a ±2-position window per document, PMI from pair and
 # unigram counts, top-30 by rounded PMI among pairs seen ≥5 times.
-# The pair expansion is a position self-join inside each doc (bounded
-# fan-out 2 per token — the window size, not the vocabulary); counts
+# The pair expansion is two lead() taps over the per-doc position
+# window (like q139) — TRUE bounded fan-out 2 per token, linear in
+# corpus size; a doc_id self-join with a post-join range predicate
+# would materialize a quadratic-in-doc-length intermediate. Counts
 # reduce map-side; the corpus-size singleton broadcasts. The q100
 # doc-level MI's micro-scale sibling.
 # --------------------------------------------------------------------------
@@ -1448,18 +1451,22 @@ _SG_MIN = 5
 
 
 def q138_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
     toks = fanout(docs).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     ).localCheckpoint(eager=True)
-    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
-    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("wb"))
+    wseq = W.partitionBy("doc_id").orderBy("pos")
+    taps = toks.select(
+        F.col("w").alias("wa"),
+        F.array(
+            *[F.lead("w", i).over(wseq) for i in range(1, _SG_WIN + 1)]
+        ).alias("nxt"),
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(
-            (F.col("pb") > F.col("pa"))
-            & (F.col("pb") - F.col("pa") <= _SG_WIN)
-        )
+        taps.select("wa", F.explode("nxt").alias("wb"))
+        .filter(F.col("wb").isNotNull())
         .groupBy("wa", "wb")
         .agg(F.count("*").alias("pc"))
         .filter(F.col("pc") >= _SG_MIN)

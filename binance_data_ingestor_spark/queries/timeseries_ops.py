@@ -204,10 +204,13 @@ FROM s
 
 # --------------------------------------------------------------------------
 # q111 — truncated-window EWMA smoothing of the daily mean value per
-# event_type: weights a·(1-a)^i over the trailing 10 days, normalized
-# by the weight mass actually present (series edges use the partial
-# mass, the standard `adjust=True` convention). A 10-term trailing
-# EWMA is exactly window-expressible as 10 lag() taps sharing ONE
+# event_type: weights a·(1-a)^i over the trailing 10 OBSERVATIONS
+# (row-based lag taps over the daily series — on a sparse series with
+# calendar gaps this is 10 rows, NOT 10 calendar days; a range-based
+# day window would be the calendar variant), normalized by the weight
+# mass actually present (series edges use the partial mass, the
+# standard `adjust=True` convention). A 10-term trailing EWMA is
+# exactly window-expressible as 10 lag() taps sharing ONE
 # Window sort — no recursion, no state, no applyInPandas; the exact
 # infinite-memory recurrence is deliberately avoided because its
 # (1-a)^(-t) rescaling trick overflows on long series and a recursive

@@ -312,7 +312,7 @@ TRANSITION_STATE_SCHEMA = StructType(
 )
 
 
-def _transition_fn():
+def _transition_fn(idle_state_ttl_ms: int = 86_400_000):
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -322,6 +322,15 @@ def _transition_fn():
         if state.exists:
             last, ts_l, id_l, ty_l = state.get
             buf = [(int(a), int(b), str(c)) for a, b, c in zip(ts_l, id_l, ty_l)]
+
+        # idle-TTL expiry: the key held only its boundary type (no
+        # buffered events) and stayed idle past the TTL — drop it so
+        # total state is O(keys active within the TTL), not O(all keys
+        # ever seen). A later event for this key starts a fresh chain
+        # (its link to the pre-TTL tail is deliberately forgotten).
+        if state.hasTimedOut and not buf:
+            state.remove()
+            return
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -359,6 +368,11 @@ def _transition_fn():
                     max(min(e[0] for e in hold) // 1000 + 1000,
                         state.getCurrentWatermarkMs() + 1)
                 )
+            else:
+                # only the boundary type remains — arm the idle TTL
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + idle_state_ttl_ms
+                )
         else:
             state.remove()
 
@@ -375,7 +389,10 @@ def _transition_fn():
 
 
 def transition_counts_stream(
-    events: DataFrame, *, watermark: str = "30 minutes"
+    events: DataFrame,
+    *,
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
 ) -> DataFrame:
     """Streaming twin of the q120 Markov transition matrix: per-key
     event-time sequence reconstruction under a watermark.
@@ -383,18 +400,23 @@ def transition_counts_stream(
     Events buffer in keyed state until the watermark guarantees no
     earlier event can still arrive; they are then released in
     (ts, event_id) order and each adjacent pair emits one
-    (prev_type → event_type) transition row (append mode). State per
-    key is the out-of-watermark tail plus one string — O(late window),
-    not O(stream). Downstream, a plain streaming/batch groupBy turns
-    the pairs into the transition matrix; the test proves equality
-    with the batch lag-window form.
+    (prev_type → event_type) transition row (append mode). Per-key
+    state is the out-of-watermark tail plus the boundary type; keys
+    whose buffer has fully flushed keep only the boundary type and are
+    DROPPED once idle past ``idle_state_ttl_ms`` (event-time), so
+    total state is O(keys active within the TTL horizon) — without
+    the TTL it would grow as O(all keys ever seen). A key resuming
+    after TTL expiry starts a fresh chain (the cross-TTL transition is
+    forgotten — the standard trade for bounded state). Downstream, a
+    plain streaming/batch groupBy turns the pairs into the transition
+    matrix; the test proves equality with the batch lag-window form.
     """
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _transition_fn(),
+            _transition_fn(idle_state_ttl_ms),
             TRANSITION_OUTPUT_SCHEMA,
             TRANSITION_STATE_SCHEMA,
             "append",
