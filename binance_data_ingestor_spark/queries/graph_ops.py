@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import pagerank, triangle_stats
-from .util import load
+from .util import copurchase_pairs, load
 
 _ITERS = 3
 _SUPP_BASE = 1_000_000  # supplier node ids offset above customer keys
@@ -90,20 +90,11 @@ FROM r{_ITERS} WHERE node >= {_SUPP_BASE}
 # orientation-invariant, which is exactly what makes it checkable.
 # --------------------------------------------------------------------------
 def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = li.distinct()
-    a, b = pr.alias("a"), pr.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    return triangle_stats(edges)
+    # edge list shared with q106 (util.copurchase_pairs): the distinct
+    # basket set and pair counts are localCheckpoint'ed once per session,
+    # so running the census and the lift query costs one edge build
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    return triangle_stats(pairs.select("u", "v"))
 
 
 Q105_SQL = """

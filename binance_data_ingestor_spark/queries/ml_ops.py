@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .util import load
+from .util import copurchase_pairs, load
 
 
 # --------------------------------------------------------------------------
@@ -138,26 +138,13 @@ ASOF LEFT JOIN ck ON t.user_id = ck.user_id AND t.ts >= ck.ts
 # tie-break).
 # --------------------------------------------------------------------------
 def q106_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # basket set + pair counts shared with q105 (util.copurchase_pairs)
+    baskets, pairs = copurchase_pairs(spark, sf_dir)
     n_orders = baskets.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
     item = baskets.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count("*").alias("cnt")
-    )
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("pc"))
-        .filter(F.col("pc") >= 2)
     )
     scored = (
         pairs.join(item.select(F.col("p").alias("u"), F.col("cnt").alias("cu")), "u")

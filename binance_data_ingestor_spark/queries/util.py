@@ -31,3 +31,50 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Shared co-purchase artifact (q105 triangle census + q106 basket lift).
+# Both queries need the distinct (order, part) basket set and the
+# pair-count edge list (pairs co-purchased in >= 2 orders) — the two most
+# expensive intermediates either query builds. Computing them once per
+# (session, sf_dir) and localCheckpoint'ing cuts the combined wall time
+# roughly in half; at cluster scale this is the "materialize the edge
+# list once, reuse across graph queries" pattern. Cache holds ONE entry
+# (handles die with the session anyway — keyed by applicationId so a
+# restarted session rebuilds instead of reusing dead checkpoint blocks).
+# ---------------------------------------------------------------------------
+COPURCHASE_MIN_ORDERS = 2
+_COPURCHASE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def copurchase_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (baskets, pairs): baskets = distinct (l_orderkey,
+    l_partkey); pairs = (u, v, pc) with u < v and pc >= 2 co-orders.
+    Both are localCheckpoint'ed and memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COPURCHASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("pc"))
+        .filter(F.col("pc") >= COPURCHASE_MIN_ORDERS)
+        .localCheckpoint(eager=True)
+    )
+    _COPURCHASE_CACHE.clear()
+    _COPURCHASE_CACHE[key] = (baskets, pairs)
+    return baskets, pairs

@@ -219,3 +219,33 @@ def test_bootstrap_replica_means_partial_agg(plans):
     p = plans("q129_poisson_bootstrap")
     assert p.count("HashAggregate") >= 4
     assert "Generate explode" in p or "Generate" in p
+
+
+def test_rolling_24h_window_keys_on_time_chunk(plans):
+    # q22: the 24h range window must partition on (event_type, chunk),
+    # not event_type alone — a 4-value key serializes the window stage
+    # into 4 tasks regardless of cluster size. The chunk column in the
+    # partition spec is what makes window parallelism grow with the
+    # data's time span.
+    p = plans("q22_rolling_24h")
+    assert "hashpartitioning(event_type" in p
+    assert "chunk" in p.split("hashpartitioning(event_type", 1)[1][:80]
+
+
+def test_copurchase_edge_artifact_shared(spark):
+    # q105/q106 must reuse one localCheckpointed basket/pair build —
+    # the second query's plan reads the checkpoint (Scan ExistingRDD),
+    # not a fresh lineitem scan + self-join.
+    from binance_data_ingestor_spark.queries.util import (
+        _COPURCHASE_CACHE,
+        copurchase_pairs,
+    )
+
+    _COPURCHASE_CACHE.clear()
+    b1, p1 = copurchase_pairs(spark, SF_DIR)
+    b2, p2 = copurchase_pairs(spark, SF_DIR)
+    assert b1 is b2 and p1 is p2
+    qs, _ = registry()
+    df = qs["q106_copurchase_lift"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
