@@ -135,3 +135,85 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_row_context(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    *,
+    chunk: "Column",
+    rows_before: int = 0,
+    rows_after: int = 0,
+    chunk_col: str = "chunk",
+    ctx_col: str = "is_ctx",
+) -> DataFrame:
+    """Re-key a rows-bounded window off a low-cardinality partition key.
+
+    A window ``partitionBy(*keys)`` serializes into |keys| tasks — 3-4
+    symbols/event-types means 3-4 tasks no matter how many executors
+    exist. For frames with BOUNDED row lookback/lookahead (lag(N),
+    lead(N), rowsBetween(-N, -1)), the fix is the same chunk-overlap
+    trick as a bounded RANGE window (q22): split each key's stream into
+    chunks and replicate each chunk's last ``rows_before`` rows into
+    the NEXT PRESENT chunk (and its first ``rows_after`` rows into the
+    previous present chunk) as context-only rows. A window over
+    ``partitionBy(*keys, chunk_col)`` then sees the same frame content
+    per surviving row as the global window, with parallelism
+    |keys| × |chunks| (grows with data span).
+
+    Context is retargeted to the next/previous chunk PRESENT in the
+    data (not chunk±1), so time gaps larger than the chunk span cannot
+    orphan a boundary row. Correctness precondition: every present
+    (key, chunk) bucket holds ≥ max(rows_before, rows_after) rows — a
+    deeper frame than the thinnest chunk would need multi-chunk
+    context (see q83 for a documented case where this rules the
+    rewrite out at small SF).
+
+    Returns df + (chunk_col, ctx_col); run the window partitioned by
+    (*keys, chunk_col) with the same ``order``, then filter
+    ``ctx_col == 0`` and drop both columns. The boundary ranking is
+    one extra window over (*keys, chunk_col) — itself parallel — and
+    the present-chunk chaining runs on the chunk summary
+    (|keys| × |chunks| rows, negligible).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = df.withColumn(chunk_col, chunk)
+    parts = [*keys, chunk_col]
+    present = base.select(*parts).distinct()
+    wk = W.partitionBy(*keys).orderBy(chunk_col)
+    hops = present.select(
+        *keys,
+        F.col(chunk_col).alias("__src_chunk"),
+        F.lead(chunk_col).over(wk).alias("__next_chunk"),
+        F.lag(chunk_col).over(wk).alias("__prev_chunk"),
+    )
+
+    def shifted(rank_window, n: int, target: str) -> DataFrame:
+        ranked = (
+            base.withColumn("__rn", F.row_number().over(rank_window))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+        return (
+            ranked.withColumnRenamed(chunk_col, "__src_chunk")
+            .join(hops, [*keys, "__src_chunk"])
+            .filter(F.col(target).isNotNull())
+            .withColumn(chunk_col, F.col(target))
+            .drop("__src_chunk", "__next_chunk", "__prev_chunk")
+            .withColumn(ctx_col, F.lit(1))
+        )
+
+    pieces = [base.withColumn(ctx_col, F.lit(0))]
+    if rows_before:
+        w_desc = W.partitionBy(*parts).orderBy(*[F.desc(c) for c in order])
+        pieces.append(shifted(w_desc, rows_before, "__next_chunk"))
+    if rows_after:
+        w_asc = W.partitionBy(*parts).orderBy(*order)
+        pieces.append(shifted(w_asc, rows_after, "__prev_chunk"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

@@ -30,7 +30,7 @@ from ..operators.projections import (
     parse_raw,
     with_envelope_json,
 )
-from ..operators.partitioning import fanout
+from ..operators.partitioning import fanout, with_row_context
 from .util import load
 
 SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT"]
@@ -482,12 +482,25 @@ def q37_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).filter(
         F.col("pc") > 0
     )
-    w = W.partitionBy("symbol").orderBy("trade_time", "event_id")
-    r = t.select(
+    # symbol alone is 3-4 values → the lag window would serialize into
+    # 3-4 tasks; chunk on 3-day buckets with 1-row boundary context
+    # (operators/partitioning.with_row_context) so parallelism grows
+    # with the data span. Minute groups never straddle a chunk, so the
+    # downstream sum's accumulation order is unchanged.
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    r = tc.select(
         "symbol",
         "minute",
+        "is_ctx",
         F.log(F.col("pc") / F.lag("pc").over(w)).alias("lr"),
-    )
+    ).filter(F.col("is_ctx") == 0)
     return r.filter(F.col("lr").isNotNull()).groupBy("symbol", "minute").agg(
         F.count("*").alias("n_returns"),
         F.round(F.sum(F.col("lr") * F.col("lr")), 6).alias("rv_r"),
@@ -528,19 +541,30 @@ def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
-    w = W.partitionBy("symbol").orderBy("trade_time", "event_id")
+    # same chunked re-key as q37, but lookAHEAD: each chunk's first row
+    # replicates into the previous present chunk so lead(1) at the
+    # chunk boundary sees the true next trade
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_after=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
     minute_end = (F.col("minute") + 1) * 60000
-    seg = t.select(
+    seg = tc.select(
         "symbol",
         "minute",
         "pc",
+        "is_ctx",
         (
             F.least(
                 F.coalesce(F.lead("trade_time").over(w), minute_end), minute_end
             )
             - F.col("trade_time")
         ).alias("w_ms"),
-    )
+    ).filter(F.col("is_ctx") == 0)
     return seg.groupBy("symbol", "minute").agg(
         F.count("*").alias("n_trades"),
         F.sum("w_ms").alias("live_ms"),

@@ -66,6 +66,13 @@ ASOF LEFT JOIN obs o
 # state per partition is O(100). Both engines compute stddev_samp over
 # identical deterministic frames (ts, event_id order); z is rounded to
 # 4 dp on both sides before the threshold filter.
+# NOT re-keyed via with_row_context (unlike q37/q38): the 100-row
+# frame is deeper than a thin (event_type, chunk) bucket holds at
+# small SF (sf0.01 ≈ 25 rows per 3-day chunk), and single-chunk
+# boundary context can't span multiple chunks. At production
+# cardinality the partition key is (entity, metric) — many keys — so
+# the serialize-on-4-keys concern is a fixture artifact here; re-key
+# only with a per-key row-count-aware chunk span.
 # --------------------------------------------------------------------------
 ZSCORE_FRAME = 100
 ZSCORE_MIN_N = 20

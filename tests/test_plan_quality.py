@@ -249,3 +249,68 @@ def test_copurchase_edge_artifact_shared(spark):
     df = qs["q106_copurchase_lift"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_chunked_lag_matches_global_window_across_gaps(spark):
+    # with_row_context must retarget boundary context to the next
+    # PRESENT chunk — a key with a time gap spanning several empty
+    # chunks still gets the true previous row for lag(1)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_row_context,
+    )
+
+    rows = [
+        # key 'a': dense in chunk 0, then a 5-chunk gap, then chunk 5
+        ("a", 1, 10.0), ("a", 2, 11.0), ("a", 9, 12.0),
+        ("a", 55, 13.0), ("a", 56, 14.0),
+        # key 'b': single row per chunk
+        ("b", 1, 1.0), ("b", 11, 2.0), ("b", 21, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    wg = W.partitionBy("k").orderBy("t")
+    expected = sorted(
+        df.select("k", "t", F.lag("v").over(wg).alias("pv")).collect()
+    )
+
+    dc = with_row_context(
+        df, ["k"], ["t"], chunk=F.expr("t div 10"), rows_before=1
+    )
+    wc = W.partitionBy("k", "chunk").orderBy("t")
+    got = sorted(
+        dc.select("k", "t", "is_ctx", F.lag("v").over(wc).alias("pv"))
+        .filter(F.col("is_ctx") == 0)
+        .drop("is_ctx")
+        .collect()
+    )
+    assert got == expected
+
+    # lead across the same gaps
+    expected_lead = sorted(
+        df.select("k", "t", F.lead("v").over(wg).alias("nv")).collect()
+    )
+    dc2 = with_row_context(
+        df, ["k"], ["t"], chunk=F.expr("t div 10"), rows_after=1
+    )
+    got_lead = sorted(
+        dc2.select("k", "t", "is_ctx", F.lead("v").over(wc).alias("nv"))
+        .filter(F.col("is_ctx") == 0)
+        .drop("is_ctx")
+        .collect()
+    )
+    assert got_lead == expected_lead
+
+
+def test_trade_windows_key_on_time_chunk(plans):
+    # q37/q38: the per-symbol lag/lead windows must partition on
+    # (symbol, chunk) — symbol alone is 3 values and serializes
+    for q in ["q37_realized_vol", "q38_twap"]:
+        p = plans(q)
+        specs = [
+            seg[:60]
+            for seg in p.split("windowspecdefinition(symbol")[1:]
+        ]
+        assert specs and all("chunk" in s for s in specs), (q, specs)
