@@ -103,8 +103,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    ``exploded`` lets the caller pass a prebuilt (id, shingle) index
+    (e.g. a session-shared localCheckpoint) so sibling queries skip
+    re-tokenizing the corpus.
 
     Inverted-index plan: one explode, one self-join on `shingle`
     (co-occurrence counts = intersection size), one broadcast join for
@@ -117,7 +122,7 @@ def ngram_jaccard_pairs(
     exact Jaccard (intersections lose capped shingles; set sizes keep
     them), which is the usual trade — the exact form is max_df=None.
     """
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
     if max_df is not None:
         hot = (
@@ -210,6 +215,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
 
@@ -220,7 +226,7 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
     sig = ex.groupBy(id_col).agg(*minhash_signature(num_hashes))
 
     band_structs = F.array(

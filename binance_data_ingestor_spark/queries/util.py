@@ -34,6 +34,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session-scoped shared artifacts. Queries in the same family often need
+# the same expensive intermediate (distinct basket pairs, exploded
+# shingles, Jaccard near-dup pairs); building it once per (session,
+# key) and localCheckpoint'ing is the "materialize the edge list once,
+# reuse across queries" pattern a warehouse would express as a temp
+# table. Keyed by applicationId so a restarted session rebuilds instead
+# of dereferencing dead checkpoint blocks; values are handles, freed
+# with the session.
+# ---------------------------------------------------------------------------
+_ARTIFACT_CACHE: dict = {}
+
+
+def session_artifact(spark: SparkSession, key, build):
+    """Memoize ``build()`` (typically ending in ``localCheckpoint``)
+    per (session, key)."""
+    k = (spark.sparkContext.applicationId, key)
+    if k not in _ARTIFACT_CACHE:
+        _ARTIFACT_CACHE[k] = build()
+    return _ARTIFACT_CACHE[k]
+
+
+# ---------------------------------------------------------------------------
 # Shared co-purchase artifact (q105 triangle census + q106 basket lift).
 # Both queries need the distinct (order, part) basket set and the
 # pair-count edge list (pairs co-purchased in >= 2 orders) — the two most
