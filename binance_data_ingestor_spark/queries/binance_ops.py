@@ -501,6 +501,16 @@ def q37_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_ctx",
         F.log(F.col("pc") / F.lag("pc").over(w)).alias("lr"),
     ).filter(F.col("is_ctx") == 0)
+    # round(sum(double), 6) is deliberate here, NOT integer
+    # quantization: lr comes from ln(), and Spark's Math.log vs
+    # DuckDB's libm ln differ in the last ulp for some inputs — any
+    # fixed-grain per-row quantization (floor/round at 1e-12…1e-9)
+    # turns that ulp into a full unit whenever a value lands within an
+    # ulp of a grain boundary (observed at sf0.01). The 6-dp round of
+    # the per-group SUM tolerates ~5e-7 of accumulated divergence —
+    # seven orders of magnitude of headroom over the ~1e-14 ulp noise —
+    # and per-(symbol, minute) groups are small and map-local, so
+    # Spark-side accumulation order is stable in practice.
     return r.filter(F.col("lr").isNotNull()).groupBy("symbol", "minute").agg(
         F.count("*").alias("n_returns"),
         F.round(F.sum(F.col("lr") * F.col("lr")), 6).alias("rv_r"),

@@ -1181,6 +1181,13 @@ def q100_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_part"),
         )
     )
+    # round(sum(double), 6), NOT per-row integer quantization: mi_part
+    # goes through ln(), whose last ulp differs between Spark and
+    # DuckDB for some inputs — a fixed quantization grain turns that
+    # ulp into a full unit at grain boundaries, while the 6-dp round of
+    # the per-group sum has ~7 orders of magnitude of headroom over the
+    # ulp noise (see q37 for the full argument). Groups are
+    # |sources|-sized, so Spark-side accumulation order is stable.
     return contrib.groupBy("token", "n_t").agg(
         F.round(F.sum("mi_part"), 6).alias("mi_r")
     )
