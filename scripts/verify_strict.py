@@ -17,8 +17,13 @@ than ``verify_local.py`` in two ways this script reproduces:
 
 A query passing this sweep should be hash-green on the driver.
 
-Usage: python scripts/verify_strict.py [name_filter ...]
+Usage: python scripts/verify_strict.py [--stability] [name_filter ...]
        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 (default)
+
+--stability additionally executes every Spark query TWICE and compares
+the two runs at the same full precision — catching Spark-side
+run-nondeterminism (double-sum partial-merge order, unstable top-k
+ties) that a single oracle compare can pass by luck.
 """
 
 from __future__ import annotations
@@ -96,6 +101,8 @@ def canon_frame(df: pd.DataFrame):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     filters = sys.argv[1:]
+    stability = "--stability" in filters
+    filters = [f for f in filters if f != "--stability"]
 
     from binance_data_ingestor_spark.session import get_spark
     from binance_data_ingestor_spark.queries import registry
@@ -119,6 +126,13 @@ def main():
             failures.append(name)
             n_fail += 1
             continue
+        if stability:
+            spdf2 = fn(spark, sf_dir).toPandas()
+            if canon_frame(spdf) != canon_frame(spdf2):
+                print(f"FAIL {name}: UNSTABLE across Spark runs", flush=True)
+                failures.append(name)
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)", flush=True)
             n_skip += 1

@@ -172,3 +172,77 @@ def test_asof_join_matches_naive(spark, data):
         cands = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t]
         expected = max(cands)[1] if cands else None
         assert got[i] == expected, (i, k, t)
+
+
+# -- with_row_context ≡ global window (random keys, times, gaps) ------------
+
+ctx_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # key
+        st.integers(min_value=0, max_value=199),   # time
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=ctx_strategy, data=st.data())
+@settings(max_examples=12, deadline=None)
+def test_with_row_context_equals_global_window(spark, rows, data):
+    """Chunked window + boundary context must reproduce the global
+    per-key window for lag/lead/rolling-N, for any chunk size and any
+    gap pattern, whenever every present (key, chunk) bucket holds ≥ N
+    rows (the operator's documented precondition)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_row_context,
+    )
+
+    # dedupe (key, t) so window order is total and results comparable
+    uniq = {(k, t): v for k, t, v in rows}
+    rows = [(k, t, float(v)) for (k, t), v in sorted(uniq.items())]
+    chunk_size = data.draw(st.sampled_from([7, 23, 50]))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    from collections import Counter
+
+    occupancy = Counter((k, t // chunk_size) for k, t, _ in rows)
+    max_n = min(min(occupancy.values()), 3)
+
+    wg = W.partitionBy("k").orderBy("t")
+    for n in range(1, max_n + 1):
+        expected = sorted(
+            df.select(
+                "k",
+                "t",
+                F.lag("v", n).over(wg).alias("lagn"),
+                F.lead("v", n).over(wg).alias("leadn"),
+                F.sum("v").over(wg.rowsBetween(-n, -1)).alias("roll"),
+            ).collect()
+        )
+        dc = with_row_context(
+            df,
+            ["k"],
+            ["t"],
+            chunk=F.expr(f"t div {chunk_size}"),
+            rows_before=n,
+            rows_after=n,
+        )
+        wc = W.partitionBy("k", "chunk").orderBy("t")
+        got = sorted(
+            dc.select(
+                "k",
+                "t",
+                "is_ctx",
+                F.lag("v", n).over(wc).alias("lagn"),
+                F.lead("v", n).over(wc).alias("leadn"),
+                F.sum("v").over(wc.rowsBetween(-n, -1)).alias("roll"),
+            )
+            .filter(F.col("is_ctx") == 0)
+            .drop("is_ctx")
+            .collect()
+        )
+        assert got == expected, f"n={n} chunk={chunk_size}"
