@@ -217,3 +217,43 @@ def with_row_context(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def with_global_rank(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    *,
+    bucket: "Column",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Parallel global per-key dense ranking (1-based row_number) via
+    bucket offsets — the distributed alternative to a serialized
+    ``row_number() OVER (PARTITION BY key ORDER BY …)`` when the key
+    has few values.
+
+    Two passes: (1) count rows per (key, bucket) — a plain parallel
+    aggregate; (2) exclusive prefix-sum of counts per key over the
+    BUCKET SUMMARY (|keys| × |buckets| rows — tiny, the only
+    serialized step); (3) rank within each (key, bucket) — a parallel
+    window — plus the bucket's offset. Requires ``bucket`` to be
+    monotone in ``order`` (rows with equal order prefix share a
+    bucket), e.g. a coarse time bucket when ordering by time.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    b = df.withColumn("__b", bucket)
+    counts = b.groupBy(*keys, "__b").agg(F.count("*").alias("__n"))
+    wk = W.partitionBy(*keys).orderBy("__b")
+    offsets = counts.select(
+        *keys,
+        "__b",
+        (F.sum("__n").over(wk) - F.col("__n")).alias("__off"),
+    )
+    wb = W.partitionBy(*keys, "__b").orderBy(*order)
+    return (
+        b.join(offsets, [*keys, "__b"])
+        .withColumn(rank_col, F.row_number().over(wb) + F.col("__off"))
+        .drop("__b", "__off")
+    )

@@ -66,34 +66,53 @@ ASOF LEFT JOIN obs o
 # state per partition is O(100). Both engines compute stddev_samp over
 # identical deterministic frames (ts, event_id order); z is rounded to
 # 4 dp on both sides before the threshold filter.
-# NOT re-keyed via with_row_context (unlike q37/q38): the 100-row
-# frame is deeper than a thin (event_type, chunk) bucket holds at
-# small SF (sf0.01 ≈ 25 rows per 3-day chunk), and single-chunk
-# boundary context can't span multiple chunks. At production
-# cardinality the partition key is (entity, metric) — many keys — so
-# the serialize-on-4-keys concern is a fixture artifact here; re-key
-# only with a per-key row-count-aware chunk span.
+# Scale shape: event_type alone is 4 values, so a plain window would
+# serialize into 4 tasks. A TIME-chunked re-key (q22/q37 style) can't
+# carry a 100-row frame across thin chunks, so the re-key here is
+# ROW-COUNT-aware: with_global_rank assigns a distributed global
+# per-type rank (bucket-offset two-pass — no serialized window), rows
+# chunk by rank div 1000, and with_row_context replicates each chunk's
+# last 100 rows into the next one. Interior chunks hold exactly 1000
+# rows ≥ the frame depth BY CONSTRUCTION, at any scale factor — the
+# occupancy precondition is guaranteed, not assumed.
 # --------------------------------------------------------------------------
 ZSCORE_FRAME = 100
 ZSCORE_MIN_N = 20
 ZSCORE_CUT = 2.5
+ZSCORE_CHUNK_ROWS = 1000
 
 
 def q83_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank, with_row_context
+
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    ranked = with_global_rank(
+        ev,
+        ["event_type"],
+        ["ts", "event_id"],
+        bucket=F.expr("unix_seconds(ts) div 86400"),
+    )
+    chunked = with_row_context(
+        ranked,
+        ["event_type"],
+        ["rank"],
+        chunk=F.expr(f"(rank - 1) div {ZSCORE_CHUNK_ROWS}"),
+        rows_before=ZSCORE_FRAME,
+    )
     w = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        W.partitionBy("event_type", "chunk")
+        .orderBy("rank")
         .rowsBetween(-ZSCORE_FRAME, -1)
     )
-    scored = ev.select(
+    scored = chunked.select(
         "event_id",
         "event_type",
         "value",
+        "is_ctx",
         F.count("value").over(w).alias("n_prev"),
         F.avg("value").over(w).alias("mu"),
         F.stddev_samp("value").over(w).alias("sd"),
-    )
+    ).filter(F.col("is_ctx") == 0)
     return (
         scored.filter(
             (F.col("n_prev") >= ZSCORE_MIN_N) & (F.col("sd") > 0)

@@ -314,3 +314,14 @@ def test_trade_windows_key_on_time_chunk(plans):
             for seg in p.split("windowspecdefinition(symbol")[1:]
         ]
         assert specs and all("chunk" in s for s in specs), (q, specs)
+
+
+def test_zscore_window_keys_on_rank_chunk(plans):
+    # q83: the 100-deep frame must run over (event_type, chunk), with
+    # chunk derived from the distributed global rank — guaranteed
+    # >=frame-depth occupancy per interior chunk at any SF
+    p = plans("q83_rolling_zscore")
+    specs = [
+        seg[:60] for seg in p.split("windowspecdefinition(event_type")[1:]
+    ]
+    assert any("chunk" in s for s in specs), specs

@@ -246,3 +246,34 @@ def test_with_row_context_equals_global_window(spark, rows, data):
             .collect()
         )
         assert got == expected, f"n={n} chunk={chunk_size}"
+
+
+@given(rows=ctx_strategy)
+@settings(max_examples=10, deadline=None)
+def test_with_global_rank_equals_serial_row_number(spark, rows):
+    """Bucket-offset distributed ranking must equal the serialized
+    row_number() OVER (PARTITION BY key ORDER BY t) for any data/gaps,
+    for any bucket granularity monotone in the order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_global_rank,
+    )
+
+    uniq = {(k, t): v for k, t, v in rows}
+    rows = [(k, t, float(v)) for (k, t), v in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    wg = W.partitionBy("k").orderBy("t")
+    expected = sorted(
+        df.select("k", "t", F.row_number().over(wg).alias("rank")).collect()
+    )
+    for bucket in (1, 13, 1000):
+        got = sorted(
+            with_global_rank(
+                df, ["k"], ["t"], bucket=F.expr(f"t div {bucket}")
+            )
+            .select("k", "t", "rank")
+            .collect()
+        )
+        assert got == expected, f"bucket={bucket}"
