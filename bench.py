@@ -88,10 +88,13 @@ def main() -> None:
     }
     total = round(sum(best[n] for n in line_queries), 3)
 
-    with open(DETAIL_PATH, "w") as f:
-        json.dump(
-            {"sf": sf, "repeat": repeat, "samples": samples, "min": best}, f, indent=1
-        )
+    if not only:  # filtered runs must not clobber the full-registry detail
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(
+                {"sf": sf, "repeat": repeat, "samples": samples, "min": best},
+                f,
+                indent=1,
+            )
     print(
         json.dumps(
             {
