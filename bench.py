@@ -51,7 +51,9 @@ def main() -> None:
     argv = [a for a in argv if a != "--all"]
     only = argv
 
-    spark = get_spark("bench")
+    # No console progress bar: the driver keeps only the last ~2 KB of
+    # output, and \r-progress junk competes with the final JSON line.
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs, _ = registry()
     headline = set(PRIORITY)
 

@@ -31,7 +31,7 @@ from ..operators.projections import (
     with_envelope_json,
 )
 from ..operators.partitioning import fanout, with_row_context
-from .util import load
+from .util import load, session_artifact
 
 SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT"]
 
@@ -361,17 +361,40 @@ FROM events
 # division. The oracle computes the same values straight from `events`.
 
 
+def _trades_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded trade stream, materialized once per (session, sf_dir).
+
+    q35-q38 all consume the same wire pipeline output (synthesize →
+    from_json → P4 normalize → exact integer cents).  In a production
+    deployment this is the bronze→silver materialization: the stream is
+    decoded once into a normalized table and every analytics query reads
+    that, not the raw wire frames.  Mirrors the q105/q106 shared
+    co-purchase artifact (util.copurchase_pairs): localCheckpoint'ed,
+    memoized per (applicationId, sf_dir), identical results by
+    construction.
+    """
+
+    def build() -> DataFrame:
+        t = normalize_trades(
+            parse_raw(_raw_trade_frames(spark, sf_dir), "trades"),
+            keep=["symbol", "event_id"],
+        )
+        return t.select(
+            "symbol",
+            "event_id",
+            "trade_time",
+            "is_buyer_maker",
+            (F.col("price").cast("decimal(38,8)") * 100).cast("long").alias("pc"),
+            (F.col("quantity").cast("decimal(38,8)") * 100).cast("long").alias("qc"),
+            F.expr("trade_time div 60000").alias("minute"),
+        ).localCheckpoint(eager=True)
+
+    return session_artifact(spark, ("trades_decoded", sf_dir), build)
+
+
 def _trades_cents(spark: SparkSession, sf_dir: str, keep=("symbol",)) -> DataFrame:
-    t = normalize_trades(
-        parse_raw(_raw_trade_frames(spark, sf_dir), "trades"), keep=list(keep)
-    )
-    return t.select(
-        *keep,
-        "trade_time",
-        "is_buyer_maker",
-        (F.col("price").cast("decimal(38,8)") * 100).cast("long").alias("pc"),
-        (F.col("quantity").cast("decimal(38,8)") * 100).cast("long").alias("qc"),
-        F.expr("trade_time div 60000").alias("minute"),
+    return _trades_decoded(spark, sf_dir).select(
+        *keep, "trade_time", "is_buyer_maker", "pc", "qc", "minute"
     )
 
 

@@ -1568,6 +1568,123 @@ ORDER BY pmi_r DESC, wa, wb LIMIT 30
 """
 
 
+# --------------------------------------------------------------------------
+# q143 — DSIR-style importance weights for data selection (Xie et al.
+# 2023, "Data Selection for Language Models via Importance Resampling"):
+# represent every document as a bag of HASHED word bigrams (B buckets),
+# fit smoothed multinomials for the target domain (here: lang='en')
+# and the raw pool, and score each doc by its log-likelihood ratio
+# Σ_b c_b · ln(p_target(b) / p_raw(b)).  Selection is then a
+# deterministic top-k / threshold over llr_r (the resampling step).
+#
+# Scale shape: ONE gram pass feeds both the doc-bucket counts and the
+# B-row bucket stats (target + raw counted in the same aggregate); the
+# model is a B-row broadcast joined back to the doc-bucket counts — no
+# data-sized shuffle beyond the two groupBys.  The bucket hash is the
+# md5 generator emitted for both dialects (hash_bucket_sql), so Spark
+# and the oracle bucket identically by construction.
+#
+# Parity: ln() is applied to the SAME exact-integer rational on both
+# engines ((ct+1)(tr+B) and (cr+1)(tt+B) stay < 2^53, so the double
+# division input is bit-identical); per-doc Σ c·lr is round(·, 6) per
+# the transcendental-summand convention (STATUS lesson — never quantize
+# ln-derived values to a fixed grain).
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+def q143_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_BUCKETS
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
+        ),
+    )
+    # guard + explode_outer: plain explode re-inlines the generator below
+    # the exchange via InferFiltersFromGenerate (STATUS lesson 2)
+    g = (
+        fanout(docs)
+        .filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode_outer(grams).alias("g"),
+        )
+    )
+    b = g.select(
+        "doc_id", "lang", F.expr(hash_bucket_sql("spark", "g", B)).alias("b")
+    )
+    stats = b.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    model = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tr") + B))
+                / ((F.col("cr") + 1) * (F.col("tt") + B)).cast("double")
+            ).alias("lr"),
+        )
+    )
+    docb = b.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    return (
+        docb.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("llr_r"),
+        )
+    )
+
+
+Q143_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+b AS (
+  SELECT doc_id, lang, {hash_bucket_sql("duckdb", "g", _DSIR_BUCKETS)} AS b
+  FROM g
+),
+stats AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+  FROM stats
+),
+model AS (
+  SELECT b,
+         ln(((ct + 1) * (tr + {_DSIR_BUCKETS}))
+            / CAST((cr + 1) * (tt + {_DSIR_BUCKETS}) AS DOUBLE)) AS lr
+  FROM stats CROSS JOIN tot
+),
+docb AS (
+  SELECT doc_id, lang, b, count(*) AS c FROM b GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * lr), 6) AS llr_r
+FROM docb JOIN model USING (b)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1599,6 +1716,7 @@ QUERIES = {
     "q117_bigram_surprisal": q117_bigram_surprisal,
     "q130_ndcg_eval": q130_ndcg_eval,
     "q138_skipgram_pmi": q138_skipgram_pmi,
+    "q143_dsir_weights": q143_dsir_weights,
 }
 
 ORACLES = {
@@ -1632,4 +1750,5 @@ ORACLES = {
     "q117_bigram_surprisal": Q117_SQL,
     "q130_ndcg_eval": Q130_SQL,
     "q138_skipgram_pmi": Q138_SQL,
+    "q143_dsir_weights": Q143_SQL,
 }

@@ -180,3 +180,60 @@ def test_incremental_agg_equals_full_recompute(spark, seed):
         .collect()
     }
     assert maintained == direct
+
+
+def test_dsir_llr_matches_bruteforce(spark):
+    """q143's hashed-bigram log-likelihood ratio vs a pure-Python
+    reference over the sf0.001 fixture — independent of BOTH engines'
+    SQL semantics (catches same-way-wrong oracle bugs)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+        q143_dsir_weights,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pydict()
+    B = _DSIR_BUCKETS
+
+    def bucket(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:4], 16) % B
+
+    cr = [0] * B
+    ct = [0] * B
+    per_doc: dict[int, dict[int, int]] = {}
+    for did, lang, text in zip(tbl["doc_id"], tbl["lang"], tbl["text"]):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        counts: dict[int, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            h = bucket(f"{a} {b}")
+            counts[h] = counts.get(h, 0) + 1
+            cr[h] += 1
+            if lang == _DSIR_TARGET_LANG:
+                ct[h] += 1
+        per_doc[did] = counts
+    tr, tt = sum(cr), sum(ct)
+    expected = {
+        did: round(
+            sum(
+                c * math.log(((ct[h] + 1) * (tr + B)) / ((cr[h] + 1) * (tt + B)))
+                for h, c in counts.items()
+            ),
+            6,
+        )
+        for did, counts in per_doc.items()
+    }
+
+    got = {
+        r.doc_id: r.llr_r
+        for r in q143_dsir_weights(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(expected)
+    for did, llr in expected.items():
+        assert abs(got[did] - llr) < 2e-6, did
