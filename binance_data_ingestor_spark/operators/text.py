@@ -151,6 +151,79 @@ FROM hashes GROUP BY {id_col}
 """
 
 
+def rolling_hash_windows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = RH_WINDOW
+) -> DataFrame:
+    """ALL Rabin-Karp window hashes per doc, pre-aggregated to
+    (doc_id, h, c) inside the Arrow kernel (np.unique), so the Arrow
+    transfer carries one row per DISTINCT hash per doc, not one per
+    character position.  Feeds cross-document duplicated-substring
+    analysis (q144): a window hash held by ≥2 docs marks a length-w
+    span shared verbatim across documents — the hashed relaxation of
+    suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+    Same polynomial/modulus as :func:`rolling_hash_signature`, so the
+    naive SQL expansion stays the oracle."""
+    pows = np.array([pow(RH_BASE, w - 1 - j, RH_MOD) for j in range(w)], dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, hs, cs = [], [], []
+            for vid, text in zip(pdf["__id"], pdf["__text"]):
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if cps.size < w:
+                    continue
+                terms = (sliding_window_view(cps, w) * (pows % RH_MOD)) % RH_MOD
+                hashes = terms.sum(axis=1) % RH_MOD
+                u, c = np.unique(hashes, return_counts=True)
+                ids.append(np.full(u.size, vid, dtype=np.int64))
+                hs.append(u)
+                cs.append(c.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "h": np.concatenate(hs),
+                        "c": np.concatenate(cs),
+                    }
+                )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(kernel, "doc_id long, h long, c long")
+
+
+def rolling_hash_windows_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = RH_WINDOW,
+) -> str:
+    """DuckDB CTE body matching :func:`rolling_hash_windows` — yields
+    rows (doc_id, h, c): per-doc distinct window hash + occurrence
+    count, via the same naive O(n·w) polynomial expansion as
+    :func:`rolling_hash_sql`."""
+    terms = " + ".join(
+        f"CAST(ord(substring({text_col}, k + {j + 1}, 1)) AS BIGINT) * "
+        f"{pow(RH_BASE, w - 1 - j, RH_MOD)} % {RH_MOD}"
+        for j in range(w)
+    )
+    return f"""
+  SELECT {id_col}, h, count(*) AS c FROM (
+    SELECT {id_col}, ({terms}) % {RH_MOD} AS h
+    FROM (
+      SELECT {id_col}, {text_col},
+             unnest(range(0, length({text_col}) - {w} + 1)) AS k
+      FROM {table} WHERE length({text_col}) >= {w}
+    )
+  ) GROUP BY 1, 2
+"""
+
+
 HEX_DIGITS = "0123456789abcdef"
 
 

@@ -130,5 +130,12 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     if missing:
         raise ValueError(f"PRIORITY names not in registry: {missing}")
     ordered = {n: queries[n] for n in PRIORITY}
+    # Remainder: oracle-backed queries first (hash-checkable), the
+    # rows-only pair (q26 streaming, q67 iterative training — also the
+    # two slowest) dead last, so a driver that scores past 50 entries
+    # keeps landing on hard-checkable, fast queries.
+    ordered.update(
+        (n, f) for n, f in queries.items() if n not in ordered and n in oracles
+    )
     ordered.update((n, f) for n, f in queries.items() if n not in ordered)
     return ordered, oracles

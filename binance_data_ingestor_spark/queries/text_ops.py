@@ -26,6 +26,8 @@ from ..operators.dedup import (
 from ..operators.partitioning import fanout
 from ..operators.text import (
     BPE_ALPHA_PATTERN,
+    rolling_hash_windows,
+    rolling_hash_windows_sql,
     hash_bucket_sql,
     BPE_NUM_PATTERN,
     BPE_SPLIT_PATTERN,
@@ -1617,9 +1619,12 @@ def q143_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer(grams).alias("g"),
         )
     )
+    # feeds BOTH the bucket stats and the doc-bucket counts — without the
+    # materialization barrier Spark re-runs the tokenize+md5 pipeline per
+    # consumer (STATUS lesson 8, same shape as q117's `big`)
     b = g.select(
         "doc_id", "lang", F.expr(hash_bucket_sql("spark", "g", B)).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     stats = b.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)).alias("ct"),
@@ -1685,6 +1690,64 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q144 — cross-document duplicated-substring statistics: the hashed
+# relaxation of suffix-array exact-substring dedup (Lee et al. 2022).
+# Every length-32 character window is Rabin-Karp hashed (same
+# polynomial as q48; 32 chars because the fixture corpus's tiny
+# vocabulary makes shorter spans collide semantically — at w=8, 98% of
+# windows are cross-doc duplicates; at w=32 only genuinely repeated
+# chunks survive); a hash held by >= 2 distinct documents marks a
+# span shared verbatim across the corpus.  Per doc: total windows,
+# windows in cross-doc-shared spans, and the duplicated fraction —
+# the signal the paper thresholds to drop or trim documents.
+#
+# Scale shape: the Arrow kernel pre-aggregates to (doc, hash, count) so
+# the shuffle carries distinct-hash rows, not character positions; the
+# hash-level doc-frequency agg and the rejoin are both keyed on h (the
+# join reuses the groupBy's hash partitioning).  dup_frac_r is a single
+# IEEE division of exact integer sums — bit-identical across engines,
+# no round().
+# --------------------------------------------------------------------------
+_DUP_SPAN_W = 32
+
+
+def q144_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # feeds the hash-level doc-frequency agg AND the rejoin (lesson 8)
+    wh = rolling_hash_windows(docs, w=_DUP_SPAN_W).localCheckpoint(eager=True)
+    hd = wh.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)
+    return (
+        wh.join(hd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") / F.col("n_windows")).alias("dup_frac_r"),
+        )
+    )
+
+
+Q144_SQL = f"""
+WITH wh AS ({rolling_hash_windows_sql(w=_DUP_SPAN_W)}),
+hd AS (SELECT h, count(*) AS n_docs FROM wh GROUP BY 1)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+         / CAST(sum(c) AS BIGINT) AS dup_frac_r
+FROM wh JOIN hd USING (h)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1717,6 +1780,7 @@ QUERIES = {
     "q130_ndcg_eval": q130_ndcg_eval,
     "q138_skipgram_pmi": q138_skipgram_pmi,
     "q143_dsir_weights": q143_dsir_weights,
+    "q144_dup_spans": q144_dup_spans,
 }
 
 ORACLES = {
@@ -1751,4 +1815,5 @@ ORACLES = {
     "q130_ndcg_eval": Q130_SQL,
     "q138_skipgram_pmi": Q138_SQL,
     "q143_dsir_weights": Q143_SQL,
+    "q144_dup_spans": Q144_SQL,
 }

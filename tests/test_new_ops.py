@@ -237,3 +237,45 @@ def test_dsir_llr_matches_bruteforce(spark):
     assert set(got) == set(expected)
     for did, llr in expected.items():
         assert abs(got[did] - llr) < 2e-6, did
+
+
+def test_dup_spans_matches_bruteforce(spark):
+    """q144's cross-doc duplicated-window stats vs a pure-Python
+    rolling-hash reference over the sf0.001 fixture."""
+    import pyarrow.parquet as pq
+
+    from binance_data_ingestor_spark.operators.text import RH_BASE, RH_MOD
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _DUP_SPAN_W,
+        q144_dup_spans,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pydict()
+    w = _DUP_SPAN_W
+    pows = [pow(RH_BASE, w - 1 - j, RH_MOD) for j in range(w)]
+    per_doc: dict[int, dict[int, int]] = {}
+    for did, text in zip(tbl["doc_id"], tbl["text"]):
+        if len(text) < w:
+            continue
+        counts: dict[int, int] = {}
+        for k in range(len(text) - w + 1):
+            h = sum(ord(c) * p % RH_MOD for c, p in zip(text[k : k + w], pows)) % RH_MOD
+            counts[h] = counts.get(h, 0) + 1
+        per_doc[did] = counts
+    docs_per_hash: dict[int, int] = {}
+    for counts in per_doc.values():
+        for h in counts:
+            docs_per_hash[h] = docs_per_hash.get(h, 0) + 1
+    expected = {
+        did: (
+            sum(counts.values()),
+            sum(c for h, c in counts.items() if docs_per_hash[h] >= 2),
+        )
+        for did, counts in per_doc.items()
+    }
+
+    rows = q144_dup_spans(spark, "/root/testdata/sf0.001").collect()
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.dup_frac_r == r.n_dup_windows / r.n_windows
