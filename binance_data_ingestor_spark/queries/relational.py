@@ -1109,6 +1109,125 @@ FROM ranked GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q145 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+# finished orders served by >= 2 suppliers where EXACTLY ONE supplier
+# shipped late, count that supplier's late lines.  "Late" is adapted to
+# this schema (no commit/receipt dates): l_shipdate > o_orderdate + 90
+# days.
+#
+# Spark side deliberately does NOT use the textbook correlated
+# EXISTS / NOT EXISTS pair (two extra joins against the same fact): one
+# per-order aggregate computes (distinct suppliers, distinct LATE
+# suppliers) in a single shuffle, and late lines join that order
+# profile — the profile is orders-sized, the whole query is two
+# data-sized shuffles.  The ORACLE keeps the textbook
+# EXISTS/NOT-EXISTS formulation, so the hash compare also proves the
+# aggregate rewrite equivalent to the correlated-subquery semantics.
+# --------------------------------------------------------------------------
+_Q145_LATE_DAYS = 90
+
+
+def q145_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load(spark, sf_dir, "supplier")
+    l = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q145_LATE_DAYS)
+        ).alias("is_late"),
+    )
+    profile = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    hits = (
+        l.filter(F.col("is_late"))
+        .join(
+            profile.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        hits.join(F.broadcast(sup), hits.l_suppkey == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q145_SQL = f"""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {_Q145_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL {_Q145_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q146 — TPC-H Q13 shape (customer order-count distribution): LEFT
+# join customers to their non-urgent orders (zero-order customers must
+# survive), count per customer, then histogram the counts.  Two
+# aggregates, each with map-side partials; the left join is
+# customer⨝orders on the natural key.  The o_orderpriority exclusion
+# stands in for Q13's o_comment NOT LIKE filter (this schema has no
+# comment column) — the point is the predicate belongs to the JOIN
+# condition, not a WHERE (a WHERE would turn the left join inner and
+# drop zero-order customers).
+# --------------------------------------------------------------------------
+def q146_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q146_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -1138,6 +1257,8 @@ QUERIES = {
     "q126_window_analytics": q126_window_analytics,
     "q127_array_hof": q127_array_hof,
     "q142_abc_classification": q142_abc_classification,
+    "q145_waiting_suppliers": q145_waiting_suppliers,
+    "q146_order_count_distribution": q146_order_count_distribution,
 }
 
 ORACLES = {
@@ -1169,4 +1290,6 @@ ORACLES = {
     "q126_window_analytics": Q126_SQL,
     "q127_array_hof": Q127_SQL,
     "q142_abc_classification": Q142_SQL,
+    "q145_waiting_suppliers": Q145_SQL,
+    "q146_order_count_distribution": Q146_SQL,
 }
