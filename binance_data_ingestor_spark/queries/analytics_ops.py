@@ -698,6 +698,136 @@ FROM cohort LEFT JOIN retained USING (day)
 """
 
 
+# --------------------------------------------------------------------------
+# q147 — point-in-interval range join (binned): attribute each `error`
+# event to the same user's DAILY ACTIVITY WINDOW [first non-error event,
+# last non-error event] of that day.  Spark plans a bare BETWEEN join as
+# BroadcastNestedLoopJoin — O(|errors|·|windows|); the rangejoin
+# operator quantizes time into 1 h bins, replicates each window into the
+# ~hours it spans, maps each error to its single bin, and equi-joins on
+# (user_id, bin) — a plain shuffled hash join that survives 100 TB.  The
+# DuckDB oracle keeps the textbook inequality-join form, so the hash
+# compare doubles as an exactness proof of the binned rewrite.
+# --------------------------------------------------------------------------
+def q147_error_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    joined = point_in_interval_join(
+        errors,
+        windows,
+        point_ts="err_ts",
+        lo="lo",
+        hi="hi",
+        bin_seconds=3600,
+        keys=["user_id"],
+    )
+    return joined.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_err"),
+        F.min("err_ts").alias("first_err"),
+    )
+
+
+Q147_SQL = """
+WITH win AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         min(ts) AS lo, max(ts) AS hi
+  FROM events WHERE event_type <> 'error'
+  GROUP BY 1, 2),
+err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT w.user_id, w.day,
+       CAST(count(*) AS BIGINT) AS n_err,
+       min(e.ts) AS first_err
+FROM win w JOIN err e
+  ON w.user_id = e.user_id AND e.ts BETWEEN w.lo AND w.hi
+GROUP BY w.user_id, w.day
+"""
+
+
+# --------------------------------------------------------------------------
+# q148 — interval-overlap range join (binned, self): pairs of DISTINCT
+# users whose 30-minute-gap sessions overlapped in time — "who was on
+# the site together", the concurrence question q110 answers only in
+# aggregate.  Both session sets explode into 1 h bins; the pair matches
+# only in the FIRST shared bin (exactly-once guard), then per user pair
+# we count overlapping session pairs and total overlap milliseconds
+# (exact integer arithmetic end-to-end).  Oracle: DuckDB IEJoin on the
+# raw inequality — an independent evaluation strategy for the same
+# semantics.
+# --------------------------------------------------------------------------
+def q148_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+    from .streaming_like import q24_sessionize
+
+    sess = q24_sessionize(spark, sf_dir).select("user_id", "sess_start", "sess_end")
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sess_start").alias("lo_a"),
+        F.col("sess_end").alias("hi_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sess_start").alias("lo_b"),
+        F.col("sess_end").alias("hi_b"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        a_lo="lo_a",
+        a_hi="hi_a",
+        b_lo="lo_b",
+        b_hi="hi_b",
+        bin_seconds=3600,
+        extra_cond=F.col("user_a") < F.col("user_b"),
+    )
+    overlap_ms = F.unix_millis(F.least("hi_a", "hi_b")) - F.unix_millis(
+        F.greatest("lo_a", "lo_b")
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_overlap"),
+        F.sum(overlap_ms).alias("overlap_ms"),
+    )
+
+
+Q148_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(sum(epoch_ms(least(a.hi, b.hi)) - epoch_ms(greatest(a.lo, b.lo)))
+            AS BIGINT) AS overlap_ms
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY a.user_id, b.user_id
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -711,6 +841,8 @@ QUERIES = {
     "q137_session_entry_exit": q137_session_entry_exit,
     "q139_event_trigrams": q139_event_trigrams,
     "q141_d7_retention": q141_d7_retention,
+    "q147_error_window_attribution": q147_error_window_attribution,
+    "q148_concurrent_sessions": q148_concurrent_sessions,
 }
 
 ORACLES = {
@@ -726,4 +858,6 @@ ORACLES = {
     "q137_session_entry_exit": Q137_SQL,
     "q139_event_trigrams": Q139_SQL,
     "q141_d7_retention": Q141_SQL,
+    "q147_error_window_attribution": Q147_SQL,
+    "q148_concurrent_sessions": Q148_SQL,
 }

@@ -1748,6 +1748,69 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q149 — bloom-prefiltered decontamination (big–big regime): q68's
+# broadcast-index hygiene pass assumes the eval shingle index fits in
+# executor memory; at 100 TB the membership set itself can be billions
+# of shingles.  operators/bloom.py builds a byte-aggregated bloom over
+# the eval 5-gram set (the driver only ever holds the filter, never the
+# keys), prefilters the corpus shingles IN THE SCAN STAGE — non-matching
+# rows die before any shuffle — then an exact semi-join on the
+# survivors removes bloom false positives, so the composite is exact
+# and the oracle is the plain overlap query. Output: per-source count
+# of contaminated train docs + shared-gram hits.
+# --------------------------------------------------------------------------
+BLOOM_DECON_N = 5
+
+
+def q149_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prefilter_semi_join
+    from ..operators.dedup import _exploded_shingles
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__b", F.expr(hash_bucket_sql("spark", "doc_id", 100))
+    )
+    train = docs.filter(F.col("__b") >= EVAL_PCT).drop("__b")
+    eval_set = docs.filter(F.col("__b") < EVAL_PCT).drop("__b")
+
+    tr = _exploded_shingles(train, "text", "doc_id", BLOOM_DECON_N)
+    ev = (
+        _exploded_shingles(eval_set, "text", "doc_id", BLOOM_DECON_N)
+        .select("shingle")
+        .distinct()
+    )
+    hits = bloom_prefilter_semi_join(tr, ev, on="shingle", fpp=0.01)
+    return (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated_docs"),
+            F.count("*").alias("n_hit_grams"),
+        )
+    )
+
+
+Q149_SQL = f"""
+WITH tok AS (SELECT doc_id, source,
+                    {hash_bucket_sql("duckdb", "doc_id", 100)} AS b,
+                    string_split(text, ' ') AS t
+             FROM documents),
+sh AS (SELECT doc_id, source, b,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3],
+                                 ' ', t[i+4]))))
+                AS shingle
+       FROM tok WHERE len(t) >= {BLOOM_DECON_N}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE b < {EVAL_PCT}),
+tr AS (SELECT doc_id, source, shingle FROM sh WHERE b >= {EVAL_PCT})
+SELECT tr.source,
+       CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_contaminated_docs,
+       CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.source
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1780,6 +1843,7 @@ QUERIES = {
     "q130_ndcg_eval": q130_ndcg_eval,
     "q138_skipgram_pmi": q138_skipgram_pmi,
     "q143_dsir_weights": q143_dsir_weights,
+    "q149_bloom_decontaminate": q149_bloom_decontaminate,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -1815,5 +1879,6 @@ ORACLES = {
     "q130_ndcg_eval": Q130_SQL,
     "q138_skipgram_pmi": Q138_SQL,
     "q143_dsir_weights": Q143_SQL,
+    "q149_bloom_decontaminate": Q149_SQL,
     "q144_dup_spans": Q144_SQL,
 }
