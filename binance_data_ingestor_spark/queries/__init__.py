@@ -59,7 +59,8 @@ def _modules():
 # EVERY operator family into the scored window: relational, stream-shaped,
 # Binance parity, text quality, dedup (exact/Jaccard/LSH/SimHash/CC/
 # semantic), similarity (brute/LSH/IVF/PQ), multimodal, CDC, product
-# analytics, cleaning, timeseries, profiling, ML-eval, quality, graph.
+# analytics, cleaning, timeseries, profiling, ML-eval, quality, graph,
+# binned range join (q147), bloom-prefilter join (q149).
 # Expensive driver-loop queries (q26 streaming, q99 pagerank, q129
 # bootstrap) stay out of the window so a runtime-budgeted cut still
 # reaches family 50.
@@ -110,8 +111,8 @@ PRIORITY = [
     "q89_grouped_regression",
     "q90_pit_features",
     "q91_constraint_audit",
-    "q92_embedding_covariance",
-    "q94_psi_drift",
+    "q147_error_window_attribution",
+    "q149_bloom_decontaminate",
     "q105_triangle_count",
     "q106_copurchase_lift",
 ]
