@@ -1811,6 +1811,157 @@ GROUP BY tr.source
 """
 
 
+# --------------------------------------------------------------------------
+# q150 — token-balanced corpus sharding: assign every document to one of
+# N output shards so shard token totals are near-equal — the writer-side
+# prelude to training-data file layout (each shard becomes one worker's
+# file set).  Greedy bin packing is inherently sequential; the scalable
+# standard is LPT-round-robin: rank docs by size descending and assign
+# rank % N.  The global rank uses the bucket-offset two-pass
+# (with_global_rank) instead of a single-partition row_number sort —
+# only the (size-bucket → count) summary is ever serialized.  Oracle
+# keeps the textbook row_number form, proving the distributed rank
+# exact.
+# --------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+def q150_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    ranked = with_global_rank(
+        docs,
+        [],
+        [F.desc("n_tok"), "doc_id"],
+        bucket=-F.col("n_tok"),
+    )
+    return (
+        ranked.groupBy(
+            F.pmod(F.col("rank") - 1, F.lit(N_SHARDS)).alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+    )
+
+
+Q150_SQL = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+r AS (SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+      FROM t)
+SELECT CAST((rk - 1) % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM r GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q151 — LSH recall certificate: how much of the exact Jaccard≥0.2
+# near-dup pair set does the q45 MinHash banding scheme (8 hashes,
+# 4 bands × 2 rows) actually catch, per Jaccard decile, next to the
+# theoretical S-curve 1-(1-j^r)^b at the decile midpoint?  The audit a
+# pipeline runs on a SAMPLE before trusting the sketch at 100 TB: exact
+# pairs are ground truth, candidates left-join in, recall is a single
+# division of exact counts.  The S-curve is written as explicit
+# products (j², y=1-j², y⁴=(y·y)·(y·y)) on BOTH engines — identical
+# IEEE operation order, so the floats hash-match without rounding.
+# Ground truth drops to jaccard ≥ 0.05 (below the q44 dedup threshold)
+# so the certificate exposes the sketch's low-similarity misses, not
+# just its high-similarity catches; the shingle index artifact is still
+# shared, only the pair join reruns at the looser cut.
+# --------------------------------------------------------------------------
+LSH_CERT_MIN_J = 0.05
+
+
+def q151_lsh_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=LSH_CERT_MIN_J,
+        exploded=_shingles3(spark, sf_dir),
+    )  # id_a < id_b, jaccard >= LSH_CERT_MIN_J
+    cand = q45_minhash_lsh(spark, sf_dir).withColumn("caught", F.lit(1))
+    j = F.col("jaccard")
+    flagged = exact.join(cand, ["id_a", "id_b"], "left").select(
+        F.floor(j * 10).cast("long").alias("j_decile"),
+        F.coalesce("caught", F.lit(0)).alias("caught"),
+    )
+    mid = (F.col("j_decile").cast("double") + 0.5) / 10.0
+    j2 = mid * mid
+    y = F.lit(1.0) - j2
+    y2 = y * y
+    theory = F.lit(1.0) - y2 * y2
+    return (
+        flagged.groupBy("j_decile")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum("caught").alias("n_caught"),
+        )
+        .select(
+            "j_decile",
+            "n_true",
+            "n_caught",
+            (F.col("n_caught") / F.col("n_true")).alias("recall_r"),
+            theory.alias("theory_p"),
+        )
+    )
+
+
+Q151_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+exact AS (
+  SELECT id_a, id_b,
+         round(inter_size / (sa.set_size + sb.set_size - inter_size), 6)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6)
+        >= {LSH_CERT_MIN_J}),
+sig AS (SELECT doc_id,
+               {", ".join(f"min(md5(concat('{k}:', shingle))) AS mh_{k}" for k in range(8))}
+        FROM sh GROUP BY doc_id),
+buckets AS (
+  {"  UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, concat_ws('|', mh_{b * 2}, mh_{b * 2 + 1}) AS key FROM sig"
+      for b in range(4)
+  )}
+),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b USING (band, key)
+         WHERE a.doc_id < b.doc_id),
+flagged AS (
+  SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS j_decile,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM exact e LEFT JOIN cand c USING (id_a, id_b)),
+agg AS (
+  SELECT j_decile, CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(caught) AS BIGINT) AS n_caught
+  FROM flagged GROUP BY j_decile)
+SELECT j_decile, n_true, n_caught,
+       n_caught / n_true AS recall_r,
+       1.0 - (((1.0 - m2) * (1.0 - m2)) * ((1.0 - m2) * (1.0 - m2)))
+         AS theory_p
+FROM (SELECT *, ((CAST(j_decile AS DOUBLE) + 0.5) / 10.0)
+                * ((CAST(j_decile AS DOUBLE) + 0.5) / 10.0) AS m2
+      FROM agg)
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1844,6 +1995,8 @@ QUERIES = {
     "q138_skipgram_pmi": q138_skipgram_pmi,
     "q143_dsir_weights": q143_dsir_weights,
     "q149_bloom_decontaminate": q149_bloom_decontaminate,
+    "q150_token_balanced_shards": q150_token_balanced_shards,
+    "q151_lsh_recall_certificate": q151_lsh_recall_certificate,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -1880,5 +2033,7 @@ ORACLES = {
     "q138_skipgram_pmi": Q138_SQL,
     "q143_dsir_weights": Q143_SQL,
     "q149_bloom_decontaminate": Q149_SQL,
+    "q150_token_balanced_shards": Q150_SQL,
+    "q151_lsh_recall_certificate": Q151_SQL,
     "q144_dup_spans": Q144_SQL,
 }

@@ -279,3 +279,44 @@ def test_dup_spans_matches_bruteforce(spark):
     assert got == expected
     for r in rows:
         assert r.dup_frac_r == r.n_dup_windows / r.n_windows
+
+
+def test_token_balanced_shards_lpt_bound(spark):
+    """q150's LPT-round-robin: shard token totals differ by at most the
+    largest document, and every doc lands in exactly one shard."""
+    from binance_data_ingestor_spark.queries.text_ops import (
+        N_SHARDS,
+        q150_token_balanced_shards,
+    )
+
+    out = q150_token_balanced_shards(spark, "/root/testdata/sf0.001").collect()
+    assert {r.shard for r in out} == set(range(N_SHARDS))
+    sums = [r.tok_sum for r in out]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    max_doc = docs.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0].m
+    assert sum(r.n_docs for r in out) == n_docs
+    # round-robin over size-desc rank keeps the spread within one
+    # largest item (LPT guarantee)
+    assert max(sums) - min(sums) <= max_doc
+
+
+def test_lsh_recall_certificate_sane(spark):
+    """q151: caught <= true per decile, recall in [0,1], and the
+    planted near-identical dups (top decile) are caught at recall 1."""
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q151_lsh_recall_certificate,
+    )
+
+    rows = q151_lsh_recall_certificate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_dec = {r.j_decile: r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert 0.0 <= r.recall_r <= 1.0
+        assert 0.0 <= r.theory_p <= 1.0 or r.j_decile >= 10
+    top = max(by_dec)
+    if top >= 9:  # near-identical dups: 2-row bands collide w.p. ~1
+        assert by_dec[top].recall_r == 1.0
