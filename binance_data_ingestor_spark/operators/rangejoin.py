@@ -57,6 +57,26 @@ def _bins_of(lo: str, hi: str, bin_seconds: int) -> Column:
     return F.sequence(_bin_of(lo, bin_seconds), _bin_of(hi, bin_seconds))
 
 
+def auto_bin_seconds(
+    intervals: DataFrame, lo: str, hi: str, floor_seconds: int = 60
+) -> int:
+    """Pick a bin width near the average interval width (1-row aggregate).
+
+    The cost model's sweet spot: bins much narrower than the typical
+    interval replicate every interval many times; much wider bins
+    collect unrelated rows. Average width (clamped below by
+    ``floor_seconds``) lands within a small constant of either optimum.
+    One tiny collect — at real scale this is a planning statistic, the
+    same class as AQE's size estimates.
+    """
+    row = intervals.select(
+        F.avg(F.unix_millis(F.col(hi)) - F.unix_millis(F.col(lo))).alias("w")
+    ).collect()[0]
+    if row.w is None:
+        return floor_seconds
+    return max(floor_seconds, int(row.w / 1000))
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -67,6 +87,7 @@ def point_in_interval_join(
     bin_seconds: int,
     keys: list[str] | None = None,
     how: str = "inner",
+    num_salts: int = 1,
 ) -> DataFrame:
     """Join each point row to every interval row containing it.
 
@@ -79,6 +100,15 @@ def point_in_interval_join(
     ``how`` supports ``inner`` and ``left`` (left = keep uncontained
     points with NULL interval columns, added back via an anti-join so
     the binned inner path stays the hot path).
+
+    ``num_salts`` > 1 scatters HOT BINS: a bin holding a large share of
+    the points (rush hour, a popular key) makes one shuffle partition
+    the straggler. Each interval replica is duplicated into every salt;
+    each point picks ONE salt from its own hash — so points of a hot
+    bin spread across ``num_salts`` tasks while each true (point,
+    interval) pair still meets exactly once. Interval-side replication
+    cost is ×``num_salts`` — use for point-heavy skew, which is the
+    common case.
     """
     keys = list(keys or [])
 
@@ -86,16 +116,25 @@ def point_in_interval_join(
         "_bin", F.explode(_bins_of(lo, hi, bin_seconds))
     )
     pt = points.withColumn("_bin", _bin_of(point_ts, bin_seconds))
+    join_keys = keys + ["_bin"]
+    if num_salts > 1:
+        iv = iv.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+        )
+        pt = pt.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(point_ts)), F.lit(num_salts))
+        )
+        join_keys = join_keys + ["_salt"]
 
     matched = (
-        pt.join(iv, keys + ["_bin"], "inner")
+        pt.join(iv, join_keys, "inner")
         .filter(F.col(point_ts).between(F.col(lo), F.col(hi)))
-        .drop("_bin")
+        .drop("_bin", "_salt")
     )
     if how == "inner":
         return matched
     if how == "left":
-        unmatched = pt.drop("_bin").join(
+        unmatched = pt.drop("_bin", "_salt").join(
             matched.select(*points.columns).distinct(), points.columns, "left_anti"
         )
         pad = unmatched.select(

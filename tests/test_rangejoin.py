@@ -185,3 +185,41 @@ def test_interval_overlap_touching_endpoints_count(spark):
         bin_seconds=600, keys=["k"],
     ).collect()
     assert [(r.ia, r.ib) for r in rows] == [(1, 2)]
+
+
+def test_point_in_interval_salted_matches_unsalted(spark):
+    """num_salts scatters hot bins but must not change the answer —
+    every (point, interval) pair still meets exactly once."""
+    pts_rows, ivs_rows = _random_fixture(seed=23)
+    pts, ivs = _points(spark, pts_rows), _intervals(spark, ivs_rows)
+    base = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(
+            pts, ivs, point_ts="pt", lo="lo", hi="hi",
+            bin_seconds=600, keys=["k"],
+        ).collect()
+    )
+    assert base
+    for num_salts in (2, 7):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in point_in_interval_join(
+                pts, ivs, point_ts="pt", lo="lo", hi="hi",
+                bin_seconds=600, keys=["k"], num_salts=num_salts,
+            ).collect()
+        )
+        assert got == base, f"num_salts={num_salts}"
+
+
+def test_auto_bin_seconds_tracks_interval_width(spark):
+    from binance_data_ingestor_spark.operators.rangejoin import auto_bin_seconds
+
+    ivs = _intervals(
+        spark,
+        [(i, "a", float(BASE + i * 10_000), float(BASE + i * 10_000 + 1800))
+         for i in range(20)],
+    )
+    got = auto_bin_seconds(ivs, "lo", "hi")
+    assert got == 1800
+    empty = ivs.filter("iid < 0")
+    assert auto_bin_seconds(empty, "lo", "hi") == 60  # floor on no data
