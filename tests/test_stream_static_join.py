@@ -73,3 +73,61 @@ def test_stream_static_left_keeps_unmatched(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["event_id"], r["tier"]) for r in spark.table("ssj_static_left").collect()}
     assert rows == {(1, "gold"), (2, None)}
+
+
+def test_streaming_point_in_interval_join(spark, tmp_path):
+    """Binned range join on a STREAM: points arrive unbounded, interval
+    dimension is static. The bin rewrite turns the inequality condition
+    into an equi-join on (key, bin) + a refine filter — a stateless
+    stream-static join Spark executes per trigger, where the naive
+    BETWEEN join would be a per-micro-batch nested loop."""
+    from binance_data_ingestor_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    base = 1_700_000_000
+    pts_src = str(tmp_path / "pts")
+    iv_src = str(tmp_path / "ivs")
+    spark.createDataFrame(
+        [
+            (1, "a", float(base + 30)),        # inside iv 10
+            (2, "a", float(base + 7200)),      # inside iv 11 (2 bins later)
+            (3, "a", float(base + 99_999)),    # no interval
+            (4, "b", float(base + 30)),        # right time, wrong key
+        ],
+        "pid long, k string, sec double",
+    ).select(
+        "pid", "k", F.expr("timestamp_seconds(sec)").alias("pt")
+    ).write.parquet(pts_src)
+    spark.createDataFrame(
+        [
+            (10, "a", float(base), float(base + 100)),
+            (11, "a", float(base + 3600), float(base + 8000)),  # spans bins
+        ],
+        "iid long, k string, lo_s double, hi_s double",
+    ).select(
+        "iid",
+        "k",
+        F.expr("timestamp_seconds(lo_s)").alias("lo"),
+        F.expr("timestamp_seconds(hi_s)").alias("hi"),
+    ).write.parquet(iv_src)
+
+    stream = spark.readStream.schema("pid long, k string, pt timestamp").parquet(
+        pts_src
+    )
+    intervals = spark.read.parquet(iv_src)
+    joined = point_in_interval_join(
+        stream, intervals, point_ts="pt", lo="lo", hi="hi",
+        bin_seconds=3600, keys=["k"],
+    ).select("pid", "iid")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_pii_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.pid, r.iid) for r in spark.table("stream_pii_out").collect()}
+    assert rows == {(1, 10), (2, 11)}
