@@ -325,3 +325,37 @@ def test_zscore_window_keys_on_rank_chunk(plans):
         seg[:60] for seg in p.split("windowspecdefinition(event_type")[1:]
     ]
     assert any("chunk" in s for s in specs), specs
+
+
+def test_binned_range_joins_stay_equi(plans):
+    # q147/q148: the whole point of operators/rangejoin.py is that the
+    # inequality predicate rides a (keys, bin) equi-join as a refine
+    # filter — a nested-loop or cartesian node means the rewrite broke
+    for name in ("q147_error_window_attribution", "q148_concurrent_sessions"):
+        p = plans(name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "Join" in p, name
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    # Hive-partitioned writes + a partition-key filter must prune at the
+    # FILE level (PartitionFilters in the scan), not post-scan — the
+    # difference between reading one day and reading 100 TB
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.queries.util import load
+
+    src = str(tmp_path / "events_by_day")
+    ev = load(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(src)
+
+    df = spark.read.parquet(src).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear inside PartitionFilters (file
+    # pruning), and the scan must not carry it as a post-scan Filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+    n_days = df.select("day").distinct().count()
+    assert n_days <= 1
