@@ -1962,6 +1962,110 @@ FROM (SELECT *, ((CAST(j_decile AS DOUBLE) + 0.5) / 10.0)
 """
 
 
+# --------------------------------------------------------------------------
+# q152 — mixture rebalancing: sample the corpus down to a TARGET
+# LANGUAGE MIXTURE (the "30% code / 50% web / ..." knob of pretraining
+# recipes) with exact quotas.  Budget = 20% of the corpus; per-language
+# quotas by largest-remainder apportionment (floor(N·w) + the largest
+# fractional remainders, tie-broken by language; capped at
+# availability); selection inside each language by md5(doc_id) order —
+# reproducible across engines, reruns, and partitionings, never RNG.
+# The per-language pick uses the distributed global rank
+# (with_global_rank, bucketed by the first md5 hex byte) rather than a
+# 5-partition row_number window, so selection parallelism survives a
+# 5-value mixture key at 100 TB.  Oracle recomputes the whole
+# apportionment + the textbook row_number form.
+# --------------------------------------------------------------------------
+MIX_BUDGET_FRAC = 0.2
+MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+
+def q152_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), "lang string, w double"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("avail"))
+    total = docs.agg(
+        F.floor(F.count("*") * MIX_BUDGET_FRAC).cast("long").alias("budget")
+    )
+    alloc = (
+        counts.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "avail",
+            F.floor(F.col("budget") * F.col("w")).cast("long").alias("base"),
+            (F.col("budget") * F.col("w")
+             - F.floor(F.col("budget") * F.col("w"))).alias("rem"),
+            "budget",
+        )
+    )
+    # deficit = budget - sum(base): hand the largest remainders one extra
+    # slot each (5-row window — mixture-key-sized, driver-scale)
+    from pyspark.sql import Window as W
+
+    deficit = alloc.agg(
+        (F.first("budget") - F.sum("base")).alias("d")
+    )
+    wr = W.orderBy(F.desc("rem"), F.asc("lang"))
+    quotas = (
+        alloc.crossJoin(F.broadcast(deficit))
+        .withColumn("pri", F.row_number().over(wr))
+        .select(
+            "lang",
+            F.least(
+                F.col("base")
+                + F.when(F.col("pri") <= F.col("d"), 1).otherwise(0),
+                F.col("avail"),
+            ).alias("quota"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = with_global_rank(
+        docs.withColumn("h", h),
+        ["lang"],
+        ["h", "doc_id"],
+        bucket=F.conv(F.substring("h", 1, 2), 16, 10).cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rank") <= F.col("quota"))
+        .select("lang", "doc_id")
+    )
+
+
+Q152_SQL = f"""
+WITH w(lang, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items()))}),
+tot AS (SELECT CAST(floor(count(*) * {MIX_BUDGET_FRAC}) AS BIGINT) AS budget
+        FROM documents),
+cnt AS (SELECT lang, count(*) AS avail FROM documents GROUP BY lang),
+alloc AS (
+  SELECT lang, avail, budget,
+         CAST(floor(budget * wt) AS BIGINT) AS base,
+         budget * wt - floor(budget * wt) AS rem
+  FROM cnt JOIN w USING (lang) CROSS JOIN tot),
+quotas AS (
+  SELECT lang,
+         least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                                <= budget - (SELECT sum(base) FROM alloc)
+                           THEN 1 ELSE 0 END,
+               avail) AS quota
+  FROM alloc),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rk <= q.quota
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -1997,6 +2101,7 @@ QUERIES = {
     "q149_bloom_decontaminate": q149_bloom_decontaminate,
     "q150_token_balanced_shards": q150_token_balanced_shards,
     "q151_lsh_recall_certificate": q151_lsh_recall_certificate,
+    "q152_mixture_rebalance": q152_mixture_rebalance,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -2035,5 +2140,6 @@ ORACLES = {
     "q149_bloom_decontaminate": Q149_SQL,
     "q150_token_balanced_shards": Q150_SQL,
     "q151_lsh_recall_certificate": Q151_SQL,
+    "q152_mixture_rebalance": Q152_SQL,
     "q144_dup_spans": Q144_SQL,
 }

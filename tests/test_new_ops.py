@@ -320,3 +320,34 @@ def test_lsh_recall_certificate_sane(spark):
     top = max(by_dec)
     if top >= 9:  # near-identical dups: 2-row bands collide w.p. ~1
         assert by_dec[top].recall_r == 1.0
+
+
+def test_mixture_rebalance_quotas_exact(spark):
+    """q152: selected counts per language hit the largest-remainder
+    quotas exactly (sum == min(budget, availability-capped total)), and
+    the selection is the md5-order prefix (deterministic)."""
+    from binance_data_ingestor_spark.queries.text_ops import (
+        MIX_BUDGET_FRAC,
+        MIX_WEIGHTS,
+        q152_mixture_rebalance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q152_mixture_rebalance(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    import math
+    from collections import Counter
+
+    avail = Counter(r.lang for r in docs.select("lang").collect())
+    budget = math.floor(sum(avail.values()) * MIX_BUDGET_FRAC)
+    base = {l: math.floor(budget * w) for l, w in MIX_WEIGHTS.items()}
+    rem = {l: budget * w - base[l] for l, w in MIX_WEIGHTS.items()}
+    extra = sorted(rem, key=lambda l: (-rem[l], l))[: budget - sum(base.values())]
+    quota = {
+        l: min(base[l] + (1 if l in extra else 0), avail[l]) for l in MIX_WEIGHTS
+    }
+    got = Counter(r.lang for r in out)
+    assert dict(got) == {l: q for l, q in quota.items() if q > 0}
+    # determinism: rerun selects the identical doc set
+    again = q152_mixture_rebalance(spark, sf).collect()
+    assert {(r.lang, r.doc_id) for r in again} == {(r.lang, r.doc_id) for r in out}
