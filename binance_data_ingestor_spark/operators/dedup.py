@@ -255,6 +255,98 @@ def minhash_lsh_candidates(
     )
 
 
+def incremental_lsh_neardups(
+    exploded: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dups of a NEW batch against the EXISTING corpus — the daily
+    ingestion shape: the increment must never trigger a corpus×corpus
+    comparison, only increment×corpus through the LSH band buckets.
+
+    ``exploded`` is the (id, shingle) index over corpus ∪ batch (build
+    signatures in ONE pass — at scale the corpus signatures are a
+    maintained artifact and only the batch side is computed fresh);
+    ``new_ids`` holds the batch's ids. Steps: band buckets split into
+    new/old via semi/anti joins on ``new_ids``; candidates = bucket
+    equi-join of new against old (the corpus never self-joins); exact
+    Jaccard refine runs only over candidate docs' posting lists
+    (semi-join shrink first), so refine cost is output-sized, not
+    corpus-sized. Returns (id_a=new, id_b=old, jaccard ≥ threshold)
+    for band-colliding pairs — the same verify-after-LSH contract as
+    minhash_lsh_candidates + ngram_jaccard_pairs composed.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = exploded.groupBy(id_col).agg(*minhash_signature(num_hashes))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # the new/old split consumes buckets twice (semi + anti) inside one
+    # join — materialize so the 8-md5-min signature aggregate runs ONCE.
+    # At production scale this table (4 small rows per doc) is exactly
+    # the maintained corpus-signature artifact incremental ingestion
+    # keeps around between batches.
+    buckets = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint(eager=True)
+    )
+
+    nb = buckets.join(new_ids, id_col, "left_semi").withColumnRenamed(
+        id_col, "id_a"
+    )
+    ob = buckets.join(new_ids, id_col, "left_anti").withColumnRenamed(
+        id_col, "id_b"
+    )
+    # cand feeds THREE consumers (both posting-list shrinks + the final
+    # semi-join); without a barrier each one re-runs the signature
+    # pipeline (8 md5-min aggregates over every shingle). It is
+    # output-sized — checkpointing it is the lesson-8 move.
+    cand = (
+        nb.join(ob, ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh_a = exploded.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).withColumnRenamed(id_col, "id_a")
+    sh_b = exploded.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).withColumnRenamed(id_col, "id_b")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+    )
+    j = F.round(
+        F.col("inter_size")
+        / (F.col("sa") + F.col("sb") - F.col("inter_size")),
+        6,
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("sb")), "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # -- connected components (near-dup clustering) -----------------------------
 
 def connected_components(

@@ -2066,6 +2066,69 @@ WHERE r.rk <= q.quota
 """
 
 
+# --------------------------------------------------------------------------
+# q153 — incremental near-dup detection: a NEW 5% batch (hash bucket ≥
+# 95) checked against the EXISTING corpus through LSH band buckets —
+# the daily-ingestion shape where the increment must never trigger a
+# corpus×corpus comparison. Candidates come from a new×old bucket
+# equi-join (corpus never self-joins); the exact Jaccard refine is
+# restricted to candidate docs' posting lists, so refine cost is
+# output-sized. Oracle replicates the banding (portable md5 hash
+# family) + the refine, proving the incremental path returns exactly
+# the band-colliding pairs with true Jaccard ≥ 0.2.
+# --------------------------------------------------------------------------
+NEW_BATCH_PCT = 95  # bucket >= this → "today's increment"
+
+
+def q153_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_neardups
+
+    docs = load(spark, sf_dir, "documents")
+    new_ids = docs.filter(
+        F.expr(hash_bucket_sql("spark", "doc_id", 100)) >= NEW_BATCH_PCT
+    ).select("doc_id")
+    return incremental_lsh_neardups(
+        _shingles3(spark, sf_dir), new_ids, threshold=0.2
+    )
+
+
+Q153_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+newids AS (SELECT doc_id FROM documents
+           WHERE {hash_bucket_sql("duckdb", "doc_id", 100)} >= {NEW_BATCH_PCT}),
+sig AS (SELECT doc_id,
+               {", ".join(f"min(md5(concat('{k}:', shingle))) AS mh_{k}" for k in range(8))}
+        FROM sh GROUP BY doc_id),
+buckets AS (
+  {"  UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, concat_ws('|', mh_{b * 2}, mh_{b * 2 + 1}) AS key FROM sig"
+      for b in range(4)
+  )}
+),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b USING (band, key)
+         WHERE a.doc_id IN (SELECT doc_id FROM newids)
+           AND b.doc_id NOT IN (SELECT doc_id FROM newids)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter_size
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+       round(inter_size / (sa.set_size + sb.set_size - inter_size), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) >= 0.2
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -2102,6 +2165,7 @@ QUERIES = {
     "q150_token_balanced_shards": q150_token_balanced_shards,
     "q151_lsh_recall_certificate": q151_lsh_recall_certificate,
     "q152_mixture_rebalance": q152_mixture_rebalance,
+    "q153_incremental_neardup": q153_incremental_neardup,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -2141,5 +2205,6 @@ ORACLES = {
     "q150_token_balanced_shards": Q150_SQL,
     "q151_lsh_recall_certificate": Q151_SQL,
     "q152_mixture_rebalance": Q152_SQL,
+    "q153_incremental_neardup": Q153_SQL,
     "q144_dup_spans": Q144_SQL,
 }

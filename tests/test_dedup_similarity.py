@@ -306,3 +306,51 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
     # capped: the universal shingle is dropped; only the true dup pair
     # (1, 3) still shares shingles
     assert capped_pairs == {(1, 3)}
+
+
+def test_incremental_neardup_equals_batch_restriction(spark):
+    """incremental_lsh_neardups(new batch vs corpus) must equal the
+    batch pipeline's answer restricted to new×old pairs: band-colliding
+    candidates (minhash_lsh_candidates) with exact Jaccard >= t
+    (ngram_jaccard_pairs), where exactly one side is in the batch."""
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.dedup import (
+        _exploded_shingles,
+        incremental_lsh_neardups,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from binance_data_ingestor_spark.operators.text import hash_bucket_sql
+    from binance_data_ingestor_spark.queries.text_ops import NEW_BATCH_PCT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = _exploded_shingles(docs, "text", "doc_id", 3)
+    new_ids_df = docs.filter(
+        F.expr(hash_bucket_sql("spark", "doc_id", 100)) >= NEW_BATCH_PCT
+    ).select("doc_id")
+    new_ids = {r.doc_id for r in new_ids_df.collect()}
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_lsh_neardups(ex, new_ids_df, threshold=0.2).collect()
+    }
+
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, exploded=ex).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, exploded=ex).collect()
+    }
+    want = set()
+    for (a, b), j in exact.items():
+        if (a, b) not in cand:
+            continue
+        if (a in new_ids) != (b in new_ids):  # exactly one side new
+            n, o = (a, b) if a in new_ids else (b, a)
+            want.add((n, o, j))
+    assert got == want
+    # sanity: the fixture actually exercises the path
+    assert want or not new_ids
