@@ -1228,6 +1228,117 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --------------------------------------------------------------------------
+# q154 — top supplier by quarterly revenue (TPC-H Q15 shape): revenue
+# per supplier over a 3-month ship window, then the supplier(s) at the
+# GLOBAL MAX — the tie-safe "view + scalar subquery equality" pattern.
+# The max comparison must be EXACT equality, so revenue accumulates as
+# integer cents×(100-disc) units (a rounded double max would tie-break
+# differently per engine): one parallel aggregate, a 1-row broadcast
+# max, and a broadcast supplier dim join. Shuffle budget: 1.
+# --------------------------------------------------------------------------
+Q154_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def q154_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    lo, hi = Q154_WINDOW
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(ext_c * (100 - disc_c)).alias("rc"))
+    )
+    mx = rev.agg(F.max("rc").alias("mrc"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rc") == F.col("mrc"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rc") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+Q154_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q154_WINDOW[0]}'
+    AND l_shipdate <  TIMESTAMP '{Q154_WINDOW[1]}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rc / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rc = (SELECT max(rc) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# q155 — dormant high-balance customers (TPC-H Q22 shape): customers
+# whose balance exceeds the positive-balance average AND who placed no
+# order since the cutoff, aggregated per nation. The above-average
+# test is pure integer cross-multiplication (bal_cents·n > total_cents
+# — no float average crosses an engine boundary); the "no recent
+# order" test is an anti-join against the date-filtered orders scan.
+# Shuffle budget: customer⨝orders anti-join + the nation aggregate.
+# --------------------------------------------------------------------------
+Q155_CUTOFF = "2000-01-01"
+
+
+def q155_dormant_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("tot_c"), F.count("*").alias("n_pos")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal_c * F.col("n_pos") > F.col("tot_c"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(Q155_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        (F.sum(bal_c) / F.lit(100.0)).alias("total_acctbal"),
+    )
+
+
+Q155_SQL = f"""
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS tot_c,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM customer WHERE c_acctbal > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer, pos
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > tot_c),
+dormant AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{Q155_CUTOFF}'))
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_acctbal
+FROM dormant GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -1259,6 +1370,8 @@ QUERIES = {
     "q142_abc_classification": q142_abc_classification,
     "q145_waiting_suppliers": q145_waiting_suppliers,
     "q146_order_count_distribution": q146_order_count_distribution,
+    "q154_top_supplier": q154_top_supplier,
+    "q155_dormant_capital": q155_dormant_capital,
 }
 
 ORACLES = {
@@ -1292,4 +1405,6 @@ ORACLES = {
     "q142_abc_classification": Q142_SQL,
     "q145_waiting_suppliers": Q145_SQL,
     "q146_order_count_distribution": Q146_SQL,
+    "q154_top_supplier": Q154_SQL,
+    "q155_dormant_capital": Q155_SQL,
 }
