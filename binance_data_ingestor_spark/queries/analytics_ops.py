@@ -828,6 +828,99 @@ GROUP BY a.user_id, b.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q156 — conversion-window funnel: view → click within 1 h → purchase
+# within 24 h of a QUALIFIED click.  Unlike q78's unconstrained funnel,
+# each step must land inside a lookback window of the previous step —
+# and the correct (non-greedy) semantics is per-event: a click
+# qualifies if ANY view sits in its 1 h lookback, a purchase if any
+# QUALIFIED click sits in its 24 h lookback.  That is two cascaded
+# RANGE windows over the same (user, time) sort — one Exchange, one
+# Sort, two Window passes, no self-joins.  Second-granularity epoch
+# ordering keeps the frames integer-exact on both engines.
+# --------------------------------------------------------------------------
+FUNNEL_W1_S = 3600       # view → click window
+FUNNEL_W2_S = 86400      # click → purchase window
+
+
+def q156_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        sec.alias("sec"),
+    )
+    w1 = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-FUNNEL_W1_S, 0)
+    )
+    w2 = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-FUNNEL_W2_S, 0)
+    )
+    view_t = F.when(F.col("event_type") == "view", F.col("sec"))
+    s1 = base.withColumn("view_t", view_t).withColumn(
+        "qclick_t",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.max("view_t").over(w1).isNotNull(),
+            F.col("sec"),
+        ),
+    )
+    s2 = s1.withColumn(
+        "qpurchase_t",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.max("qclick_t").over(w2).isNotNull(),
+            F.col("sec"),
+        ),
+    )
+    return s2.groupBy("user_id").agg(
+        F.min("view_t").alias("first_view_s"),
+        F.min("qclick_t").alias("first_qclick_s"),
+        F.min("qpurchase_t").alias("first_qpurchase_s"),
+        (
+            F.min("view_t").isNotNull().cast("int")
+            + F.min("qclick_t").isNotNull().cast("int")
+            + F.min("qpurchase_t").isNotNull().cast("int")
+        ).alias("stage"),
+    )
+
+
+Q156_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+s1 AS (
+  SELECT *,
+         CASE WHEN event_type = 'view' THEN sec END AS view_t
+  FROM base),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click'
+               AND max(view_t) OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {FUNNEL_W1_S} PRECEDING AND CURRENT ROW)
+                   IS NOT NULL
+              THEN sec END AS qclick_t
+  FROM s1),
+s3 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase'
+               AND max(qclick_t) OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {FUNNEL_W2_S} PRECEDING AND CURRENT ROW)
+                   IS NOT NULL
+              THEN sec END AS qpurchase_t
+  FROM s2)
+SELECT user_id,
+       min(view_t)      AS first_view_s,
+       min(qclick_t)    AS first_qclick_s,
+       min(qpurchase_t) AS first_qpurchase_s,
+       (min(view_t) IS NOT NULL)::INT
+       + (min(qclick_t) IS NOT NULL)::INT
+       + (min(qpurchase_t) IS NOT NULL)::INT AS stage
+FROM s3 GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -843,6 +936,7 @@ QUERIES = {
     "q141_d7_retention": q141_d7_retention,
     "q147_error_window_attribution": q147_error_window_attribution,
     "q148_concurrent_sessions": q148_concurrent_sessions,
+    "q156_windowed_funnel": q156_windowed_funnel,
 }
 
 ORACLES = {
@@ -860,4 +954,5 @@ ORACLES = {
     "q141_d7_retention": Q141_SQL,
     "q147_error_window_attribution": Q147_SQL,
     "q148_concurrent_sessions": Q148_SQL,
+    "q156_windowed_funnel": Q156_SQL,
 }
