@@ -106,10 +106,10 @@ PRIORITY = [
     "q81_pii_mask",
     "q82_gapfill_locf",
     "q83_rolling_zscore",
-    "q85_equidepth_bins",
+    "q152_mixture_rebalance",
     "q88_heavy_hitters",
     "q89_grouped_regression",
-    "q90_pit_features",
+    "q153_incremental_neardup",
     "q91_constraint_audit",
     "q147_error_window_attribution",
     "q149_bloom_decontaminate",
