@@ -351,3 +351,32 @@ def test_mixture_rebalance_quotas_exact(spark):
     # determinism: rerun selects the identical doc set
     again = q152_mixture_rebalance(spark, sf).collect()
     assert {(r.lang, r.doc_id) for r in again} == {(r.lang, r.doc_id) for r in out}
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """q24's lag+cumsum sessionizer must partition events exactly like
+    Spark's built-in session_window(ts, '30 minutes') — two independent
+    implementations of the same gap semantics."""
+    from binance_data_ingestor_spark.queries.streaming_like import q24_sessionize
+    from binance_data_ingestor_spark.queries.util import load
+
+    sf = "/root/testdata/sf0.001"
+    ours = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in q24_sessionize(spark, sf).collect()
+    }
+    ev = load(spark, sf, "events")
+    native = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "sess_start", "sess_end", "n_events")
+        .collect()
+    }
+    assert ours == native and ours
