@@ -508,6 +508,56 @@ FROM hourly GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q157 — tolerance-bounded as-of join (merge_asof parity): q25's click →
+# most-recent-purchase enrichment, but a purchase older than 24 h is
+# STALE and must not leak into the feature (the standard staleness
+# contract of feature stores / market-data joins). Same one-shuffle
+# union+window machinery; the operator carries the matched timestamp
+# and nulls values past tolerance. Oracle: DuckDB native ASOF LEFT
+# JOIN with a post-join staleness CASE — an independent evaluation
+# strategy for identical semantics.
+# --------------------------------------------------------------------------
+ASOF_TOL_S = 86400
+
+
+def q157_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        prefix="purch_",
+        tolerance=ASOF_TOL_S,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("purch_value", 2).alias("fresh_purchase_value"),
+    )
+
+
+Q157_SQL = f"""
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       round(c.value, 2) AS click_value,
+       CASE WHEN p.ts IS NOT NULL
+             AND epoch_ms(c.ts) - epoch_ms(p.ts) <= {ASOF_TOL_S} * 1000
+            THEN round(p.value, 2) END AS fresh_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -515,6 +565,7 @@ QUERIES = {
     "q23_lag_lead": q23_lag_lead,
     "q24_sessionize": q24_sessionize,
     "q25_asof_join": q25_asof_join,
+    "q157_asof_tolerance": q157_asof_tolerance,
     "q26_stream_sessions": q26_stream_sessions,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
@@ -528,6 +579,7 @@ ORACLES = {
     "q23_lag_lead": Q23_SQL,
     "q24_sessionize": Q24_SQL,
     "q25_asof_join": Q25_SQL,
+    "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,
     "q29_multires_rollup": Q29_SQL,
