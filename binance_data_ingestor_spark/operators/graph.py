@@ -165,3 +165,57 @@ def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core decomposition by iterative peel: repeatedly drop nodes
+    with degree < k until a fixpoint; return surviving (node, core_deg).
+
+    The third iterative-graph pattern next to PageRank (fixed rounds)
+    and connected components (label propagation): here the FRONTIER
+    SHRINKS monotonically, so convergence piggybacks on the edge count
+    — a 1-row action per round, the same monotone-certificate trick as
+    connected_components (operators/graph.py:37 / dedup.py). Each round
+    is two semi-joins against the (node)-keyed survivor set plus a
+    degree aggregate; per-round localCheckpoint caps lineage (STATUS
+    lesson 9). Peel rounds are data-dependent (worst case O(V)); the
+    `max_rounds` guard turns a pathological chain graph into an error
+    rather than an endless driver loop.
+    """
+    from pyspark.sql import functions as F
+
+    cur = edges.select(u, v).localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col(u).alias("n"))
+            .unionAll(cur.select(F.col(v).alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", u), u, "left_semi")
+            .join(keep.withColumnRenamed("n", v), v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    return (
+        cur.select(F.col(u).alias("n"))
+        .unionAll(cur.select(F.col(v).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("core_deg"))
+    )

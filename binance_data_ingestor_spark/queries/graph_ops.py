@@ -118,12 +118,64 @@ FROM deg
 """
 
 
+# --------------------------------------------------------------------------
+# q158 — k-core decomposition of the co-purchase graph (iterative
+# peel): nodes surviving repeated removal of degree < K vertices, with
+# their in-core degree. The peel FIXPOINT is deterministic, so — like
+# q99's unrolled PageRank — the DuckDB oracle chains the rounds as
+# CTEs; Spark iterates to the fixpoint with a monotone edge-count
+# certificate (operators/graph.k_core), and the oracle unrolls MORE
+# rounds than any fixture needs (20; sf0.01 converges in 11), which is
+# equivalent because peeling is idempotent at the fixpoint. Edge list
+# shared with q105/q106 via the session artifact.
+# --------------------------------------------------------------------------
+KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 20
+
+
+def q158_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    return k_core(pairs.select("u", "v"), KCORE_K)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        """WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM pr a JOIN pr b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+keep{i} AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i})
+            GROUP BY n HAVING count(*) >= {k}),
+e{i + 1} AS MATERIALIZED (SELECT * FROM e{i}
+             WHERE u IN (SELECT n FROM keep{i}) AND v IN (SELECT n FROM keep{i}))"""
+        )
+    parts.append(
+        f"""
+SELECT n, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+Q158_SQL = _kcore_sql(KCORE_K, _KCORE_ORACLE_ROUNDS)
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
     "q105_triangle_count": q105_triangle_count,
+    "q158_kcore": q158_kcore,
 }
 
 ORACLES = {
     "q99_pagerank": Q99_SQL,
     "q105_triangle_count": Q105_SQL,
+    "q158_kcore": Q158_SQL,
 }

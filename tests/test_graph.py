@@ -100,3 +100,43 @@ def test_skyline_matches_bruteforce(spark):
         .collect()
     )
     assert got == _brute_skyline(pts)
+
+
+def test_kcore_matches_python_peel(spark):
+    """k_core vs a brute-force Python peel on random graphs — node set
+    AND in-core degrees must match for several (graph, k) combos."""
+    import random
+
+    from binance_data_ingestor_spark.operators.graph import k_core
+
+    for seed, k in [(1, 2), (2, 3), (3, 4)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(60), rng.randrange(60)) for _ in range(150)
+                )
+                if a != b
+            }
+        )
+        # python reference: iterative peel to fixpoint
+        cur = set(edges)
+        while True:
+            deg = {}
+            for u, v in cur:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        want_deg = {}
+        for u, v in cur:
+            want_deg[u] = want_deg.get(u, 0) + 1
+            want_deg[v] = want_deg.get(v, 0) + 1
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.n: r.core_deg for r in k_core(df, k).collect()}
+        assert got == want_deg, f"seed={seed} k={k}"
