@@ -161,6 +161,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — provably the same answer as
+    ``ngram_jaccard_pairs``, reached through a different candidate
+    generator: index only each doc's first ``|s| − ⌈t·|s|⌉ + 1``
+    shingles under a global rarest-first ordering. Pigeonhole: a pair
+    with overlap ≥ ⌈t·|s|⌉ (implied by Jaccard ≥ t for both sets of
+    the pair) must share a prefix element, so no false negatives; the
+    prefix hits the RAREST shingles, so posting lists in the candidate
+    join are short where the full inverted index is long.
+
+    Plan shape: one document-frequency aggregate (shuffle on shingle),
+    one per-doc array build (shuffle on id; the rarest-first sort is
+    ROW-LOCAL — array_sort inside the row, no global sort), a prefix
+    posting-list join, then a verify step joining the two full sorted
+    shingle arrays per candidate pair (array_intersect is row-local).
+    Verification is candidate-sized, not corpus-sized.
+    """
+    import math
+
+    ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+    per_doc = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered")
+        )
+        .select(
+            id_col,
+            F.transform("__ordered", lambda s: s.getField("shingle")).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.size("__toks").alias("__sz"),
+            F.slice(
+                "__toks",
+                1,
+                F.greatest(
+                    F.lit(1),
+                    F.size("__toks")
+                    - F.ceil(F.size("__toks") * threshold).cast("int")
+                    + 1,
+                ),
+            ).alias("__prefix"),
+        )
+        .localCheckpoint(eager=True)  # feeds the candidate join twice + verify twice
+    )
+    pref = per_doc.select(id_col, F.explode("__prefix").alias("shingle"))
+    a = pref.withColumnRenamed(id_col, "id_a")
+    b = pref.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("__na"),
+    )
+    sb = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = F.round(
+        inter / (F.col("__na") + F.col("__nb") - inter), 6
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def contamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -2129,6 +2129,33 @@ WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) >= 0.2
 """
 
 
+# --------------------------------------------------------------------------
+# q159 — prefix-filtered exact Jaccard pairs (AllPairs/PPJoin family):
+# the SAME answer as q44 through a different candidate generator —
+# index only each doc's rarest |s|-⌈t·|s|⌉+1 shingles under a global
+# rarest-first order (prefix filtering principle: a pair with Jaccard
+# ≥ t must share a prefix element — no false negatives). The oracle IS
+# q44's SQL, so the driver's hash compare doubles as the equivalence
+# proof between the two algorithms; verification joins the full sorted
+# shingle arrays per candidate (row-local array_intersect,
+# candidate-sized cost). The scale trade vs q44's df-capped inverted
+# index: prefix posting lists hit only rare shingles, so the candidate
+# join stays short-listed even without a frequency cap.
+# --------------------------------------------------------------------------
+def q159_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.2,
+        exploded=_shingles3(spark, sf_dir),
+    )
+
+
+Q159_SQL = Q44_SQL
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -2166,6 +2193,7 @@ QUERIES = {
     "q151_lsh_recall_certificate": q151_lsh_recall_certificate,
     "q152_mixture_rebalance": q152_mixture_rebalance,
     "q153_incremental_neardup": q153_incremental_neardup,
+    "q159_prefix_jaccard": q159_prefix_jaccard,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -2206,5 +2234,6 @@ ORACLES = {
     "q151_lsh_recall_certificate": Q151_SQL,
     "q152_mixture_rebalance": Q152_SQL,
     "q153_incremental_neardup": Q153_SQL,
+    "q159_prefix_jaccard": Q159_SQL,
     "q144_dup_spans": Q144_SQL,
 }

@@ -354,3 +354,26 @@ def test_incremental_neardup_equals_batch_restriction(spark):
     assert got == want
     # sanity: the fixture actually exercises the path
     assert want or not new_ids
+
+
+def test_prefix_filter_equals_inverted_index_jaccard(spark):
+    """Two independent exact-Jaccard algorithms (prefix filtering vs
+    df-capped inverted index) must agree pair-for-pair, including the
+    jaccard values, across thresholds."""
+    from binance_data_ingestor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.1, 0.2, 0.5):
+        a = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        b = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert a == b, f"threshold={t}"
+        assert a or t > 0.2  # low thresholds must find the planted dups
