@@ -439,9 +439,80 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q160 — rolling median / MAD robust baseline per user: the
+# outlier-resistant twin of q83's mean/stddev z-score. Spark has no
+# percentile WINDOW function; for a bounded 15-row frame the exact
+# order statistic is expression-level — collect_list over the frame,
+# array_sort, take the middle element (and a second row-local pass for
+# the median absolute deviation). Every output is an ELEMENT of the
+# input (no accumulation), so cross-engine parity needs no rounding at
+# all. Partition key is user_id — cardinality grows with the data, so
+# no chunk re-key is needed (unlike q83's 4-value event_type).
+# Robust z uses 1.4826·MAD (the normal-consistency constant).
+# --------------------------------------------------------------------------
+MED_FRAME = 15  # odd ⇒ the median is a single element, no interpolation
+
+
+def q160_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_FRAME - 1), 0)
+    )
+    mid = MED_FRAME // 2 + 1
+    vals = F.array_sort(F.collect_list("value").over(w))
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.size(vals) == MED_FRAME, F.element_at(vals, mid)).alias("med"),
+        F.when(F.size(vals) == MED_FRAME, vals).alias("__vals"),
+    ).filter(F.col("med").isNotNull())
+    dev = F.array_sort(
+        F.transform("__vals", lambda x: F.abs(x - F.col("med")))
+    )
+    mad = F.element_at(dev, mid)
+    return scored.select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        mad.alias("mad"),
+        F.when(
+            mad > 0, (F.col("value") - F.col("med")) / (F.lit(1.4826) * mad)
+        ).alias("robust_z"),
+    )
+
+
+Q160_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {MED_FRAME - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM events),
+full_frames AS (
+  SELECT event_id, user_id, value, list_sort(vals) AS svals
+  FROM framed WHERE len(vals) = {MED_FRAME}),
+med AS (
+  SELECT *, svals[{MED_FRAME // 2 + 1}] AS med FROM full_frames),
+mads AS (
+  SELECT event_id, user_id, value, med,
+         list_sort(list_transform(svals, x -> abs(x - med)))[{MED_FRAME // 2 + 1}]
+           AS mad
+  FROM med)
+SELECT event_id, user_id, value, med, mad,
+       CASE WHEN mad > 0 THEN (value - med) / (1.4826 * mad) END AS robust_z
+FROM mads
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q83_rolling_zscore": q83_rolling_zscore,
+    "q160_rolling_median": q160_rolling_median,
     "q104_rolling_corr": q104_rolling_corr,
     "q111_ewma": q111_ewma,
     "q112_max_drawdown": q112_max_drawdown,
@@ -452,6 +523,7 @@ QUERIES = {
 ORACLES = {
     "q82_gapfill_locf": Q82_SQL,
     "q83_rolling_zscore": Q83_SQL,
+    "q160_rolling_median": Q160_SQL,
     "q104_rolling_corr": Q104_SQL,
     "q111_ewma": Q111_SQL,
     "q112_max_drawdown": Q112_SQL,
