@@ -2156,6 +2156,67 @@ def q159_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q159_SQL = Q44_SQL
 
 
+# --------------------------------------------------------------------------
+# q161 — quality-aware dedup representative: production dedup keeps the
+# BEST copy of each near-dup cluster, not the lowest id — the Gopher/
+# FineWeb convention where the survivor maximizes a quality score.
+# Composition of three proven operators: Jaccard pairs (shared
+# artifact) → connected components → per-cluster argmax of
+# (lexical_diversity, n_tokens, doc_id asc) via one row_number window
+# over cluster-sized groups. Oracle recomputes the recursive-CTE
+# components and the same deterministic ordering.
+# --------------------------------------------------------------------------
+def q161_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_features
+
+    pairs = _jaccard_pairs3(spark, sf_dir)
+    cc = connected_components(pairs)
+    q = quality_features(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("lexical_diversity", 6).alias("ld"), "n_tokens"
+    )
+    scored = cc.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("ld"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    members = scored.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(members, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            "n_members",
+            F.col("ld").alias("keep_diversity"),
+        )
+    )
+
+
+Q161_SQL = f"""
+WITH RECURSIVE
+{_PAIR_CTES.format(source="documents")},
+q AS (SELECT doc_id,
+             round(len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')), 6) AS ld,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+scored AS (SELECT c.node AS doc_id, c.cluster_id, q.ld, q.n_tokens
+           FROM cc c JOIN q ON q.doc_id = c.node),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY ld DESC, n_tokens DESC, doc_id ASC) AS rn
+           FROM scored),
+members AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM scored GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS keep_doc, m.n_members, r.ld AS keep_diversity
+FROM ranked r JOIN members m USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -2194,6 +2255,7 @@ QUERIES = {
     "q152_mixture_rebalance": q152_mixture_rebalance,
     "q153_incremental_neardup": q153_incremental_neardup,
     "q159_prefix_jaccard": q159_prefix_jaccard,
+    "q161_quality_representative": q161_quality_representative,
     "q144_dup_spans": q144_dup_spans,
 }
 
@@ -2235,5 +2297,6 @@ ORACLES = {
     "q152_mixture_rebalance": Q152_SQL,
     "q153_incremental_neardup": Q153_SQL,
     "q159_prefix_jaccard": Q159_SQL,
+    "q161_quality_representative": Q161_SQL,
     "q144_dup_spans": Q144_SQL,
 }
