@@ -921,6 +921,81 @@ FROM s3 GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q162 — multi-touch (linear) revenue attribution: every purchase
+# splits its value equally across the same user's clicks in the prior
+# 24 h; each click reports its attributed revenue. The (purchase →
+# candidate clicks) pairing is an inequality join — expressed through
+# the binned point-in-interval operator (clicks become [ts, ts+24h]
+# windows, purchases are points), so the hot path is a shuffled
+# equi-join on (user, hour-bin) instead of a nested loop. Purchase
+# values ride as exact cents; the per-pair share is one IEEE division
+# and the per-click sum rounds at 6 dp (exact-rational summands,
+# order-independent at that precision).
+# --------------------------------------------------------------------------
+ATTR_WINDOW_S = 86400
+
+
+def q162_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {ATTR_WINDOW_S} SECONDS")).alias("hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = point_in_interval_join(
+        purchases,
+        clicks,
+        point_ts="pts",
+        lo="lo",
+        hi="hi",
+        bin_seconds=3600,
+        keys=["user_id"],
+    )
+    shares = pairs.withColumn(
+        "n_claims", F.count("*").over(W.partitionBy("purchase_id"))
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("cents") / F.col("n_claims")).alias("credit_c"),
+    )
+    return shares.groupBy("user_id", "click_id").agg(
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.round(F.sum("credit_c") / 100.0, 6).alias("attr_revenue_r"),
+    )
+
+
+Q162_SQL = f"""
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS lo,
+                  ts + INTERVAL {ATTR_WINDOW_S} SECOND AS hi
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (SELECT c.user_id, c.click_id, p.purchase_id, p.cents
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND p.pts BETWEEN c.lo AND c.hi),
+shares AS (SELECT user_id, click_id, purchase_id,
+                  cents / (count(*) OVER (PARTITION BY purchase_id))
+                    AS credit_c
+           FROM pairs)
+SELECT user_id, click_id,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       round(sum(credit_c) / 100.0, 6) AS attr_revenue_r
+FROM shares GROUP BY user_id, click_id
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -937,6 +1012,7 @@ QUERIES = {
     "q147_error_window_attribution": q147_error_window_attribution,
     "q148_concurrent_sessions": q148_concurrent_sessions,
     "q156_windowed_funnel": q156_windowed_funnel,
+    "q162_multi_touch_attribution": q162_multi_touch_attribution,
 }
 
 ORACLES = {
@@ -955,4 +1031,5 @@ ORACLES = {
     "q147_error_window_attribution": Q147_SQL,
     "q148_concurrent_sessions": Q148_SQL,
     "q156_windowed_funnel": Q156_SQL,
+    "q162_multi_touch_attribution": Q162_SQL,
 }
