@@ -1339,6 +1339,62 @@ FROM dormant GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q163 — RFM customer segmentation: quintile scores for Recency (last
+# order date), Frequency (order count) and Monetary (lifetime cents),
+# aggregated into segment cells. Scores come from three ntile(5)
+# windows with fully deterministic orderings (metric, then custkey);
+# monetary accumulates as exact cents. The unpartitioned ntile windows
+# are customer-cardinality sorts — the documented scale path is the
+# q132/q150 two-pass global-rank rewrite; at fixture scale the single
+# sort is the honest plan. Output: one row per (r,f,m) cell.
+# --------------------------------------------------------------------------
+def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    r_w = W.orderBy(F.desc("recency"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(5).over(r_w).alias("r_q"),
+        F.ntile(5).over(f_w).alias("f_q"),
+        F.ntile(5).over(m_w).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("segment_cents"),
+    )
+
+
+Q163_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS recency,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, cents,
+         ntile(5) OVER (ORDER BY recency DESC, o_custkey ASC) AS r_q,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_q
+  FROM per_cust)
+SELECT r_q, f_q, m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_q, f_q, m_q
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
@@ -1372,6 +1428,7 @@ QUERIES = {
     "q146_order_count_distribution": q146_order_count_distribution,
     "q154_top_supplier": q154_top_supplier,
     "q155_dormant_capital": q155_dormant_capital,
+    "q163_rfm_segments": q163_rfm_segments,
 }
 
 ORACLES = {
@@ -1407,4 +1464,5 @@ ORACLES = {
     "q146_order_count_distribution": Q146_SQL,
     "q154_top_supplier": Q154_SQL,
     "q155_dormant_capital": Q155_SQL,
+    "q163_rfm_segments": Q163_SQL,
 }
