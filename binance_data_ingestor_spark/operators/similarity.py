@@ -624,3 +624,51 @@ def cosine_neardup_pairs(
                 yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": S[i, j]})
 
     return pairs.mapInPandas(compute, "id_a long, id_b long, cos_sim double")
+
+
+def int8_quantize(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with an exact error
+    certificate — the embedding-compression step before an ANN index
+    build (4× smaller than float32, 8× smaller than the float64 PQ
+    input; complements q66's PQ path, which compresses further but
+    lossier).
+
+    Per vector: scale = max|x| / 127, code_i = floor(x_i/scale + 0.5).
+    With a symmetric scale the codes land in [-127, 127] by
+    construction (|x|/scale ≤ 127 within one ulp, and floor(±(127+ε) ∓
+    0.5) stays at ±127), so no clamp is needed. Zero vectors nullif the
+    scale (both engines agree on NULL, where ANSI Spark would raise and
+    DuckDB already returns NULL).
+
+    Everything is row-local expression work — zero shuffle, zero
+    Python. The certificate columns are parity-exact by construction:
+    ``scale`` is one IEEE division, ``max_abs_err`` a max (order-free)
+    of identically-computed doubles, ``sum_codes`` an exact integer.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.nullif(
+        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(0.0)
+    )
+    d = df.select(
+        F.col(id_col), v.alias("_v"), F.size(vec_col).alias("n_dims"), scale.alias("scale")
+    )
+    codes = F.transform(
+        F.col("_v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    d = d.withColumn("_codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            F.col("_codes"), F.col("_v"), lambda c, x: F.abs(c * F.col("scale") - x)
+        )
+    )
+    return d.select(
+        id_col,
+        "n_dims",
+        "scale",
+        F.aggregate(
+            F.col("_codes"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_codes"),
+        err.alias("max_abs_err"),
+    )

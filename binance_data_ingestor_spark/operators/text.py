@@ -297,3 +297,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round((F.length(t) - (n_tok - 1)) / n_tok, 6),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, *, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """One merge step of BPE tokenizer training: the top-k most frequent
+    adjacent character pairs, corpus-weighted.
+
+    The scalability trick is the classic one from BPE training: collapse
+    the corpus to a (word, frequency) VOCABULARY first (the only
+    corpus-sized aggregation), then enumerate adjacent pairs over the
+    vocabulary — so pair counting costs O(|vocab| · word_len), not
+    O(corpus tokens). At 100 TB the vocab table is millions of rows
+    regardless of corpus size; every later merge iteration reuses it.
+
+    All counting is exact integer arithmetic; ties at the top-k boundary
+    break on the pair string, so the selected set is deterministic.
+    """
+    t = F.col(text_col)
+    words = df.select(F.explode(F.split(t, " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    # sequence(1, n-1) DESCENDS when n < 2 on Spark — the size guard is
+    # semantics, not just perf. substring(w, i, 2) == the (i, i+1) pair.
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )

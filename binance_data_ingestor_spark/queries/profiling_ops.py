@@ -408,6 +408,50 @@ FROM (SELECT {k}, count(*) AS f FROM lineitem GROUP BY {k})"""
 )
 
 
+# --------------------------------------------------------------------------
+# q166 — EXACT per-group median of l_extendedprice (integer cents) via
+# two-pass histogram refinement — the exact counterpart of q12's
+# approx_percentile sketch. Pass 1 is a (group, $1000-bucket) histogram
+# (map-side combinable, groups×buckets rows); a cumulative window over
+# that tiny table locates the bucket holding each middle rank; pass 2
+# re-scans with a pushed-down filter to ONLY those buckets and sorts
+# inside them — never a global or group-wide sort, per-task memory
+# bounded by bucket width. Zero driver state: rank→bucket resolution is
+# a join, and the ≤2-rows/group target table broadcasts. Integer cents
+# end-to-end; median_r is one IEEE division of the exact sum.
+# --------------------------------------------------------------------------
+def q166_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_grouped_median
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return exact_grouped_median(li, "l_returnflag", "cents")
+
+
+Q166_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+r AS (
+  SELECT g, cents,
+         row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v)
+SELECT g AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+            + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+            AS BIGINT) AS median_x2_cents,
+       CAST(CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                 + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+                 AS BIGINT) AS DOUBLE) / CAST(200 AS DOUBLE) AS median_r
+FROM r GROUP BY g
+"""
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -416,6 +460,7 @@ QUERIES = {
     "q116_countmin": q116_countmin,
     "q129_poisson_bootstrap": q129_poisson_bootstrap,
     "q134_skew_report": q134_skew_report,
+    "q166_exact_median": q166_exact_median,
 }
 
 ORACLES = {
@@ -426,4 +471,5 @@ ORACLES = {
     "q116_countmin": Q116_SQL,
     "q129_poisson_bootstrap": Q129_SQL,
     "q134_skew_report": Q134_SQL,
+    "q166_exact_median": Q166_SQL,
 }

@@ -554,6 +554,46 @@ GROUP BY b, cell
 Q118_SQL = _semdedup_sql()
 
 
+# --------------------------------------------------------------------------
+# q165 — symmetric per-vector int8 quantization of the embedding table
+# with an exact error certificate (scale, max reconstruction error,
+# code checksum). Row-local expression work only: zero shuffle, zero
+# Python — the compression step that runs ahead of an ANN index build
+# and shrinks the scan 4× vs float32. Parity is by construction:
+# scale is one IEEE division, codes are floor(x/scale + 0.5) of
+# identically-computed doubles, max is order-free, the checksum is an
+# exact integer.
+# --------------------------------------------------------------------------
+def q165_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import int8_quantize
+
+    return int8_quantize(load(spark, sf_dir, "embeddings"))
+
+
+Q165_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         nullif(list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+                0.0) AS scale,
+         embedding
+  FROM embeddings),
+c AS (
+  SELECT vec_id, n_dims, scale, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                  AS BIGINT)) AS codes
+  FROM s)
+SELECT vec_id, n_dims, scale,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       list_max(list_transform(generate_series(1, n_dims),
+                i -> abs(codes[i] * scale - CAST(embedding[i] AS DOUBLE))))
+         AS max_abs_err
+FROM c
+"""
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -564,6 +604,7 @@ QUERIES = {
     "q96_rrf_fusion": q96_rrf_fusion,
     "q108_editdist_join": q108_editdist_join,
     "q118_semantic_dedup": q118_semantic_dedup,
+    "q165_int8_quantize": q165_int8_quantize,
 }
 
 # q67 is intentionally absent from ORACLES (iterative training —
@@ -577,4 +618,5 @@ ORACLES = {
     "q96_rrf_fusion": Q96_SQL,
     "q108_editdist_join": Q108_SQL,
     "q118_semantic_dedup": Q118_SQL,
+    "q165_int8_quantize": Q165_SQL,
 }

@@ -2217,6 +2217,38 @@ WHERE r.rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q164 — one BPE tokenizer-training merge step: corpus-weighted counts
+# of adjacent character pairs, top 20. The corpus collapses to a
+# (word, freq) vocabulary FIRST (the only corpus-sized aggregation —
+# at 100 TB the vocab is millions of rows regardless of corpus size),
+# then pairs are enumerated over the vocabulary only. Repeating the
+# step after applying the winning merge is tokenizer training; every
+# iteration after the first touches only the vocab table. Exact
+# integer counts; top-k boundary ties break on the pair string.
+# --------------------------------------------------------------------------
+def q164_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=20)
+
+
+Q164_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w, count(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w),
+pairs AS (
+  SELECT freq,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM vocab WHERE len(w) >= 2),
+pc AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
@@ -2257,6 +2289,7 @@ QUERIES = {
     "q159_prefix_jaccard": q159_prefix_jaccard,
     "q161_quality_representative": q161_quality_representative,
     "q144_dup_spans": q144_dup_spans,
+    "q164_bpe_merge_step": q164_bpe_merge_step,
 }
 
 ORACLES = {
@@ -2299,4 +2332,5 @@ ORACLES = {
     "q159_prefix_jaccard": Q159_SQL,
     "q161_quality_representative": Q161_SQL,
     "q144_dup_spans": Q144_SQL,
+    "q164_bpe_merge_step": Q164_SQL,
 }

@@ -380,3 +380,94 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert ours == native and ours
+
+
+def test_bpe_pair_counts_matches_bruteforce(spark):
+    """q164's vocab-side pair enumeration must equal direct corpus-side
+    counting (every adjacent pair occurrence, duplicates included)."""
+    from collections import Counter
+
+    from binance_data_ingestor_spark.operators.text import bpe_pair_counts
+
+    docs = [
+        "the theatre these",
+        "aa aaa a aaaa",
+        "the  the",  # double space -> empty token must be dropped
+        "xy",
+    ]
+    ref: Counter[str] = Counter()
+    for d in docs:
+        for w in d.split(" "):
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = {(r.pair, r.cnt) for r in bpe_pair_counts(df, top_k=1000).collect()}
+    assert got == set(ref.items())
+    # top-k boundary: ties break on pair string, deterministically
+    top3 = [r.pair for r in bpe_pair_counts(df, top_k=3).collect()]
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert top3 == [p for p, _ in want]
+
+
+def test_int8_quantize_certificate(spark):
+    """Reconstruction error bounded by scale/2; checksum matches an
+    exact NumPy replica; zero vectors degrade to NULLs, not errors."""
+    from binance_data_ingestor_spark.operators.similarity import int8_quantize
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(16).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(16, dtype=np.float32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in int8_quantize(df).collect()}
+    assert len(rows) == len(vecs)
+    for i, v in enumerate(vecs):
+        r = rows[i]
+        assert r.n_dims == 16
+        v64 = v.astype(np.float64)
+        if not np.any(v64):
+            assert r.scale is None and r.sum_codes is None and r.max_abs_err is None
+            continue
+        scale = np.max(np.abs(v64)) / 127.0
+        codes = np.floor(v64 / scale + 0.5)
+        assert np.all(np.abs(codes) <= 127)  # symmetric scale needs no clamp
+        assert r.scale == scale
+        assert r.sum_codes == int(codes.sum())
+        assert r.max_abs_err == np.max(np.abs(codes * scale - v64))
+        assert r.max_abs_err <= scale / 2 * (1 + 1e-12)
+
+
+@pytest.mark.parametrize("seed,bucket_width", [(1, 7), (2, 1), (3, 1000)])
+def test_exact_grouped_median_matches_sorted(spark, seed, bucket_width):
+    """Two-pass histogram median == sorted-list middle elements for
+    random groups of odd/even sizes, across bucket widths that force
+    straddling (width 1), clustering (width 1000), and the general
+    case — plus a single-row group."""
+    import statistics
+
+    from binance_data_ingestor_spark.operators.quantiles import exact_grouped_median
+
+    rng = random.Random(seed)
+    data = []
+    groups = {"a": 7, "b": 8, "c": 1, "d": 2}
+    for g, n in groups.items():
+        for _ in range(n):
+            data.append((g, rng.randrange(-50, 50)))
+    df = spark.createDataFrame(data, "g string, cents long")
+    out = {
+        r.g: r
+        for r in exact_grouped_median(
+            df, "g", "cents", bucket_width=bucket_width
+        ).collect()
+    }
+    assert set(out) == set(groups)
+    for g, n in groups.items():
+        vals = sorted(v for gg, v in data if gg == g)
+        lo, hi = vals[(n - 1) // 2], vals[n // 2]
+        r = out[g]
+        assert r.n_rows == n
+        assert r.median_x2_cents == lo + hi
+        assert r.median_r == (lo + hi) / 200.0
+        assert r.median_r * 100 == pytest.approx(statistics.median(vals), abs=1e-9)
