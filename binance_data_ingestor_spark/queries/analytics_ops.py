@@ -996,6 +996,79 @@ FROM shares GROUP BY user_id, click_id
 """
 
 
+# --------------------------------------------------------------------------
+# q167 — Kaplan-Meier time-to-conversion: per-user days from first
+# event to first HIGH-VALUE purchase (value ≥ 150); users who never
+# convert are right-censored at their last observed day — the survival
+# analysis a growth team runs where q77's cohort grid would understate
+# conversion by ignoring censoring. One users-sized shuffle; the
+# cumulative product runs over the KM table (one row per distinct
+# duration — days-sized), emitted as round(exp(Σ ln(1-d/n)), 6) with an
+# explicit zero flag so ln(0) can never occur.
+# --------------------------------------------------------------------------
+KM_CONVERSION_VALUE = 150
+
+
+def q167_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kaplan_meier
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    conv_ts = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") >= KM_CONVERSION_VALUE),
+        F.col("ts"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("s"),
+        F.max("ts").alias("e"),
+        F.min(conv_ts).alias("conv"),
+    )
+    subjects = per_user.select(
+        F.datediff(F.to_date(F.coalesce("conv", "e")), F.to_date("s"))
+        .cast("long")
+        .alias("t"),
+        F.col("conv").isNotNull().cast("int").alias("died"),
+    )
+    return kaplan_meier(subjects)
+
+
+Q167_SQL = f"""
+WITH pu AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e,
+         min(CASE WHEN event_type = 'purchase'
+                   AND value >= {KM_CONVERSION_VALUE} THEN ts END) AS conv
+  FROM events GROUP BY user_id),
+subj AS (
+  SELECT CAST(date_diff('day', CAST(s AS DATE),
+                        CAST(coalesce(conv, e) AS DATE)) AS BIGINT) AS t,
+         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM pu),
+km AS (
+  SELECT t, CAST(sum(died) AS BIGINT) AS d, count(*) AS c
+  FROM subj GROUP BY t),
+tot AS (SELECT count(*) AS n_total FROM subj),
+risk AS (
+  SELECT t, d,
+         CAST(n_total - (sum(c) OVER (ORDER BY t) - c) AS BIGINT)
+           AS n_at_risk
+  FROM km, tot),
+terms AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+              ELSE 0.0 END AS lnterm,
+         CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS zero_flag
+  FROM risk),
+curve AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN max(zero_flag) OVER (ORDER BY t) = 1 THEN 0.0
+              ELSE round(exp(sum(lnterm) OVER (ORDER BY t)), 6) END
+           AS survival_r
+  FROM terms)
+SELECT t, d, n_at_risk, survival_r FROM curve WHERE d > 0
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -1013,6 +1086,7 @@ QUERIES = {
     "q148_concurrent_sessions": q148_concurrent_sessions,
     "q156_windowed_funnel": q156_windowed_funnel,
     "q162_multi_touch_attribution": q162_multi_touch_attribution,
+    "q167_kaplan_meier": q167_kaplan_meier,
 }
 
 ORACLES = {
@@ -1032,4 +1106,5 @@ ORACLES = {
     "q148_concurrent_sessions": Q148_SQL,
     "q156_windowed_funnel": Q156_SQL,
     "q162_multi_touch_attribution": Q162_SQL,
+    "q167_kaplan_meier": Q167_SQL,
 }

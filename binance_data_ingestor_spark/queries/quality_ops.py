@@ -320,12 +320,122 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q168 — Benford first-digit audit of order totals: observed leading-
+# digit distribution vs Benford's log10(1 + 1/d) expectation, with the
+# per-digit chi-square contribution — the forensic data-quality screen
+# for fabricated or truncated numeric columns. One exact-integer
+# groupBy (9 groups); the first digit comes from the INTEGER cents
+# string (double→string rendering differs between engines, int→string
+# doesn't). The expectation is rounded 6 dp on both engines BEFORE the
+# chi-square arithmetic so every later term starts from identical
+# doubles.
+# --------------------------------------------------------------------------
+def q168_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count("*").alias("observed"))
+    total = o.agg(F.count("*").alias("n_total"))
+    exp_share = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    out = counts.crossJoin(F.broadcast(total)).withColumn(
+        "expected_share_r", exp_share
+    )
+    expected_n = F.col("n_total") * F.col("expected_share_r")
+    dev = F.col("observed") - expected_n
+    return out.select(
+        "digit",
+        "observed",
+        (F.col("observed").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+        "expected_share_r",
+        F.round(dev * dev / expected_n, 6).alias("chi2_term_r"),
+    )
+
+
+Q168_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+t AS (SELECT count(*) AS n_total FROM d),
+e AS (SELECT digit, observed, n_total,
+             round(log10(1.0 + 1.0 / digit), 6) AS expected_share_r
+      FROM c, t)
+SELECT digit, observed,
+       CAST(observed AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       expected_share_r,
+       round((observed - n_total * expected_share_r)
+             * (observed - n_total * expected_share_r)
+             / (n_total * expected_share_r), 6) AS chi2_term_r
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# q169 — exact two-sample Kolmogorov-Smirnov drift test between urgent
+# and non-urgent order-total distributions (q94's PSI is the binned
+# screen; KS is the exact sup-distance court of appeal). The CDFs are
+# evaluated at every distinct cents value via the bucketed cumulative
+# pattern in operators/stats.py — per-bucket partials, exclusive prefix
+# over the bucket summary (the only single-task step), within-bucket
+# running sums — so nothing serializes on data-sized input.
+# --------------------------------------------------------------------------
+def q169_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ks_2sample
+
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("grp"),
+    )
+    return ks_2sample(o, "cents", "grp")
+
+
+Q169_SQL = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+  FROM orders),
+per_v AS (
+  SELECT v,
+         count(*) FILTER (WHERE grp = 0) AS c1,
+         count(*) FILTER (WHERE grp = 1) AS c2
+  FROM o GROUP BY v),
+tot AS (
+  SELECT CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n2
+  FROM o),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY v) AS f1,
+         sum(c2) OVER (ORDER BY v) AS f2
+  FROM per_v),
+d AS (
+  SELECT n1, n2,
+         max(abs(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d_stat
+  FROM cum, tot GROUP BY n1, n2)
+SELECT n1, n2, d_stat,
+       round(least(1.0, 2.0 * exp(-2.0 * d_stat * d_stat
+             * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / CAST(n1 + n2 AS DOUBLE)))), 6) AS p_approx_r
+FROM d
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
     "q94_psi_drift": q94_psi_drift,
     "q114_chi_square": q114_chi_square,
     "q128_k_anonymity": q128_k_anonymity,
+    "q168_benford_audit": q168_benford_audit,
+    "q169_ks_drift": q169_ks_drift,
 }
 
 ORACLES = {
@@ -334,4 +444,6 @@ ORACLES = {
     "q94_psi_drift": Q94_SQL,
     "q114_chi_square": Q114_SQL,
     "q128_k_anonymity": Q128_SQL,
+    "q168_benford_audit": Q168_SQL,
+    "q169_ks_drift": Q169_SQL,
 }

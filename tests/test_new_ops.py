@@ -471,3 +471,66 @@ def test_exact_grouped_median_matches_sorted(spark, seed, bucket_width):
         assert r.median_x2_cents == lo + hi
         assert r.median_r == (lo + hi) / 200.0
         assert r.median_r * 100 == pytest.approx(statistics.median(vals), abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_kaplan_meier_matches_bruteforce(spark, seed):
+    """KM curve == the textbook product-limit estimator computed row by
+    row in Python, including right-censored subjects and (seed 6) a
+    final timepoint where everyone remaining dies (S -> 0, no ln(0))."""
+    from binance_data_ingestor_spark.operators.stats import kaplan_meier
+
+    rng = random.Random(seed)
+    subjects = [(rng.randrange(0, 8), rng.random() < 0.6) for _ in range(60)]
+    if seed == 6:  # everyone alive at the horizon dies there
+        tmax = max(t for t, _ in subjects)
+        subjects = [(t, True if t == tmax else d) for t, d in subjects]
+    df = spark.createDataFrame(
+        [(t, int(d)) for t, d in subjects], "t long, died int"
+    )
+    got = {r.t: r for r in kaplan_meier(df).collect()}
+
+    s = 1.0
+    expect = {}
+    for t in sorted({t for t, _ in subjects}):
+        n = sum(1 for ti, _ in subjects if ti >= t)
+        d = sum(1 for ti, di in subjects if ti == t and di)
+        if d == 0:
+            continue
+        s = 0.0 if d == n else s * (1 - d / n)
+        expect[t] = (d, n, s)
+    assert set(got) == set(expect)
+    for t, (d, n, s) in expect.items():
+        assert got[t].d == d and got[t].n_at_risk == n
+        assert got[t].survival_r == pytest.approx(s, abs=2e-6)
+    if seed == 6:
+        assert got[max(expect)].survival_r == 0.0
+
+
+@pytest.mark.parametrize("bucket_width", [1, 7, 10_000])
+def test_ks_2sample_matches_bruteforce(spark, bucket_width):
+    """Bucketed-cumsum KS == direct CDF sweep, for bucket widths that
+    put every distinct value in its own bucket, split them, and put
+    everything in one bucket."""
+    from binance_data_ingestor_spark.operators.stats import ks_2sample
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(0, 40), 0) for _ in range(80)] + [
+        (rng.randrange(10, 60), 1) for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "v long, grp int")
+    r = ks_2sample(df, "v", "grp", bucket_width=bucket_width).collect()[0]
+
+    n1 = sum(1 for _, g in rows if g == 0)
+    n2 = len(rows) - n1
+    d = 0.0
+    for v in sorted({v for v, _ in rows}):
+        f1 = sum(1 for x, g in rows if g == 0 and x <= v) / n1
+        f2 = sum(1 for x, g in rows if g == 1 and x <= v) / n2
+        d = max(d, abs(f1 - f2))
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.d_stat == pytest.approx(d, abs=1e-12)
+    ne = n1 * n2 / (n1 + n2)
+    assert r.p_approx_r == pytest.approx(
+        min(1.0, 2 * (2.718281828459045 ** (-2 * d * d * ne))), abs=2e-6
+    )

@@ -338,6 +338,37 @@ def test_binned_range_joins_stay_equi(plans):
         assert "Join" in p, name
 
 
+def test_exact_median_probes_broadcast_and_no_global_sort(plans):
+    # q166: both pass-2 joins (bucket prune + rank pick) must broadcast
+    # the tiny target table, and the only Sorts allowed are the
+    # (group, bucket)-partitioned window sorts — a global Sort means the
+    # two-pass scheme degraded to the sort-everything formulation
+    p = plans("q166_exact_median")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "target-bucket join regressed to SMJ"
+    for seg in p.split("Sort [")[1:]:
+        head = seg.split("]")[0]
+        assert "bucket" in head or "g#" in head, f"unpartitioned sort: {head}"
+
+
+def test_bpe_pair_counts_aggregates_vocab_first(plans):
+    # q164: the pair explode must sit ABOVE the word-frequency
+    # aggregate (vocab-sized input), not directly on the corpus — two
+    # HashAggregate pairs with the Generate between them
+    p = plans("q164_bpe_merge_step")
+    gen = p.find("Generate explode")
+    assert gen != -1
+    # at least one aggregate (the vocab count) below the explode
+    assert "HashAggregate" in p[gen:], "vocab aggregate missing below explode"
+
+
+def test_int8_quantize_has_no_shuffle(plans):
+    # q165 is row-local expression work — any Exchange means a shuffle
+    # crept into what should be a pure map stage
+    p = plans("q165_int8_quantize")
+    assert "Exchange" not in p, p
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # Hive-partitioned writes + a partition-key filter must prune at the
     # FILE level (PartitionFilters in the scan), not post-scan — the
