@@ -219,12 +219,26 @@ def prefix_filter_jaccard_pairs(
         )
         .localCheckpoint(eager=True)  # feeds the candidate join twice + verify twice
     )
-    pref = per_doc.select(id_col, F.explode("__prefix").alias("shingle"))
-    a = pref.withColumnRenamed(id_col, "id_a")
-    b = pref.withColumnRenamed(id_col, "id_b")
+    pref = per_doc.select(
+        id_col, "__sz", F.explode("__prefix").alias("shingle")
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "shingle"
+    )
+    # AllPairs length filter (exactness-preserving): Jaccard >= t forces
+    # t·max(|a|,|b|) <= min(|a|,|b|), so size-mismatched collisions are
+    # dropped BEFORE the distinct and the array verify — at low t this
+    # is the only cheap prune (the prefix itself is ~(1-t) of each doc)
     cand = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__szb") * threshold <= F.col("__sza"))
+            & (F.col("__sza") * threshold <= F.col("__szb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

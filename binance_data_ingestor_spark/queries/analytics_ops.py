@@ -1069,6 +1069,69 @@ SELECT t, d, n_at_risk, survival_r FROM curve WHERE d > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q170 — revenue-concentration audit: exact Gini coefficient of
+# customer revenue. Per-customer totals (one customers-sized shuffle)
+# are globally ranked by (cents, custkey) via the bucket-offset
+# two-pass (partitioning.with_global_rank, keys=[]) — only the bucket
+# SUMMARY ever serializes. Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx):
+# every product and sum is an exact int64, the final value ONE IEEE
+# division — bit-identical across engines. Ties in cents leave
+# Σ rank·x invariant under tie-order, so the tie-break only ensures a
+# deterministic rank column, not the result. int64 bound: Σ rank·x
+# overflows around n·revenue ≈ 9e18 (n=1e9 customers × ~$90M cum-rank
+# product headroom) — beyond that, bucket the ranks and sum per-bucket
+# doubles, trading exactness for range.
+# --------------------------------------------------------------------------
+def q170_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    ranked = with_global_rank(
+        rev, [], ["cents", "o_custkey"], bucket=F.expr("cents div 1000000")
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("rank") * F.col("cents")).cast("long").alias("s1"),
+    )
+    num = 2 * F.col("s1") - (F.col("n_customers") + 1) * F.col("total_cents")
+    den = F.col("n_customers") * F.col("total_cents")
+    return stats.select(
+        "n_customers",
+        "total_cents",
+        (num.cast("double") / den.cast("double")).alias("gini_r"),
+    )
+
+
+Q170_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rank
+  FROM rev),
+s AS (
+  SELECT count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(rank * cents) AS BIGINT) AS s1
+  FROM ranked)
+SELECT n_customers, total_cents,
+       CAST(2 * s1 - (n_customers + 1) * total_cents AS DOUBLE)
+       / CAST(n_customers * total_cents AS DOUBLE) AS gini_r
+FROM s
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -1087,6 +1150,7 @@ QUERIES = {
     "q156_windowed_funnel": q156_windowed_funnel,
     "q162_multi_touch_attribution": q162_multi_touch_attribution,
     "q167_kaplan_meier": q167_kaplan_meier,
+    "q170_gini_revenue": q170_gini_revenue,
 }
 
 ORACLES = {
@@ -1107,4 +1171,5 @@ ORACLES = {
     "q156_windowed_funnel": Q156_SQL,
     "q162_multi_touch_attribution": Q162_SQL,
     "q167_kaplan_meier": Q167_SQL,
+    "q170_gini_revenue": Q170_SQL,
 }

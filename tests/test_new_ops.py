@@ -534,3 +534,30 @@ def test_ks_2sample_matches_bruteforce(spark, bucket_width):
     assert r.p_approx_r == pytest.approx(
         min(1.0, 2 * (2.718281828459045 ** (-2 * d * d * ne))), abs=2e-6
     )
+
+
+def test_gini_rank_formula_matches_lorenz_definition(spark):
+    """q170's rank formula must equal the Lorenz-area definition of
+    Gini (mean absolute difference / 2·mean), and ties in the value
+    must not change the result regardless of tie order."""
+    from binance_data_ingestor_spark.operators.partitioning import with_global_rank
+
+    rng = random.Random(21)
+    vals = [rng.randrange(1, 1000) for _ in range(40)] + [500] * 5  # forced ties
+    n = len(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+    gini_def = mad / (2 * sum(vals) / n)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, cents long"
+    )
+    ranked = with_global_rank(
+        df, [], ["cents", "k"], bucket=F.expr("cents div 100")
+    )
+    r = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("rank") * F.col("cents")).alias("s1"),
+    ).collect()[0]
+    gini_rank = (2 * r.s1 - (r.n + 1) * r.s0) / (r.n * r.s0)
+    assert gini_rank == pytest.approx(gini_def, abs=1e-12)
