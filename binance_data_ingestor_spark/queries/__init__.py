@@ -63,7 +63,13 @@ def _modules():
 # binned range join (q147), bloom-prefilter join (q149).
 # Expensive driver-loop queries (q26 streaming, q99 pagerank, q129
 # bootstrap) stay out of the window so a runtime-budgeted cut still
-# reaches family 50.
+# reaches family 50.  Round-2 continuation swaps: second reps of
+# already-proven families (q46 simhash, q51 cosine-neardup, q66 pq,
+# q62 byte-histogram, q75 upsert, q81 pii) gave their slots to the six
+# new families (q164 BPE, q165 int8, q166 exact median, q167
+# Kaplan-Meier, q169 KS drift, q170 Gini); the six formerly
+# hash-red queries (q24/q35/q36/q38/q124/q142) stay in-window so the
+# driver re-scores their fixes.
 PRIORITY = [
     "q01_pricing_summary",
     "q04_topk_per_group",
@@ -84,26 +90,26 @@ PRIORITY = [
     "q43_dedup_exact",
     "q44_ngram_jaccard",
     "q45_minhash_lsh",
-    "q46_simhash",
+    "q164_bpe_merge_step",
     "q47_bpe_token_count",
     "q50_ann_brute_topk",
-    "q51_cosine_neardup",
+    "q165_int8_quantize",
     "q52_lsh_topk",
     "q53_ivf_topk",
-    "q66_pq_topk",
+    "q166_exact_median",
     "q118_semantic_dedup",
     "q54_neardup_clusters",
     "q60_media_metadata",
-    "q62_byte_histogram",
+    "q167_kaplan_meier",
     "q65_media_phash",
     "q73_latest_snapshot",
     "q74_scd2",
-    "q75_upsert_audit",
+    "q169_ks_drift",
     "q76_dau_new_returning",
     "q77_cohort_retention",
     "q78_funnel",
     "q80_text_scrub",
-    "q81_pii_mask",
+    "q170_gini_revenue",
     "q82_gapfill_locf",
     "q83_rolling_zscore",
     "q152_mixture_rebalance",
