@@ -299,6 +299,26 @@ def contamination(
 
 # -- MinHash-LSH ------------------------------------------------------------
 
+def band_struct_array(num_hashes: int, bands: int) -> Column:
+    """LSH banding of an mh_0..mh_{K-1} signature row: an array of
+    (band, key) structs, key = the band's r=K/b hashes joined — shared
+    by the batch incremental path (q153) and the streaming ingest job
+    so both bucket identically."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_signature(num_hashes: int) -> list[Column]:
     """K minhash aggregates over an exploded `shingle` column.
 
@@ -382,20 +402,8 @@ def incremental_lsh_neardups(
     for band-colliding pairs — the same verify-after-LSH contract as
     minhash_lsh_candidates + ngram_jaccard_pairs composed.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = exploded.groupBy(id_col).agg(*minhash_signature(num_hashes))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_struct_array(num_hashes, bands)
     # the new/old split consumes buckets twice (semi + anti) inside one
     # join — materialize so the 8-md5-min signature aggregate runs ONCE.
     # At production scale this table (4 small rows per doc) is exactly
