@@ -1132,6 +1132,73 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q171 — 7-day rolling distinct users via HLL SKETCH UNION, certified
+# against the exact count (q107's bounded-expand shape). The scale
+# story: per-day sketches are the maintained artifact (one
+# hll_sketch_agg pass); every rolling window is then 7 SKETCH MERGES
+# over the days-sized table instead of a distinct over 7 days of raw
+# events — the pattern that turns a 100 TB rolling-distinct dashboard
+# into a KB-sized merge job. The exact side is the audit (same role as
+# q151's recall certificate): the emitted column is the certificate
+# flag, so the oracle's literal 1 hash-matches only if the estimate
+# actually lands within 5% — at production scale you drop the exact
+# branch and keep the sketches.
+# --------------------------------------------------------------------------
+def q171_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    sk = daily.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # RANGE window on the day ordinal: calendar [d-6, d], robust to gaps
+    wd = (
+        W.orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    est = sk.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wd)).alias("__est"),
+    )
+    expanded = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("tday"),
+    )
+    exact = (
+        expanded.join(
+            sk.select(F.col("day").alias("tday")), "tday", "left_semi"
+        )
+        .groupBy("tday")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    within = (
+        F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact") <= 0.05
+    )
+    return (
+        est.join(exact, est.day == exact.tday)
+        .select(
+            "day",
+            "n_exact",
+            F.when(within, 1).otherwise(0).cast("long").alias("hll_within_5pct"),
+        )
+    )
+
+
+Q171_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM daily),
+exact AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS n_exact
+  FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day)
+SELECT day, n_exact, CAST(1 AS BIGINT) AS hll_within_5pct FROM exact
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -1151,6 +1218,7 @@ QUERIES = {
     "q162_multi_touch_attribution": q162_multi_touch_attribution,
     "q167_kaplan_meier": q167_kaplan_meier,
     "q170_gini_revenue": q170_gini_revenue,
+    "q171_rolling_hll": q171_rolling_hll,
 }
 
 ORACLES = {
@@ -1172,4 +1240,5 @@ ORACLES = {
     "q162_multi_touch_attribution": Q162_SQL,
     "q167_kaplan_meier": Q167_SQL,
     "q170_gini_revenue": Q170_SQL,
+    "q171_rolling_hll": Q171_SQL,
 }

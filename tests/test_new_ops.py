@@ -536,6 +536,39 @@ def test_ks_2sample_matches_bruteforce(spark, bucket_width):
     )
 
 
+def test_rolling_hll_calendar_window_across_gaps(spark, tmp_path):
+    """q171's sketch window must be CALENDAR [d-6, d] (range frame on
+    the day ordinal), not last-7-present-rows — a 10-day gap must drop
+    old users from the estimate, and the certificate flag must hold."""
+    import datetime as dt
+
+    from binance_data_ingestor_spark.queries.analytics_ops import q171_rolling_hll
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # days 0-2: users 0..9; gap; days 13-14: users 100..104
+    for d in (0, 1, 2):
+        for u in range(10):
+            rows.append((eid, base + dt.timedelta(days=d, hours=u), u, "view", 1.0, "{}"))
+            eid += 1
+    for d in (13, 14):
+        for u in range(100, 105):
+            rows.append((eid, base + dt.timedelta(days=d, hours=u - 100), u, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {str(r.day): r for r in q171_rolling_hll(spark, sf).collect()}
+    assert out["2024-01-03"].n_exact == 10
+    # post-gap days must NOT see the pre-gap users
+    assert out["2024-01-14"].n_exact == 5
+    assert out["2024-01-15"].n_exact == 5
+    assert all(r.hll_within_5pct == 1 for r in out.values())
+
+
 def test_gini_rank_formula_matches_lorenz_definition(spark):
     """q170's rank formula must equal the Lorenz-area definition of
     Gini (mean absolute difference / 2·mean), and ties in the value
