@@ -428,6 +428,79 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q172 — inter-rater agreement (Cohen's kappa) between two independent
+# document-quality labelers: A = length rule (n_chars ≥ 300), B =
+# lexical-diversity rule (distinct/total tokens ≥ 0.45). The
+# chance-corrected agreement a curation pipeline reports before
+# trusting one heuristic as a proxy for another. One scan → four exact
+# cell counts; po and pe are each a SINGLE division of exact integer
+# products, and kappa is the identical compound expression on both
+# engines — deterministic to the bit, rounded 6 dp only for headroom.
+# --------------------------------------------------------------------------
+KAPPA_LEN = 300
+KAPPA_DIV = 0.45
+
+
+def q172_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    a = (F.col("n_chars") >= KAPPA_LEN).cast("int")
+    b = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+        >= KAPPA_DIV
+    ).cast("int")
+    cells = load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa_r"),
+    )
+
+
+Q172_SQL = f"""
+WITH lab AS (
+  SELECT CASE WHEN n_chars >= {KAPPA_LEN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)
+              >= {KAPPA_DIV} THEN 1 ELSE 0 END AS b
+  FROM documents),
+cells AS (
+  SELECT count(*) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM lab)
+SELECT n, n11, n10, n01, n00,
+       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                / CAST(n * n AS DOUBLE))
+             / (1.0 - CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                      / CAST(n * n AS DOUBLE)), 6) AS kappa_r
+FROM cells
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
@@ -436,6 +509,7 @@ QUERIES = {
     "q128_k_anonymity": q128_k_anonymity,
     "q168_benford_audit": q168_benford_audit,
     "q169_ks_drift": q169_ks_drift,
+    "q172_label_kappa": q172_label_kappa,
 }
 
 ORACLES = {
@@ -446,4 +520,5 @@ ORACLES = {
     "q128_k_anonymity": Q128_SQL,
     "q168_benford_audit": Q168_SQL,
     "q169_ks_drift": Q169_SQL,
+    "q172_label_kappa": Q172_SQL,
 }
