@@ -1151,7 +1151,12 @@ def q171_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    sk = daily.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # lgK=14 (16 KB/sketch, ~0.8% stderr): 3σ ≈ 2.5%, comfortably
+    # inside the 5% certificate at any SF; the default lgK=12's 3σ is
+    # ~4.9% — one unlucky day would flip the flag
+    sk = daily.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
     # RANGE window on the day ordinal: calendar [d-6, d], robust to gaps
     wd = (
         W.orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
