@@ -361,6 +361,88 @@ FROM per_user p LEFT JOIN residual USING (user_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q173 — temporal (AS OF) fact-to-dimension join over SCD2 intervals:
+# signup events version each user's profile; every purchase joins to
+# the version valid at purchase time. Composition proof for the CDC +
+# range-join families: the version intervals are half-open
+# [valid_from, next_valid_from) — closed here as hi = next − 1 µs, so
+# the closed-interval operator implements the half-open semantics
+# exactly at µs resolution — and the join runs through the binned
+# point-in-interval rewrite (operators/rangejoin.py) with user_id
+# riding the equi-key, never a nested loop. The current version is
+# clamped to the dataset horizon. Purchases before a user's first
+# signup have no valid version and drop (inner semantics, stated).
+# Output is per-version purchase counts + exact cents.
+# --------------------------------------------------------------------------
+def q173_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("hmax"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vers = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("__nxt"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "version_id",
+            "valid_from",
+            F.coalesce(
+                F.expr("__nxt - INTERVAL 1 MICROSECOND"), F.col("hmax")
+            ).alias("valid_hi"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = point_in_interval_join(
+        purchases,
+        vers,
+        point_ts="pts",
+        lo="valid_from",
+        hi="valid_hi",
+        bin_seconds=86400,
+        keys=["user_id"],
+    )
+    return joined.groupBy("user_id", "version_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+Q173_SQL = """
+WITH h AS (SELECT max(ts) AS hmax FROM events),
+s AS (
+  SELECT user_id, event_id AS version_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'signup'),
+v AS (
+  SELECT user_id, version_id, valid_from,
+         coalesce(nxt - INTERVAL 1 MICROSECOND, hmax) AS valid_hi
+  FROM s, h),
+p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, version_id,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM p JOIN v ON p.user_id = v.user_id
+             AND p.ts BETWEEN valid_from AND valid_hi
+GROUP BY v.user_id, version_id
+"""
+
+
 QUERIES = {
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
@@ -368,6 +450,7 @@ QUERIES = {
     "q115_snapshot_diff": q115_snapshot_diff,
     "q119_incremental_agg": q119_incremental_agg,
     "q140_purge_audit": q140_purge_audit,
+    "q173_scd2_temporal_join": q173_scd2_temporal_join,
 }
 
 ORACLES = {
@@ -377,4 +460,5 @@ ORACLES = {
     "q115_snapshot_diff": Q115_SQL,
     "q119_incremental_agg": Q119_SQL,
     "q140_purge_audit": Q140_SQL,
+    "q173_scd2_temporal_join": Q173_SQL,
 }

@@ -569,6 +569,47 @@ def test_rolling_hll_calendar_window_across_gaps(spark, tmp_path):
     assert all(r.hll_within_5pct == 1 for r in out.values())
 
 
+def test_scd2_temporal_join_matches_bruteforce(spark, tmp_path):
+    """q173 == nested-loop AS-OF assignment, including the half-open
+    boundary (a purchase at exactly the next version's start belongs to
+    the NEW version), purchases before any signup (dropped), and a
+    purchase at the dataset horizon (kept on the current version)."""
+    import datetime as dt
+
+    from binance_data_ingestor_spark.queries.cdc_ops import q173_scd2_temporal_join
+
+    t0 = dt.datetime(2024, 3, 1)
+    m = lambda minutes: t0 + dt.timedelta(minutes=minutes)  # noqa: E731
+    rows = [
+        # user 1: versions at 10 and 50; purchases at 5 (early), 10
+        # (on v1 start), 30, 50 (on v2 start -> v2), 100 (horizon)
+        (1, m(10), 1, "signup", 0.0),
+        (2, m(50), 1, "signup", 0.0),
+        (3, m(5), 1, "purchase", 1.0),
+        (4, m(10), 1, "purchase", 2.0),
+        (5, m(30), 1, "purchase", 3.0),
+        (6, m(50), 1, "purchase", 4.0),
+        (7, m(100), 1, "purchase", 5.0),
+        # user 2: one version, purchase before it only -> no output row
+        (8, m(40), 2, "signup", 0.0),
+        (9, m(20), 2, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, u, et, v, "{}") for eid, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        (r.user_id, r.version_id): (r.n_purchases, r.cents)
+        for r in q173_scd2_temporal_join(spark, sf).collect()
+    }
+    assert got == {
+        (1, 1): (2, 500),  # purchases at 10 and 30 -> v1 (ids 4, 5)
+        (1, 2): (2, 900),  # purchases at 50 and 100 -> v2 (ids 6, 7)
+    }
+
+
 def test_gini_rank_formula_matches_lorenz_definition(spark):
     """q170's rank formula must equal the Lorenz-area definition of
     Gini (mean absolute difference / 2·mean), and ties in the value
