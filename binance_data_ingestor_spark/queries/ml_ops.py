@@ -336,12 +336,92 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# q174 — purged time-series cross-validation audit: K=5 contiguous
+# time folds over the event log; for each fold, every row is test
+# (inside the fold), purged (within the 12 h embargo around the fold's
+# boundaries — the leakage guard for features with temporal reach), or
+# train. The split a PIT-correct backtest runs instead of random K-fold
+# (which leaks future into past). Fold boundaries derive from one
+# 1-row min/max broadcast in exact µs integer arithmetic; the
+# row × K expansion is the honest cost (each row gets a role per fold)
+# and stays a zero-shuffle map until the 5-group count.
+# --------------------------------------------------------------------------
+TSCV_FOLDS = 5
+TSCV_EMBARGO_US = 12 * 3600 * 1_000_000
+
+
+def q174_purged_tscv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    span = ev.agg(
+        F.min("us").alias("tmin"),
+        (F.max("us") - F.min("us") + 1).alias("span_us"),
+    )
+    k = F.col("fold")
+    lo = F.col("tmin") + F.expr(f"span_us * fold div {TSCV_FOLDS}")
+    hi = F.col("tmin") + F.expr(f"span_us * (fold + 1) div {TSCV_FOLDS}")
+    is_test = (F.col("us") >= lo) & (F.col("us") < hi)
+    in_embargo = (F.col("us") >= lo - TSCV_EMBARGO_US) & (
+        F.col("us") < hi + TSCV_EMBARGO_US
+    )
+    return (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "us",
+            "tmin",
+            "span_us",
+            F.explode(F.sequence(F.lit(0), F.lit(TSCV_FOLDS - 1))).alias("fold"),
+        )
+        .select(
+            k.alias("fold"),
+            F.when(is_test, 1).otherwise(0).alias("t"),
+            F.when(~is_test & in_embargo, 1).otherwise(0).alias("p"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.sum("t").cast("long").alias("n_test"),
+            F.sum("p").cast("long").alias("n_purged"),
+            (F.count("*") - F.sum("t") - F.sum("p")).cast("long").alias("n_train"),
+        )
+    )
+
+
+Q174_SQL = f"""
+WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+span AS (SELECT min(us) AS tmin, max(us) - min(us) + 1 AS span_us FROM ev),
+x AS (
+  SELECT us, tmin, span_us, f.fold
+  FROM ev, span, (SELECT unnest(generate_series(0, {TSCV_FOLDS - 1})) AS fold) f),
+roles AS (
+  SELECT fold,
+         CASE WHEN us >= tmin + span_us * fold // {TSCV_FOLDS}
+               AND us <  tmin + span_us * (fold + 1) // {TSCV_FOLDS}
+              THEN 1 ELSE 0 END AS t,
+         CASE WHEN NOT (us >= tmin + span_us * fold // {TSCV_FOLDS}
+                    AND us <  tmin + span_us * (fold + 1) // {TSCV_FOLDS})
+               AND us >= tmin + span_us * fold // {TSCV_FOLDS}
+                         - {TSCV_EMBARGO_US}
+               AND us <  tmin + span_us * (fold + 1) // {TSCV_FOLDS}
+                         + {TSCV_EMBARGO_US}
+              THEN 1 ELSE 0 END AS p
+  FROM x)
+SELECT fold,
+       CAST(sum(t) AS BIGINT) AS n_test,
+       CAST(sum(p) AS BIGINT) AS n_purged,
+       CAST(count(*) - sum(t) - sum(p) AS BIGINT) AS n_train
+FROM roles GROUP BY fold
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q90_pit_features": q90_pit_features,
     "q106_copurchase_lift": q106_copurchase_lift,
     "q132_decile_lift": q132_decile_lift,
     "q133_auc_ranksum": q133_auc_ranksum,
+    "q174_purged_tscv": q174_purged_tscv,
 }
 
 ORACLES = {
@@ -350,4 +430,5 @@ ORACLES = {
     "q106_copurchase_lift": Q106_SQL,
     "q132_decile_lift": Q132_SQL,
     "q133_auc_ranksum": Q133_SQL,
+    "q174_purged_tscv": Q174_SQL,
 }
