@@ -116,22 +116,17 @@ def signature_match_pairs(
     )
 
 
-def run_dedup_ingest(
-    spark: SparkSession,
-    input_dir: str,
+def make_processor(
     store_dir: str,
     dupes_dir: str,
-    checkpoint_dir: str,
     *,
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    max_files_per_trigger: int = 1,
-    timeout_sec: int = 300,
-) -> None:
-    """Drain all pending input files (availableNow) through the
-    dedup-on-ingest pipeline; one store partition + one dupes
-    partition per epoch."""
+):
+    """The per-epoch foreachBatch body, exposed so tests can exercise
+    the redelivery contract directly (a crashed epoch is redelivered by
+    the checkpoint with the SAME epoch_id and must converge)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_store = os.path.join(store_dir, f"epoch={epoch_id}")
@@ -150,6 +145,28 @@ def run_dedup_ingest(
             )
         sig.write.mode("overwrite").parquet(epoch_store)
 
+    return process
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    dupes_dir: str,
+    checkpoint_dir: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain all pending input files (availableNow) through the
+    dedup-on-ingest pipeline; one store partition + one dupes
+    partition per epoch."""
+    process = make_processor(
+        store_dir, dupes_dir, n=n, num_hashes=num_hashes, bands=bands
+    )
     q = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -85,6 +85,52 @@ def test_streaming_matches_batch_incremental(spark, ingest_dirs):
     assert not os.path.isdir(os.path.join(ingest_dirs["dupes"], "epoch=0"))
 
 
+def test_crash_redelivery_converges(spark, ingest_dirs):
+    """The exactly-once argument, exercised directly on the foreachBatch
+    body: (a) a fully-processed epoch redelivered after a crash-before-
+    checkpoint is a no-op; (b) a crash BETWEEN the dupes write and the
+    store write (store partition missing) recomputes the dupes output
+    byte-identically and then completes the store write."""
+    import shutil
+
+    from binance_data_ingestor_spark.streaming.dedup_ingest import make_processor
+
+    docs = load(spark, SF, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    second = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    store, dupes = ingest_dirs["store"], ingest_dirs["dupes"]
+    process = make_processor(store, dupes)
+
+    process(first, 0)
+    process(second, 1)
+    dupes1 = spark.read.parquet(os.path.join(dupes, "epoch=1"))
+    want = {tuple(r) for r in dupes1.collect()}
+    sig1 = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store, "epoch=1")).collect()
+    }
+
+    # (a) full redelivery of a committed epoch: no-op
+    process(second, 1)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dupes, "epoch=1")).collect()
+    } == want
+
+    # (b) crash between dupes write and store write: store partition
+    # gone, dupes present — redelivery must converge to the same state
+    shutil.rmtree(os.path.join(store, "epoch=1"))
+    process(second, 1)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dupes, "epoch=1")).collect()
+    } == want
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store, "epoch=1")).collect()
+    } == sig1
+
+
 def test_restart_processes_only_new_files(spark, ingest_dirs):
     docs = load(spark, SF, "documents")
     first = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
