@@ -501,6 +501,159 @@ FROM cells
 """
 
 
+# --------------------------------------------------------------------------
+# q175 — categorical association matrix (Cramér's V) for lineitem
+# column pairs: the dependency screen a profiler runs to find
+# redundant / leaking categoricals before training. Per pair: one
+# (levels_a × levels_b) cell count (map-side combinable), marginals
+# re-aggregated from the CELLS (grid-sized, never a second scan),
+# chi-square from exact integers, V = sqrt(chi2 / (n·min(r-1,c-1))).
+# The cell-sum order differs between engines (same class as a ln()
+# sum), so V rounds 6 dp with ~7 orders of ulp headroom.
+# --------------------------------------------------------------------------
+CRAMER_PAIRS = [
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def q175_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, ca, cb in CRAMER_PAIRS:
+        src = load(spark, sf_dir, tbl)
+        cells = src.groupBy(F.col(ca).alias("a"), F.col(cb).alias("b")).agg(
+            F.count("*").alias("o")
+        )
+        ra = cells.groupBy("a").agg(F.sum("o").alias("rm"))
+        rb = cells.groupBy("b").agg(F.sum("o").alias("cm"))
+        tot = cells.agg(
+            F.sum("o").alias("n"),
+            F.count_distinct("a").alias("r_levels"),
+            F.count_distinct("b").alias("c_levels"),
+        )
+        e = F.col("rm") * F.col("cm") / F.col("n").cast("double")
+        chi = (F.col("o") - e) * (F.col("o") - e) / e
+        outs.append(
+            cells.join(F.broadcast(ra), "a")
+            .join(F.broadcast(rb), "b")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n", "r_levels", "c_levels")
+            .agg(F.sum(chi).alias("chi2"))
+            .select(
+                F.lit(ca).alias("col_a"),
+                F.lit(cb).alias("col_b"),
+                F.col("n").cast("long").alias("n"),
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n")
+                            * F.least(
+                                F.col("r_levels") - 1, F.col("c_levels") - 1
+                            )
+                        ).cast("double")
+                    ),
+                    6,
+                ).alias("cramers_v_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+Q175_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{ca}' AS col_a, '{cb}' AS col_b,
+       CAST(max(n) AS BIGINT) AS n,
+       round(sqrt(sum((o - rm * cm / CAST(n AS DOUBLE))
+                      * (o - rm * cm / CAST(n AS DOUBLE))
+                      / (rm * cm / CAST(n AS DOUBLE)))
+                  / CAST(max(n) * least(max(r_levels) - 1,
+                                        max(c_levels) - 1) AS DOUBLE)), 6)
+         AS cramers_v_r
+FROM (
+  WITH cells AS (
+    SELECT {ca} AS a, {cb} AS b, count(*) AS o
+    FROM {tbl} GROUP BY 1, 2)
+  SELECT o, rm, cm, n, r_levels, c_levels
+  FROM cells
+  JOIN (SELECT a, sum(o) AS rm FROM cells GROUP BY a) USING (a)
+  JOIN (SELECT b, sum(o) AS cm FROM cells GROUP BY b) USING (b)
+  CROSS JOIN (SELECT sum(o) AS n, count(DISTINCT a) AS r_levels,
+                     count(DISTINCT b) AS c_levels FROM cells)
+)"""
+    for tbl, ca, cb in CRAMER_PAIRS
+)
+
+
+# --------------------------------------------------------------------------
+# q176 — weight-of-evidence / information-value feature screen: does a
+# customer's market segment predict urgent orders? The credit-scoring
+# standard for ranking categorical features before model training.
+# One broadcast dim join + one (segment)-grouped conditional count;
+# WOE = ln(good_share/bad_share) with +0.5 Laplace smoothing (never
+# ln(0)); IV term = (gs − bs)·WOE. Counts exact; shares are single
+# divisions; the ln rounds 6 dp.
+# --------------------------------------------------------------------------
+def q176_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("y").cast("long").alias("goods"),
+            F.sum(1 - F.col("y")).cast("long").alias("bads"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("goods").alias("tg"),
+        F.sum("bads").alias("tb"),
+        F.count("*").alias("k"),
+    )
+    gs = (F.col("goods") + 0.5) / (F.col("tg") + 0.5 * F.col("k"))
+    bs = (F.col("bads") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    woe = F.log(gs / bs)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "goods",
+        "bads",
+        F.round(woe, 6).alias("woe_r"),
+        F.round((gs - bs) * woe, 6).alias("iv_term_r"),
+    )
+
+
+Q176_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS goods,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS bads
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment),
+tot AS (SELECT sum(goods) AS tg, sum(bads) AS tb, count(*) AS k FROM cells),
+sh AS (
+  -- exact .5-valued sums cast to DOUBLE so the division is the same
+  -- single IEEE op Spark performs (bare DECIMAL division would round
+  -- differently)
+  SELECT c_mktsegment, goods, bads,
+         CAST(goods + 0.5 AS DOUBLE) / CAST(tg + 0.5 * k AS DOUBLE) AS gs,
+         CAST(bads + 0.5 AS DOUBLE) / CAST(tb + 0.5 * k AS DOUBLE) AS bs
+  FROM cells, tot)
+SELECT c_mktsegment, goods, bads,
+       round(ln(gs / bs), 6) AS woe_r,
+       round((gs - bs) * ln(gs / bs), 6) AS iv_term_r
+FROM sh
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q92_embedding_covariance": q92_embedding_covariance,
@@ -510,6 +663,8 @@ QUERIES = {
     "q168_benford_audit": q168_benford_audit,
     "q169_ks_drift": q169_ks_drift,
     "q172_label_kappa": q172_label_kappa,
+    "q175_cramers_v": q175_cramers_v,
+    "q176_woe_iv": q176_woe_iv,
 }
 
 ORACLES = {
@@ -521,4 +676,6 @@ ORACLES = {
     "q168_benford_audit": Q168_SQL,
     "q169_ks_drift": Q169_SQL,
     "q172_label_kappa": Q172_SQL,
+    "q175_cramers_v": Q175_SQL,
+    "q176_woe_iv": Q176_SQL,
 }
