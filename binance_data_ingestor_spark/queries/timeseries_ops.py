@@ -509,6 +509,56 @@ FROM mads
 """
 
 
+# --------------------------------------------------------------------------
+# q177 — CUSUM control chart (change-point detection) on daily purchase
+# revenue, via a RECURSIVE CTE: C⁺_t = max(0, C⁺_{t-1} + x_t − μ),
+# C⁻_t = min(0, C⁻_{t-1} + x_t − μ) — an inherently sequential
+# recurrence with no windowed closed form. Everything is scaled by n
+# (days) so the mean never materializes as a float: the recursion runs
+# on EXACT int64 (n·x_t − total), alarms fire on an integer threshold
+# (total div 5), and the whole chart is bit-deterministic. The
+# recursion runs over the DAYS summary (calendar-bounded — ~30 rows
+# here, thousands at most), so the sequential part is summary-sized by
+# construction; the only data-sized work is the daily aggregate.
+# --------------------------------------------------------------------------
+def _q177_sql(div: str, view: str) -> str:
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM {view} WHERE event_type = 'purchase' GROUP BY 1),
+idx AS (
+  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM daily),
+tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total,
+         count(*) AS n,
+         CAST(sum(cents) {div} 5 AS BIGINT) AS thr
+  FROM daily),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cp,
+         CAST(0 AS BIGINT) AS cn
+  UNION ALL
+  SELECT x.i,
+         greatest(CAST(0 AS BIGINT), r.cp + t.n * x.cents - t.total),
+         least(CAST(0 AS BIGINT), r.cn + t.n * x.cents - t.total)
+  FROM rec r JOIN idx x ON x.i = r.i + 1 CROSS JOIN tot t)
+SELECT x.day, x.cents,
+       r.cp AS cusum_pos_scaled,
+       r.cn AS cusum_neg_scaled,
+       CAST(CASE WHEN r.cp > t.thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+       CAST(CASE WHEN -r.cn > t.thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
+FROM rec r JOIN idx x ON x.i = r.i CROSS JOIN tot t
+"""
+
+
+def q177_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_q177")
+    return spark.sql(_q177_sql("DIV", "events_q177"))
+
+
+Q177_SQL = _q177_sql("//", "events")
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q83_rolling_zscore": q83_rolling_zscore,
@@ -518,6 +568,7 @@ QUERIES = {
     "q112_max_drawdown": q112_max_drawdown,
     "q113_seasonal_backtest": q113_seasonal_backtest,
     "q136_corr_matrix": q136_corr_matrix,
+    "q177_cusum": q177_cusum,
 }
 
 ORACLES = {
@@ -529,4 +580,5 @@ ORACLES = {
     "q112_max_drawdown": Q112_SQL,
     "q113_seasonal_backtest": Q113_SQL,
     "q136_corr_matrix": Q136_SQL,
+    "q177_cusum": Q177_SQL,
 }
