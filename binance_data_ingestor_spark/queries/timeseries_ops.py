@@ -511,43 +511,52 @@ FROM mads
 
 # --------------------------------------------------------------------------
 # q177 — CUSUM control chart (change-point detection) on daily purchase
-# revenue, via a RECURSIVE CTE: C⁺_t = max(0, C⁺_{t-1} + x_t − μ),
-# C⁻_t = min(0, C⁻_{t-1} + x_t − μ) — an inherently sequential
-# recurrence with no windowed closed form. Everything is scaled by n
-# (days) so the mean never materializes as a float: the recursion runs
-# on EXACT int64 (n·x_t − total), alarms fire on an integer threshold
-# (total div 5), and the whole chart is bit-deterministic. The
-# recursion runs over the DAYS summary (calendar-bounded — ~30 rows
-# here, thousands at most), so the sequential part is summary-sized by
-# construction; the only data-sized work is the daily aggregate.
+# revenue. The textbook form is the sequential Lindley recursion
+# C⁺_t = max(0, C⁺_{t-1} + x_t − μ), but its closed-form solution is
+# the REFLECTED WALK: with S_t = Σ_{j≤t}(x_j − μ) and S_0 = 0,
+#   C⁺_t = S_t − min_{0≤j≤t} S_j,   C⁻_t = S_t − max_{0≤j≤t} S_j —
+# two running aggregates over one sort instead of a per-step recursion
+# (a recursive-CTE draft measured 6.9 s at sf0.1 purely in per-step
+# scheduling; this form is ~0.5 s and scale-free). Everything is
+# scaled by n (days) so the mean never materializes as a float: the
+# walk runs on EXACT int64 (n·x_t − total) and alarms fire on an
+# integer threshold (total div 5) — bit-deterministic on both engines.
+# The windows run over the DAYS summary (calendar-bounded), so the
+# single-partition sort is summary-sized by construction; the only
+# data-sized work is the daily aggregate.
 # --------------------------------------------------------------------------
 def _q177_sql(div: str, view: str) -> str:
     return f"""
-WITH RECURSIVE daily AS (
+WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM {view} WHERE event_type = 'purchase' GROUP BY 1),
-idx AS (
-  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM daily),
 tot AS (
   SELECT CAST(sum(cents) AS BIGINT) AS total,
          count(*) AS n,
          CAST(sum(cents) {div} 5 AS BIGINT) AS thr
   FROM daily),
-rec AS (
-  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cp,
-         CAST(0 AS BIGINT) AS cn
-  UNION ALL
-  SELECT x.i,
-         greatest(CAST(0 AS BIGINT), r.cp + t.n * x.cents - t.total),
-         least(CAST(0 AS BIGINT), r.cn + t.n * x.cents - t.total)
-  FROM rec r JOIN idx x ON x.i = r.i + 1 CROSS JOIN tot t)
-SELECT x.day, x.cents,
-       r.cp AS cusum_pos_scaled,
-       r.cn AS cusum_neg_scaled,
-       CAST(CASE WHEN r.cp > t.thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
-       CAST(CASE WHEN -r.cn > t.thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
-FROM rec r JOIN idx x ON x.i = r.i CROSS JOIN tot t
+walk AS (
+  SELECT day, cents,
+         CAST(sum(n * cents - total) OVER
+              (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         thr
+  FROM daily CROSS JOIN tot),
+refl AS (
+  SELECT day, cents, thr,
+         s - least(CAST(0 AS BIGINT),
+                   min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+           AS cp,
+         s - greatest(CAST(0 AS BIGINT),
+                      max(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+           AS cn
+  FROM walk)
+SELECT day, cents,
+       cp AS cusum_pos_scaled,
+       cn AS cusum_neg_scaled,
+       CAST(CASE WHEN cp > thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+       CAST(CASE WHEN -cn > thr THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
+FROM refl
 """
 
 

@@ -610,6 +610,50 @@ def test_scd2_temporal_join_matches_bruteforce(spark, tmp_path):
     }
 
 
+@pytest.mark.parametrize("seed", [31, 32])
+def test_cusum_reflected_walk_equals_lindley_recursion(spark, seed, tmp_path):
+    """q177's closed form (S_t − running extrema of S) must equal the
+    textbook sequential recursion C_t = max(0, C_{t-1} + nx_t − total)
+    step for step, on random daily series."""
+    import datetime as dt
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import q177_cusum
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    cents_by_day = []
+    for d in range(12):
+        day_cents = 0
+        for _ in range(rng.randrange(1, 5)):
+            v = rng.randrange(100, 50_000) / 100.0
+            day_cents += round(v * 100)
+            rows.append((eid, base + dt.timedelta(days=d, minutes=eid % 60), 1, "purchase", v, "{}"))
+            eid += 1
+        cents_by_day.append(day_cents)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    total, n = sum(cents_by_day), len(cents_by_day)
+    cp = cn = 0
+    expect = []
+    for x in cents_by_day:
+        d = n * x - total
+        cp = max(0, cp + d)
+        cn = min(0, cn + d)
+        expect.append((cp, cn))
+    got = sorted(q177_cusum(spark, sf).collect(), key=lambda r: r.day)
+    assert [(r.cusum_pos_scaled, r.cusum_neg_scaled) for r in got] == expect
+    thr = total // 5
+    assert [(r.alarm_up, r.alarm_down) for r in got] == [
+        (int(a > thr), int(-b > thr)) for a, b in expect
+    ]
+
+
 def test_gini_rank_formula_matches_lorenz_definition(spark):
     """q170's rank formula must equal the Lorenz-area definition of
     Gini (mean absolute difference / 2·mean), and ties in the value
