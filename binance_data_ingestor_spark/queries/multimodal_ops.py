@@ -249,6 +249,66 @@ FROM ph
 """
 
 
+# --------------------------------------------------------------------------
+# q178 — REAL codec round-trip: valid RIFF/WAVE PCM16 payloads are
+# synthesized from deterministic parameters (rate from doc_id, samples
+# from the md5 hex of the text), then decoded by the actual chunk-walk
+# parser in operators/multimodal.parse_wav_pcm16 — not the stub. The
+# oracle predicts every decoded fact from the same parameters WITHOUT
+# touching bytes, so the driver's hash gate certifies the parser: any
+# header mis-read, chunk mis-walk, or sample mis-decode breaks the
+# match. All facts are exact integers (sum of |int16 samples|).
+# --------------------------------------------------------------------------
+def q178_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav, wav_pcm16_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, r in pdf.iterrows():
+                h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+                n = 40 + int(r["doc_id"]) % 32
+                rate = 8000 + (int(r["doc_id"]) % 3) * 4000
+                vals = np.array(
+                    [int(h[i % 32], 16) * 2000 - 15000 for i in range(n)],
+                    dtype=np.int16,
+                )
+                ids.append(int(r["doc_id"]))
+                blobs.append(wav_pcm16_bytes(rate, vals))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    wavs = fanout(docs).mapInPandas(synth, "doc_id long, content binary")
+    return decode_wav(wavs)
+
+
+Q178_SQL = """
+WITH p AS (
+  SELECT doc_id, md5(text) AS h,
+         40 + doc_id % 32 AS n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+  FROM documents),
+s AS (
+  SELECT doc_id, sample_rate, n,
+         unnest(generate_series(0, n - 1)) AS i, h
+  FROM p)
+SELECT doc_id, sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(abs((strpos('0123456789abcdef',
+                            substring(h, (i % 32) + 1, 1)) - 1) * 2000
+                    - 15000)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id, sample_rate
+"""
+
+
 QUERIES = {
     "q60_media_metadata": q60_media_metadata,
     "q61_frame_sample": q61_frame_sample,
@@ -256,6 +316,7 @@ QUERIES = {
     "q63_decode_media": q63_decode_media,
     "q64_resize_raster": q64_resize_raster,
     "q65_media_phash": q65_media_phash,
+    "q178_wav_roundtrip": q178_wav_roundtrip,
 }
 
 ORACLES = {
@@ -265,4 +326,5 @@ ORACLES = {
     "q63_decode_media": Q63_SQL,
     "q64_resize_raster": Q64_SQL,
     "q65_media_phash": Q65_SQL,
+    "q178_wav_roundtrip": Q178_SQL,
 }

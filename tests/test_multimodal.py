@@ -120,3 +120,49 @@ def test_resize_raster_stride_sampling(spark):
         payload[(i * 2) * w + j * 2] for i in range(3) for j in range(4)
     )
     assert got == expected
+
+
+def test_wav_roundtrip_and_malformed_inputs(spark):
+    """The REAL WAV parser: builder→parser round-trip recovers every
+    fact (including an extra chunk before data and odd-size padding),
+    and malformed containers raise instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from binance_data_ingestor_spark.operators.multimodal import (
+        decode_wav,
+        parse_wav_pcm16,
+        wav_pcm16_bytes,
+    )
+
+    samples = np.array([0, 100, -200, 32767, -32768], dtype=np.int16)
+    wav = wav_pcm16_bytes(44100, samples)
+    assert parse_wav_pcm16(wav) == (44100, 1, 16, 5, 0 + 100 + 200 + 32767 + 32768)
+
+    # chunk walk: a LIST chunk with an ODD size before fmt/data must be
+    # skipped with word-alignment padding
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = wav[:12] + extra + wav[12:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert parse_wav_pcm16(padded) == parse_wav_pcm16(wav)
+
+    for bad in (b"", b"RIFFxxxxWAVE", b"OGGS" + wav[4:], wav[:20]):
+        with _pytest.raises(ValueError):
+            parse_wav_pcm16(bad)
+    # stereo / non-PCM rejected, not silently mis-read
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(stereo_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    r = parse_wav_pcm16(stereo + b"")
+    assert r[1] == 2 and r[3] == 0  # stereo IS supported when declared
+
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, content binary")
+    row = decode_wav(df).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.n_samples, row.sum_abs) == (
+        44100, 1, 5, 65835,
+    )
