@@ -293,6 +293,88 @@ def decode_wav(
     ).mapInPandas(kernel, WAV_SCHEMA)
 
 
+def ppm_p6_bytes(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Minimal valid binary PPM (P6) container around an RGB byte
+    raster — the synthesis half of the image decode round-trip."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + rgb.astype(np.uint8).tobytes()
+
+
+def parse_ppm_p6(payload: bytes):
+    """REAL PPM (P6) parser: tokenizes the ASCII header (handling
+    '#' comment lines, the part naive split-parsers get wrong),
+    validates the magic and maxval, and decodes the raw RGB raster.
+
+    Returns (width, height, maxval, n_pixels, sum_r, sum_g, sum_b) —
+    exact integers. Raises ValueError on malformed input.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    s = px.sum(axis=0)
+    return (width, height, maxval, width * height, int(s[0]), int(s[1]), int(s[2]))
+
+
+PPM_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_ppm(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL PPM decode — the image sibling of
+    ``decode_wav``. Row-local, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for _, r in pdf.iterrows():
+                w, h, _, n, sr, sg, sb = parse_ppm_p6(r["__content"])
+                out["doc_id"].append(r["__id"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(content_col).alias("__content")
+    ).mapInPandas(kernel, PPM_SCHEMA)
+
+
 def _decode_stub(media_type: str, payload: bytes, width: int, height: int):
     """STUB decode kernel — deterministic fake.
 

@@ -309,6 +309,74 @@ FROM s GROUP BY doc_id, sample_rate
 """
 
 
+# --------------------------------------------------------------------------
+# q179 — image twin of q178: valid binary PPM (P6) images synthesized
+# from deterministic parameters (dimensions from doc_id, pixels from
+# the md5 hex of the text, one header COMMENT line to exercise the
+# tokenizer), decoded by the real parser in
+# operators/multimodal.parse_ppm_p6. The oracle predicts width,
+# height, pixel count, and exact per-channel sums without touching
+# bytes — a wrong header tokenize, comment skip, or raster decode
+# breaks the hash.
+# --------------------------------------------------------------------------
+def q179_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, r in pdf.iterrows():
+                h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+                w = 4 + int(r["doc_id"]) % 5
+                ht = 3 + int(r["doc_id"]) % 4
+                rgb = np.array(
+                    [int(h[k % 32], 16) * 17 for k in range(w * ht * 3)],
+                    dtype=np.uint8,
+                )
+                header = f"P6\n# synthetic {r['doc_id']}\n{w} {ht}\n255\n"
+                ids.append(int(r["doc_id"]))
+                blobs.append(header.encode("ascii") + rgb.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    ppms = fanout(docs).mapInPandas(synth, "doc_id long, content binary")
+    return decode_ppm(ppms)
+
+
+Q179_SQL = """
+WITH p AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, h,
+         unnest(generate_series(0, width * height - 1)) AS i
+  FROM p),
+ch AS (
+  SELECT doc_id, width, height,
+         (strpos('0123456789abcdef',
+                 substring(h, ((3 * i + 0) % 32) + 1, 1)) - 1) * 17 AS r,
+         (strpos('0123456789abcdef',
+                 substring(h, ((3 * i + 1) % 32) + 1, 1)) - 1) * 17 AS g,
+         (strpos('0123456789abcdef',
+                 substring(h, ((3 * i + 2) % 32) + 1, 1)) - 1) * 17 AS b
+  FROM px)
+SELECT doc_id, width, height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM ch GROUP BY doc_id, width, height
+"""
+
+
 QUERIES = {
     "q60_media_metadata": q60_media_metadata,
     "q61_frame_sample": q61_frame_sample,
@@ -317,6 +385,7 @@ QUERIES = {
     "q64_resize_raster": q64_resize_raster,
     "q65_media_phash": q65_media_phash,
     "q178_wav_roundtrip": q178_wav_roundtrip,
+    "q179_ppm_roundtrip": q179_ppm_roundtrip,
 }
 
 ORACLES = {
@@ -327,4 +396,5 @@ ORACLES = {
     "q64_resize_raster": Q64_SQL,
     "q65_media_phash": Q65_SQL,
     "q178_wav_roundtrip": Q178_SQL,
+    "q179_ppm_roundtrip": Q179_SQL,
 }

@@ -166,3 +166,35 @@ def test_wav_roundtrip_and_malformed_inputs(spark):
     assert (row.sample_rate, row.n_channels, row.n_samples, row.sum_abs) == (
         44100, 1, 5, 65835,
     )
+
+
+def test_ppm_parser_comments_and_malformed(spark):
+    """P6 header tokenizer: comment lines between fields parse; wrong
+    magic, truncated header/raster, and 16-bit maxval raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from binance_data_ingestor_spark.operators.multimodal import (
+        decode_ppm,
+        parse_ppm_p6,
+        ppm_p6_bytes,
+    )
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8) * 10
+    plain = ppm_p6_bytes(2, 2, rgb)
+    commented = b"P6\n# a comment\n2 # trailing\n# another\n2\n255\n" + rgb.tobytes()
+    want = (2, 2, 255, 4, int(rgb[0::3].sum()), int(rgb[1::3].sum()), int(rgb[2::3].sum()))
+    assert parse_ppm_p6(plain) == want
+    assert parse_ppm_p6(commented) == want
+
+    for bad in (b"", b"P5\n2 2\n255\n" + rgb.tobytes(), plain[:-1], b"P6\n2 2\n"):
+        with _pytest.raises(ValueError):
+            parse_ppm_p6(bad)
+    with _pytest.raises(ValueError):
+        parse_ppm_p6(b"P6\n2 2\n65535\n" + bytes(24))
+
+    df = spark.createDataFrame([(3, bytearray(plain))], "doc_id long, content binary")
+    row = decode_ppm(df).collect()[0]
+    assert (row.width, row.height, row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == (
+        2, 2, 4, want[4], want[5], want[6],
+    )
