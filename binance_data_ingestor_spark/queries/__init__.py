@@ -67,7 +67,8 @@ def _modules():
 # already-proven families (q46 simhash, q51 cosine-neardup, q66 pq,
 # q62 byte-histogram, q75 upsert, q81 pii) gave their slots to the six
 # new families (q164 BPE, q165 int8, q166 exact median, q167
-# Kaplan-Meier, q169 KS drift, q170 Gini); the six formerly
+# Kaplan-Meier, q169 KS drift, q170 Gini); q60 later ceded its slot
+# to q178 (real WAV decode — the stronger multimodal representative); the six formerly
 # hash-red queries (q24/q35/q36/q38/q124/q142) stay in-window so the
 # driver re-scores their fixes.
 PRIORITY = [
@@ -99,7 +100,7 @@ PRIORITY = [
     "q166_exact_median",
     "q118_semantic_dedup",
     "q54_neardup_clusters",
-    "q60_media_metadata",
+    "q178_wav_roundtrip",
     "q167_kaplan_meier",
     "q65_media_phash",
     "q73_latest_snapshot",
