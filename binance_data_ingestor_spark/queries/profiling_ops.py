@@ -452,6 +452,114 @@ FROM r GROUP BY g
 """
 
 
+# --------------------------------------------------------------------------
+# q180 — semi-structured schema discovery: profile a ragged JSON column
+# (keys present conditionally, mixed scalar types) into the per-key
+# summary a lake catalog shows — presence count, presence share, and
+# inferred-type tallies. The ragged documents are synthesized
+# IDENTICALLY on both engines from orders arithmetic (integer cents,
+# never float rendering); discovery itself is engine-native
+# (json_object_keys / json_keys → explode → per-key classification of
+# the extracted scalar). One explode + one groupBy — the shuffle
+# carries (keys × partials), not documents. Type inference is the same
+# regex on the same extracted strings on both engines.
+# --------------------------------------------------------------------------
+def q180_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    j = F.concat(
+        F.lit('{"id": '),
+        F.col("o_orderkey").cast("string"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.lit(', "price": '), F.col("cents").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit(', "tag": "'), F.col("o_orderstatus"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(', "flag": true')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    docs = o.select(j.alias("doc"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    exploded = docs.select(
+        "doc", F.explode(F.json_object_keys("doc")).alias("key")
+    )
+    # dynamic path needs the SQL form — the Python get_json_object API
+    # only accepts a literal path
+    val = F.expr("get_json_object(doc, concat('$.', key))")
+    classified = exploded.select(
+        "key",
+        F.when(val.rlike("^-?[0-9]+$"), "number")
+        .when(val.isin("true", "false"), "boolean")
+        .otherwise("string")
+        .alias("vtype"),
+    )
+    return (
+        classified.groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.count_if(F.col("vtype") == "number").alias("n_number"),
+            F.count_if(F.col("vtype") == "boolean").alias("n_boolean"),
+            F.count_if(F.col("vtype") == "string").alias("n_string"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            (
+                F.col("n_present").cast("double") / F.col("n_docs").cast("double")
+            ).alias("presence_share"),
+            "n_number",
+            "n_boolean",
+            "n_string",
+        )
+    )
+
+
+Q180_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+docs AS (
+  SELECT concat('{"id": ', CAST(o_orderkey AS VARCHAR),
+                CASE WHEN o_orderkey % 2 = 0
+                     THEN concat(', "price": ', CAST(cents AS VARCHAR))
+                     ELSE '' END,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN concat(', "tag": "', o_orderstatus, '"')
+                     ELSE '' END,
+                CASE WHEN o_orderkey % 5 = 0
+                     THEN ', "flag": true' ELSE '' END,
+                '}') AS doc
+  FROM o),
+total AS (SELECT count(*) AS n_docs FROM docs),
+ex AS (SELECT doc, unnest(json_keys(doc)) AS key FROM docs),
+cl AS (
+  SELECT key,
+         CASE WHEN regexp_matches(json_extract_string(doc, concat('$.', key)),
+                                  '^-?[0-9]+$') THEN 'number'
+              WHEN json_extract_string(doc, concat('$.', key))
+                   IN ('true', 'false') THEN 'boolean'
+              ELSE 'string' END AS vtype
+  FROM ex)
+SELECT key,
+       count(*) AS n_present,
+       CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS presence_share,
+       CAST(count(*) FILTER (vtype = 'number') AS BIGINT) AS n_number,
+       CAST(count(*) FILTER (vtype = 'boolean') AS BIGINT) AS n_boolean,
+       CAST(count(*) FILTER (vtype = 'string') AS BIGINT) AS n_string
+FROM cl, total GROUP BY key, n_docs
+"""
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -461,6 +569,7 @@ QUERIES = {
     "q129_poisson_bootstrap": q129_poisson_bootstrap,
     "q134_skew_report": q134_skew_report,
     "q166_exact_median": q166_exact_median,
+    "q180_json_schema_profile": q180_json_schema_profile,
 }
 
 ORACLES = {
@@ -472,4 +581,5 @@ ORACLES = {
     "q129_poisson_bootstrap": Q129_SQL,
     "q134_skew_report": Q134_SQL,
     "q166_exact_median": Q166_SQL,
+    "q180_json_schema_profile": Q180_SQL,
 }
