@@ -594,6 +594,69 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q181 — per-dimension rank transform (percentile feature scaling) of
+# the embedding table: every value is replaced by its rank within its
+# dimension — the outlier-robust normalization that precedes distance
+# computations when feature scales are incomparable. The explode keys
+# the shuffle on dim (embarrassingly parallel across dimensions); the
+# within-dim ranking uses the bucket-offset two-pass
+# (partitioning.with_global_rank, bucket = the value's coarse
+# quantization — monotone in the order), so no dimension's rows ever
+# serialize into one task. Ties break on vec_id identically on both
+# engines; output is the exact integer rank checksum per vector plus
+# its mean percentile as one IEEE division.
+# --------------------------------------------------------------------------
+RT_DIMS = 16  # rank-transform the first 16 dimensions
+
+
+def q181_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, RT_DIMS)).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    ranked = with_global_rank(
+        ex,
+        ["dim"],
+        ["v", "vec_id"],
+        bucket=F.expr("CAST(floor(v * 4) AS BIGINT)"),
+    )
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    return (
+        ranked.groupBy("vec_id")
+        .agg(F.sum("rank").cast("long").alias("sum_rank"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "sum_rank",
+            (
+                F.col("sum_rank").cast("double")
+                / (F.col("n_vecs") * RT_DIMS).cast("double")
+            ).alias("mean_percentile"),
+        )
+    )
+
+
+Q181_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, {RT_DIMS})) AS t(i)),
+r AS (
+  SELECT vec_id,
+         row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rank
+  FROM ex),
+n AS (SELECT count(*) AS n_vecs FROM embeddings)
+SELECT vec_id,
+       CAST(sum(rank) AS BIGINT) AS sum_rank,
+       CAST(CAST(sum(rank) AS BIGINT) AS DOUBLE)
+         / CAST(n_vecs * {RT_DIMS} AS DOUBLE) AS mean_percentile
+FROM r, n GROUP BY vec_id, n_vecs
+"""
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -605,6 +668,7 @@ QUERIES = {
     "q108_editdist_join": q108_editdist_join,
     "q118_semantic_dedup": q118_semantic_dedup,
     "q165_int8_quantize": q165_int8_quantize,
+    "q181_rank_transform": q181_rank_transform,
 }
 
 # q67 is intentionally absent from ORACLES (iterative training —
@@ -619,4 +683,5 @@ ORACLES = {
     "q108_editdist_join": Q108_SQL,
     "q118_semantic_dedup": Q118_SQL,
     "q165_int8_quantize": Q165_SQL,
+    "q181_rank_transform": Q181_SQL,
 }
