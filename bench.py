@@ -90,7 +90,7 @@ def main() -> None:
     }
     total = round(sum(best[n] for n in line_queries), 3)
 
-    if not only:  # filtered runs must not clobber the full-registry detail
+    if not only and run_all:  # only full-registry sweeps own the detail file
         with open(DETAIL_PATH, "w") as f:
             json.dump(
                 {"sf": sf, "repeat": repeat, "samples": samples, "min": best},
