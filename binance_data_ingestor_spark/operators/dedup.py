@@ -211,8 +211,13 @@ def prefix_filter_jaccard_pairs(
                 1,
                 F.greatest(
                     F.lit(1),
+                    # ceil over (product − ε): if t·|d| is mathematically an
+                    # integer but the float product lands a hair above it,
+                    # a bare ceil would shorten the prefix by one and could
+                    # drop an exactly-at-threshold pair — same conservative-
+                    # boundary rule as the length filter below
                     F.size("__toks")
-                    - F.ceil(F.size("__toks") * threshold).cast("int")
+                    - F.ceil(F.size("__toks") * threshold - 1e-9).cast("int")
                     + 1,
                 ),
             ).alias("__prefix"),
@@ -231,13 +236,19 @@ def prefix_filter_jaccard_pairs(
     # AllPairs length filter (exactness-preserving): Jaccard >= t forces
     # t·max(|a|,|b|) <= min(|a|,|b|), so size-mismatched collisions are
     # dropped BEFORE the distinct and the array verify — at low t this
-    # is the only cheap prune (the prefix itself is ~(1-t) of each doc)
+    # is the only cheap prune (the prefix itself is ~(1-t) of each doc).
+    # The bound is relaxed by an epsilon so float rounding can never
+    # evict an exactly-at-threshold pair (e.g. |a|/|b| == t where
+    # size*threshold rounds a hair above the integer): the verify step
+    # keeps jaccard >= t INCLUSIVE, so the prune must be conservative
+    # at the boundary — extra candidates are verified away, dropped
+    # true pairs are gone for good.
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("__szb") * threshold <= F.col("__sza"))
-            & (F.col("__sza") * threshold <= F.col("__szb"))
+            & (F.col("__szb") * threshold <= F.col("__sza") + 1e-9)
+            & (F.col("__sza") * threshold <= F.col("__szb") + 1e-9)
         )
         .select("id_a", "id_b")
         .distinct()

@@ -278,9 +278,9 @@ def decode_wav(
                     "sum_abs",
                 )
             }
-            for _, r in pdf.iterrows():
-                rate, ch, bits, n, sa = parse_wav_pcm16(r["__content"])
-                out["doc_id"].append(r["__id"])
+            for vid, payload in zip(pdf["__id"], pdf["__content"]):
+                rate, ch, bits, n, sa = parse_wav_pcm16(payload)
+                out["doc_id"].append(vid)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(ch)
                 out["bits_per_sample"].append(bits)
@@ -359,9 +359,9 @@ def decode_ppm(
                     "sum_r", "sum_g", "sum_b",
                 )
             }
-            for _, r in pdf.iterrows():
-                w, h, _, n, sr, sg, sb = parse_ppm_p6(r["__content"])
-                out["doc_id"].append(r["__id"])
+            for vid, payload in zip(pdf["__id"], pdf["__content"]):
+                w, h, _, n, sr, sg, sb = parse_ppm_p6(payload)
+                out["doc_id"].append(vid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(n)
@@ -375,19 +375,6 @@ def decode_ppm(
     ).mapInPandas(kernel, PPM_SCHEMA)
 
 
-def _decode_stub(media_type: str, payload: bytes, width: int, height: int):
-    """STUB decode kernel — deterministic fake.
-
-    Production swaps this body for PIL/libsndfile/ffmpeg; the
-    signature and the surrounding Arrow batching are the real contract.
-    The fake derives stable "decoded" facts from the raw bytes so tests
-    are exact integers (no float rounding ambiguity): n_samples =
-    payload length, byte_sum = sum of byte values.
-    """
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return int(arr.size), int(arr.sum())
-
-
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
@@ -395,33 +382,78 @@ def decode_media(
     *,
     real_codecs: bool = False,
 ) -> DataFrame:
-    """Decode media payloads → typed facts, one Python crossing.
+    """Unified decode dispatch → typed facts, one Python crossing.
 
-    ``real_codecs=True`` requires image/audio libraries that are not
-    installed in this environment and raises ``NotImplementedError`` —
-    the stub path is the deterministic fake documented above.
+    Payloads whose container magic identifies a format with an in-repo
+    REAL parser are decoded for real — RIFF/WAVE PCM16 through
+    :func:`parse_wav_pcm16` and PPM P6 through :func:`parse_ppm_p6`,
+    the same single implementations behind ``decode_wav`` /
+    ``decode_ppm`` (q178/q179) — yielding n_samples = decoded
+    samples/pixels, byte_sum = |sample| sum / RGB channel sum, and (for
+    PPM) the parsed raster dimensions. A payload with a matching magic
+    but a malformed body keeps the generic facts (production would
+    route it to a quarantine sink instead).
+
+    Everything else falls back to generic byte statistics
+    (n_samples = byte length, byte_sum = sum of byte values — exact
+    integers) computed fully VECTORIZED over the Arrow batch: one
+    concatenated uint8 array + prefix-sum differences, no per-row
+    Python beyond a 12-byte magic sniff. ``real_codecs=True`` demands
+    real decode for formats beyond the self-describing two (JPEG, MP3,
+    MP4 need PIL/libsndfile/ffmpeg, absent here) and raises
+    ``NotImplementedError``.
     """
     if real_codecs:
         raise NotImplementedError(
-            "real media codecs (PIL/libsndfile/ffmpeg) are not available "
-            "in this environment; use the deterministic stub kernel"
+            "full codec coverage (PIL/libsndfile/ffmpeg) is not available "
+            "in this environment; the default path real-decodes WAV/PPM "
+            "and byte-profiles the rest"
         )
+
+    import struct
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "media_type", "width", "height", "n_samples", "byte_sum")}
-            for _, r in pdf.iterrows():
-                n, total = _decode_stub(
-                    r["media_type"], r["__content"], r["width"], r["height"]
-                )
-                out["doc_id"].append(r["__id"])
-                out["media_type"].append(r["media_type"])
-                out["width"].append(r["width"])
-                out["height"].append(r["height"])
-                out["n_samples"].append(n)
-                out["byte_sum"].append(total)
-            yield pd.DataFrame(out)
+            content = list(pdf["__content"])
+            lens = np.fromiter(
+                (len(p) for p in content), dtype=np.int64, count=len(content)
+            )
+            cat = (
+                np.frombuffer(b"".join(content), dtype=np.uint8)
+                if content
+                else np.empty(0, dtype=np.uint8)
+            )
+            # per-row byte sums without a Python loop: prefix-sum diffs
+            # (robust to zero-length payloads, unlike add.reduceat)
+            csum = np.concatenate(([0], np.cumsum(cat, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            n_samples = lens.copy()
+            byte_sum = csum[ends] - csum[starts]
+            width = pdf["width"].to_numpy(copy=True)
+            height = pdf["height"].to_numpy(copy=True)
+            for i, p in enumerate(content):
+                head = bytes(p[:12])
+                try:
+                    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+                        _, _, _, n, sa = parse_wav_pcm16(p)
+                        n_samples[i], byte_sum[i] = n, sa
+                    elif head[:2] == b"P6":
+                        w, h, _, npx, sr, sg, sb = parse_ppm_p6(p)
+                        width[i], height[i] = w, h
+                        n_samples[i], byte_sum[i] = npx, sr + sg + sb
+                except (ValueError, struct.error):
+                    pass  # malformed container → keep generic byte facts
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"].to_numpy(),
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "n_samples": n_samples,
+                    "byte_sum": byte_sum,
+                }
+            )
 
     return df.select(
         F.col(id_col).cast("long").alias("__id"),

@@ -219,6 +219,162 @@ def with_row_context(
     return out
 
 
+def with_range_bucket(
+    df: DataFrame,
+    expr: "Column",
+    *,
+    n_buckets: int = 64,
+    bucket_col: str = "__rb",
+) -> DataFrame:
+    """Attach an equal-width bucket of ``expr`` computed from a broadcast
+    1-row min/max span — the bucket feed for :func:`with_global_rank` /
+    :func:`with_global_cumsum` / :func:`with_global_ntile` when the
+    ordering column has no natural coarse bucket (a time column does; a
+    revenue or score column doesn't).
+
+    The bucket is monotone non-decreasing in ``expr`` (floor of an
+    increasing affine map) and equal values always share a bucket, which
+    is exactly the precondition the two-pass rank requires. To rank
+    DESCENDING, pass the negated expression. Degenerate span (all values
+    equal) collapses to one bucket — correct, and no worse than the
+    single-partition window it replaces.
+    """
+    from pyspark.sql import functions as F
+
+    span = df.agg(
+        F.min(expr).cast("double").alias("__rb_lo"),
+        F.max(expr).cast("double").alias("__rb_hi"),
+    )
+    rng = F.greatest(F.col("__rb_hi") - F.col("__rb_lo"), F.lit(1e-12))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((expr.cast("double") - F.col("__rb_lo")) / rng * n_buckets),
+    ).cast("int")
+    return (
+        df.join(F.broadcast(span))
+        .withColumn(bucket_col, bucket)
+        .drop("__rb_lo", "__rb_hi")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    keys: list[str],
+    order: list,
+    value: str,
+    *,
+    bucket: "Column",
+    out_col: str = "cum",
+) -> DataFrame:
+    """Parallel global (or per-key) running sum via bucket offsets — the
+    distributed alternative to ``sum(v) OVER (ORDER BY … ROWS UNBOUNDED
+    PRECEDING)``, which Spark executes as ONE task over the whole input.
+
+    Same shape as :func:`with_global_rank`: (1) sum ``value`` per
+    (key, bucket) — parallel aggregate; (2) exclusive prefix-sum over the
+    bucket SUMMARY (|keys| × |buckets| rows, the only serialized step);
+    (3) inclusive running sum within each (key, bucket) — a parallel
+    window — plus the bucket's offset. ``bucket`` must be monotone in
+    ``order`` with equal order-prefix values sharing a bucket
+    (:func:`with_range_bucket` provides this for value orderings).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    b = df.withColumn("__b", bucket)
+    sums = b.groupBy(*keys, "__b").agg(F.sum(value).alias("__s"))
+    offsets = _bucket_offsets(sums, keys, "__s")
+    wb = (
+        W.partitionBy(*keys, "__b")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), [*keys, "__b"])
+        .withColumn(out_col, F.sum(value).over(wb) + F.col("__off"))
+        .drop("__b", "__off")
+    )
+
+
+def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFrame:
+    """Exclusive prefix-sum of ``agg_col`` along ``__b`` per key over a
+    bucket SUMMARY (|keys| × |buckets| rows — bounded by construction).
+
+    With keys, a per-key window does it in parallel. With NO keys the
+    window would be partition-less — Spark plans that as one task AND
+    logs the (here spurious) WindowExec degradation warning — so the
+    global case instead collects the bounded summary to the driver,
+    prefix-sums in Python, and ships the offsets back as a broadcast
+    table. Same cost (the summary is tiny), no single-partition
+    exchange, no warning.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    if keys:
+        wk = W.partitionBy(*keys).orderBy("__b")
+        return summary.select(
+            *keys,
+            "__b",
+            (F.sum(agg_col).over(wk) - F.col(agg_col)).alias("__off"),
+        )
+    # NULLS FIRST to match the window orderBy default
+    rows = sorted(
+        summary.collect(),
+        key=lambda r: (r["__b"] is not None, r["__b"] if r["__b"] is not None else 0),
+    )
+    acc, data = 0, []
+    for r in rows:
+        data.append((r["__b"], acc))
+        acc += r[agg_col]
+    schema = StructType(
+        [
+            summary.schema["__b"],
+            StructField("__off", summary.schema[agg_col].dataType),
+        ]
+    )
+    return summary.sparkSession.createDataFrame(data, schema)
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: list,
+    n_tiles: int,
+    *,
+    bucket: "Column",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Parallel ``ntile(n) OVER (ORDER BY …)`` — SQL-standard tile
+    assignment (the first ``N mod n`` tiles get ``ceil(N/n)`` rows, the
+    rest ``floor(N/n)``; identical in Spark and DuckDB) computed from
+    the distributed global rank plus a broadcast 1-row total, instead of
+    a single-partition window sort.
+
+    ``bucket`` must be monotone in ``order`` (see
+    :func:`with_range_bucket`). The internal rank column is dropped;
+    only ``tile_col`` is added.
+    """
+    from pyspark.sql import functions as F
+
+    ranked = with_global_rank(
+        df, [], order, bucket=bucket, rank_col="__gnt_rk"
+    )
+    total = df.agg(F.count("*").alias("__gnt_n"))
+    q = (F.col("__gnt_n") / n_tiles).cast("long")  # floor: both positive
+    r = F.col("__gnt_n") % n_tiles
+    rk = F.col("__gnt_rk")
+    # greatest(q,1) guards the (never-taken) big-tile branch when N < n
+    tile = F.when(
+        rk <= r * (q + 1), F.ceil(rk / (q + 1))
+    ).otherwise(r + F.ceil((rk - r * (q + 1)) / F.greatest(q, F.lit(1))))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("__gnt_rk", "__gnt_n")
+    )
+
+
 def with_global_rank(
     df: DataFrame,
     keys: list[str],
@@ -245,15 +401,11 @@ def with_global_rank(
 
     b = df.withColumn("__b", bucket)
     counts = b.groupBy(*keys, "__b").agg(F.count("*").alias("__n"))
-    wk = W.partitionBy(*keys).orderBy("__b")
-    offsets = counts.select(
-        *keys,
-        "__b",
-        (F.sum("__n").over(wk) - F.col("__n")).alias("__off"),
-    )
+    offsets = _bucket_offsets(counts, keys, "__n")
+    join_hint = offsets if keys else F.broadcast(offsets)
     wb = W.partitionBy(*keys, "__b").orderBy(*order)
     return (
-        b.join(offsets, [*keys, "__b"])
+        b.join(join_hint, [*keys, "__b"])
         .withColumn(rank_col, F.row_number().over(wb) + F.col("__off"))
         .drop("__b", "__off")
     )

@@ -207,12 +207,16 @@ FROM scored ORDER BY lift_key DESC, u, v LIMIT 20
 # report per-decile and cumulative response rates and lift vs the
 # overall base rate. The standard offline model-evaluation readout.
 # Response = customer placed ≥1 urgent-priority order (semi-join).
-# One window for the decile cut (global ntile is acceptable: the
-# sorted set is customers, 10^8 rows at 100 TB — if that ever
-# dominates, the two-pass q85 boundary-broadcast pattern replaces
-# it); the cumulative stage runs over 10 rows.
+# The decile cut uses the bucket-offset two-pass ntile
+# (partitioning.with_global_ntile): the sorted set is customers —
+# 10^8 rows at 100 TB — so a single-partition global ntile window is
+# a one-task sort of every customer; the two-pass form is fully
+# parallel with a 64-row serialized bucket prefix. The cumulative
+# stage runs over 10 rows (bounded — plain window is correct there).
 # --------------------------------------------------------------------------
 def q132_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_ntile, with_range_bucket
+
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     responders = (
         load(spark, sf_dir, "orders")
@@ -226,25 +230,46 @@ def q132_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_acctbal",
         F.col("o_custkey").isNotNull().cast("long").alias("resp"),
+    ).localCheckpoint(eager=False)
+    tiled = with_global_ntile(
+        with_range_bucket(labeled, -F.col("c_acctbal"), bucket_col="__rb"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        10,
+        bucket=F.col("__rb"),
+        tile_col="decile",
     )
-    wd = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    deciles = labeled.select(
-        F.ntile(10).over(wd).alias("decile"), "resp"
-    ).groupBy("decile").agg(
+    deciles = tiled.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("resp").alias("n_resp")
+    ).localCheckpoint(eager=False)
+    # cumulative via bounded explode over the 10 known tiles (decile d
+    # contributes to every target ≥ d) — no partition-less window, no
+    # single-partition exchange, same exact long sums
+    cum = (
+        deciles.select(
+            F.explode(F.sequence(F.col("decile"), F.lit(10))).alias("__d"),
+            "n",
+            "n_resp",
+        )
+        .groupBy("__d")
+        .agg(F.sum("n").alias("__cum_n"), F.sum("n_resp").alias("__cum_resp"))
     )
-    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wt = W.partitionBy()
-    return deciles.select(
-        "decile",
-        "n",
-        "n_resp",
-        F.round(F.col("n_resp") / F.col("n"), 6).alias("rate_r"),
-        F.round(
-            (F.sum("n_resp").over(wc) / F.sum("n").over(wc))
-            / (F.sum("n_resp").over(wt) / F.sum("n").over(wt)),
-            6,
-        ).alias("cum_lift_r"),
+    tot = deciles.agg(
+        F.sum("n").alias("__tot_n"), F.sum("n_resp").alias("__tot_resp")
+    )
+    return (
+        deciles.join(cum, deciles["decile"] == cum["__d"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_resp",
+            F.round(F.col("n_resp") / F.col("n"), 6).alias("rate_r"),
+            F.round(
+                (F.col("__cum_resp") / F.col("__cum_n"))
+                / (F.col("__tot_resp") / F.col("__tot_n")),
+                6,
+            ).alias("cum_lift_r"),
+        )
     )
 
 
@@ -278,10 +303,15 @@ FROM g
 # the score ordering. Ranks use row_number with a deterministic key
 # tie-break (score ties are broken identically on both engines rather
 # than averaged — documented deviation from tie-averaged MW, exact
-# for continuous scores). One global sort for ranking (same scale
-# note as q132), one 1-row aggregate.
+# for continuous scores). Ranking runs through the bucket-offset
+# two-pass global rank (partitioning.with_global_rank) — a one-task
+# global row_number sort over 10^8 customers is not acceptable at
+# scale; the rank-sum aggregate only needs sum(pos·rank), which the
+# offset form reproduces exactly. One 1-row aggregate on top.
 # --------------------------------------------------------------------------
 def q133_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank, with_range_bucket
+
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     responders = (
         load(spark, sf_dir, "orders")
@@ -295,9 +325,14 @@ def q133_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_custkey",
         F.col("o_custkey").isNotNull().cast("long").alias("pos"),
-    )
-    wr = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    ranked = labeled.select("pos", F.row_number().over(wr).alias("rk"))
+    ).localCheckpoint(eager=False)
+    ranked = with_global_rank(
+        with_range_bucket(labeled, F.col("c_acctbal"), bucket_col="__rb"),
+        [],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        bucket=F.col("__rb"),
+        rank_col="rk",
+    ).select("pos", "rk")
     return ranked.agg(
         F.sum("pos").alias("n_pos"),
         F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),

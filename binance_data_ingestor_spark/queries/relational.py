@@ -567,17 +567,19 @@ FROM lineitem GROUP BY l_returnflag
 # guard asserts no nested-loop anything survives.
 # --------------------------------------------------------------------------
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    # DataFrame substitution, not named temp views: query builders stay
+    # side-effect-free on the shared session catalog
     return spark.sql(
         """
         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        FROM {li} JOIN {pt} ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#13'
           AND l_quantity < (SELECT 0.5 * avg(l_quantity)
-                            FROM v_lineitem l2
+                            FROM {li} l2
                             WHERE l2.l_partkey = p_partkey)
-        """
+        """,
+        li=load(spark, sf_dir, "lineitem"),
+        pt=load(spark, sf_dir, "part"),
     )
 
 
@@ -739,15 +741,15 @@ WHERE p_size = msize AND (prev_max IS NULL OR p_size > prev_max)
 # in a fixed order (leaf→root), so float results are bit-stable across
 # engines before the final round.
 # --------------------------------------------------------------------------
-def _q109_sql(intdiv: str) -> str:
+def _q109_sql(intdiv: str, view: str) -> str:
     return f"""
 WITH RECURSIVE chain AS (
   SELECT s_suppkey AS suppkey, s_suppkey AS cur,
          s_acctbal AS bal, 1 AS depth
-  FROM supplier_q109
+  FROM {view}
   UNION ALL
   SELECT c.suppkey, p.s_suppkey, c.bal + p.s_acctbal, c.depth + 1
-  FROM chain c JOIN supplier_q109 p ON p.s_suppkey = {intdiv}
+  FROM chain c JOIN {view} p ON p.s_suppkey = {intdiv}
   WHERE c.cur > 1
 )
 SELECT suppkey, depth, round(bal, 2) AS anc_bal_r
@@ -756,11 +758,13 @@ FROM chain WHERE cur = 1
 
 
 def q109_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q109")
-    return spark.sql(_q109_sql("c.cur DIV 2"))
+    # DataFrame substitution keeps the builder catalog-side-effect-free
+    return spark.sql(
+        _q109_sql("c.cur DIV 2", "{sup}"), sup=load(spark, sf_dir, "supplier")
+    )
 
 
-Q109_SQL = _q109_sql("c.cur // 2").replace("supplier_q109", "supplier")
+Q109_SQL = _q109_sql("c.cur // 2", "supplier")
 
 
 # --------------------------------------------------------------------------
@@ -956,16 +960,19 @@ GROUP BY 1, 2
 # means "aggregated away").
 # --------------------------------------------------------------------------
 def q125_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q125")
-    return spark.sql("""
+    # DataFrame substitution keeps the builder catalog-side-effect-free
+    return spark.sql(
+        """
         SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
                coalesce(l_linestatus, 'ALL') AS line_status,
                count(*) AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem_q125
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
-    """)
+    """,
+        li=load(spark, sf_dir, "lineitem"),
+    )
 
 
 Q125_SQL = """
@@ -1056,12 +1063,18 @@ FROM per_order
 # by total revenue, compute each part's cumulative share of the grand
 # total, and classify A (≤80%), B (≤95%), C (rest). Revenue is exact
 # integer cents so the ranking key and the cumulative sums are
-# order-deterministic on both engines; the running window orders by
-# (cents DESC, partkey) — a global sort over the parts aggregate
-# (items-sized, not lineitem-sized; the q85 two-pass boundary pattern
-# replaces it if the item dimension itself outgrows a sort).
+# order-deterministic on both engines. The running total uses the
+# bucket-offset two-pass cumsum (partitioning.with_global_cumsum) over
+# an equal-width revenue bucket — the parts dimension grows with the
+# data (10^8 parts at 100 TB), so a `SUM OVER (ORDER BY …)` with no
+# partition (one task holding every part) is not acceptable; the
+# two-pass form is fully parallel with one tiny serialized prefix over
+# the 64-row bucket summary. Grand total rides in as a broadcast
+# 1-row aggregate.
 # --------------------------------------------------------------------------
 def q142_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
     rev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1072,16 +1085,28 @@ def q142_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("cents")
         )
+        # span agg + bucket counts + data + grand total all read this
+        # aggregate: materialize it once instead of 4 lineitem scans
+        .localCheckpoint(eager=False)
     )
-    w = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    wt = W.partitionBy()
-    share = F.sum("cents").over(w) / F.sum("cents").over(wt)
+    # bucket monotone along (cents DESC): equal-width bucket of -cents
+    b = with_range_bucket(rev, -F.col("cents"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        b,
+        [],
+        [F.desc("cents"), F.asc("l_partkey")],
+        "cents",
+        bucket=F.col("__rb"),
+        out_col="cum_cents",
+    ).drop("__rb")
+    total = rev.agg(F.sum("cents").alias("__tot"))
+    share = F.col("cum_cents") / F.col("__tot")
     cls = (
         F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
     )
-    per_part = rev.select("l_partkey", "cents", cls.alias("abc_class"))
+    per_part = cum.crossJoin(F.broadcast(total)).select(
+        "l_partkey", "cents", cls.alias("abc_class")
+    )
     return per_part.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
         F.sum("cents").alias("cents_sum"),
@@ -1342,31 +1367,45 @@ FROM dormant GROUP BY c_nationkey
 # --------------------------------------------------------------------------
 # q163 — RFM customer segmentation: quintile scores for Recency (last
 # order date), Frequency (order count) and Monetary (lifetime cents),
-# aggregated into segment cells. Scores come from three ntile(5)
-# windows with fully deterministic orderings (metric, then custkey);
-# monetary accumulates as exact cents. The unpartitioned ntile windows
-# are customer-cardinality sorts — the documented scale path is the
-# q132/q150 two-pass global-rank rewrite; at fixture scale the single
-# sort is the honest plan. Output: one row per (r,f,m) cell.
+# aggregated into segment cells. Each quintile comes from the
+# bucket-offset two-pass ntile (partitioning.with_global_ntile) with
+# fully deterministic orderings (metric DESC, then custkey); monetary
+# accumulates as exact cents. Customers grow with the data (10^8 at
+# 100 TB), so the naive three unpartitioned ntile(5) windows — three
+# single-task sorts of every customer — are replaced by three parallel
+# rank passes whose only serialized step is a 64-row bucket-summary
+# prefix each. Output: one row per (r,f,m) cell.
 # --------------------------------------------------------------------------
 def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.partitioning import with_global_ntile, with_range_bucket
 
     orders = load(spark, sf_dir, "orders")
+    # localCheckpoint: three rank passes each read the aggregate 3×
+    # (span, bucket counts, data); materializing it once replaces nine
+    # orders scans with one
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
         F.count("*").alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
-    )
-    r_w = W.orderBy(F.desc("recency"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "cents",
-        F.ntile(5).over(r_w).alias("r_q"),
-        F.ntile(5).over(f_w).alias("f_q"),
-        F.ntile(5).over(m_w).alias("m_q"),
+    ).localCheckpoint(eager=False)
+
+    # each metric is ranked DESC → bucket on the negated metric
+    def tile_map(metric, neg, out):
+        proj = per_cust.select("o_custkey", metric)
+        b = with_range_bucket(proj, neg, bucket_col="__rb")
+        return with_global_ntile(
+            b,
+            [F.desc(metric), F.asc("o_custkey")],
+            5,
+            bucket=F.col("__rb"),
+            tile_col=out,
+        ).select("o_custkey", out)
+
+    scored = (
+        per_cust.select("o_custkey", "cents")
+        .join(tile_map("recency", -F.unix_timestamp("recency"), "r_q"), "o_custkey")
+        .join(tile_map("frequency", -F.col("frequency"), "f_q"), "o_custkey")
+        .join(tile_map("cents", -F.col("cents"), "m_q"), "o_custkey")
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),

@@ -807,23 +807,28 @@ FROM topk
 # token count (inference/training batching groups similar lengths to cut
 # padding), then per-bucket size stats and the padding waste a
 # pad-to-bucket-max batch layout would pay. All-integer output. Scale:
-# ntile is a global ordered window — fine for the stats summary here
-# (output is 8 rows); a 100 TB assignment pass would swap ntile for
-# fixed length boundaries from an approx-quantile pre-pass, which is the
-# same downstream aggregate.
+# the tile assignment uses the bucket-offset two-pass ntile
+# (partitioning.with_global_ntile) — the sorted set is every document,
+# so a single-partition ntile window is a one-task sort of the corpus;
+# the two-pass form is fully parallel with a 64-row serialized bucket
+# prefix.
 # --------------------------------------------------------------------------
 LEN_BUCKETS = 8
 
 
 def q71_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.partitioning import with_global_ntile, with_range_bucket
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-    )
-    bucketed = toks.withColumn(
-        "bucket", F.ntile(LEN_BUCKETS).over(W.orderBy("n_tokens", "doc_id"))
+    ).localCheckpoint(eager=False)
+    bucketed = with_global_ntile(
+        with_range_bucket(toks, F.col("n_tokens"), bucket_col="__rb"),
+        [F.asc("n_tokens"), F.asc("doc_id")],
+        LEN_BUCKETS,
+        bucket=F.col("__rb"),
+        tile_col="bucket",
     )
     return bucketed.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),

@@ -561,8 +561,10 @@ FROM refl
 
 
 def q177_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "events").createOrReplaceTempView("events_q177")
-    return spark.sql(_q177_sql("DIV", "events_q177"))
+    # DataFrame substitution ({ev} placeholder) instead of a named temp
+    # view: no shared-catalog mutation, nothing to race on or leak when
+    # query builders run concurrently in one session
+    return spark.sql(_q177_sql("DIV", "{ev}"), ev=load(spark, sf_dir, "events"))
 
 
 Q177_SQL = _q177_sql("//", "events")

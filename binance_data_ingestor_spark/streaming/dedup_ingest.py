@@ -18,10 +18,12 @@ Scale properties:
   candidates, keeping per-trigger state signature-sized.
 - Exactly-once without a transaction log: the per-epoch store
   partition is written LAST, so a redelivered epoch either (a) finds
-  its store partition and skips — the dupes output was already
-  written — or (b) recomputes the dupes output (deterministic,
-  overwrite-by-epoch) and then writes the store partition. Either way
-  both outputs converge to exactly one copy per epoch.
+  its store partition COMMITTED (``_SUCCESS`` marker — a bare
+  directory is a crash mid-write and is cleaned up and redone) and
+  skips — the dupes output was already written — or (b) recomputes
+  the dupes output (deterministic, overwrite-by-epoch) and then
+  writes the store partition. Either way both outputs converge to
+  exactly one copy per epoch.
 
 Mirrors the delivery-contract approach of the reference's file sinks
 (/root/reference/binance-di.py:155-207 rotate-and-append) re-expressed
@@ -31,6 +33,7 @@ as idempotent epoch partitions.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,11 +64,23 @@ def batch_signatures(
     )
 
 
+def _committed(epoch_dir: str) -> bool:
+    """A store partition counts as written only once its ``_SUCCESS``
+    marker exists — the Hadoop committer writes it after all task
+    commits, so a directory without it is a crash mid-write, not state.
+    (os.path keeps the store driver-local by design of the fixture
+    replay; a remote store would swap these probes for the Hadoop
+    FileSystem API.)"""
+    return os.path.isfile(os.path.join(epoch_dir, "_SUCCESS"))
+
+
 def _store_epochs(store_dir: str) -> list[str]:
     if not os.path.isdir(store_dir):
         return []
     return sorted(
-        d for d in os.listdir(store_dir) if d.startswith("epoch=")
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("epoch=") and _committed(os.path.join(store_dir, d))
     )
 
 
@@ -130,8 +145,18 @@ def make_processor(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_store = os.path.join(store_dir, f"epoch={epoch_id}")
+        if _committed(epoch_store):
+            # redelivered epoch: the store partition COMMITTED
+            # (_SUCCESS present), and it is written last, so the dupes
+            # output is already on disk too
+            return
         if os.path.isdir(epoch_store):
-            return  # redelivered epoch: both outputs already on disk
+            # crash DURING the store write: directory exists but never
+            # committed (partial files, no _SUCCESS). Remove it so the
+            # corpus read below can't see partial state, then redo the
+            # whole epoch — both writes are overwrite-by-epoch, so the
+            # redo converges to exactly one copy.
+            shutil.rmtree(epoch_store)
         sig = batch_signatures(
             batch_df, n=n, num_hashes=num_hashes
         ).localCheckpoint(eager=True)  # feeds the probe AND the store write

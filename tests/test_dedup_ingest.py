@@ -130,6 +130,39 @@ def test_crash_redelivery_converges(spark, ingest_dirs):
         for r in spark.read.parquet(os.path.join(store, "epoch=1")).collect()
     } == sig1
 
+    # (c) crash DURING the store write: directory present but
+    # uncommitted (no _SUCCESS, partial/_temporary files). A dir-exists
+    # probe would skip forever with a corrupt store; the _SUCCESS probe
+    # must clean up and redo the epoch.
+    ep1 = os.path.join(store, "epoch=1")
+    os.remove(os.path.join(ep1, "_SUCCESS"))
+    for f in os.listdir(ep1):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(ep1, f))
+            break
+    os.makedirs(os.path.join(ep1, "_temporary"), exist_ok=True)
+    process(second, 1)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store, "epoch=1")).collect()
+    } == sig1
+
+    # (d) the ADVICE crash window: FIRST delivery dies during the store
+    # write BEFORE the dupes output exists (simulated: partial
+    # uncommitted store dir, dupes partition absent). Redelivery must
+    # produce the dupes output, not skip it permanently.
+    shutil.rmtree(os.path.join(dupes, "epoch=1"))
+    os.remove(os.path.join(ep1, "_SUCCESS"))
+    process(second, 1)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dupes, "epoch=1")).collect()
+    } == want
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store, "epoch=1")).collect()
+    } == sig1
+
 
 def test_restart_processes_only_new_files(spark, ingest_dirs):
     docs = load(spark, SF, "documents")

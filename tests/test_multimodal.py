@@ -89,13 +89,59 @@ def test_perceptual_hash16_matches_numpy(media):
     assert len(got) == 4
 
 
-def test_decode_media_stub(media):
+def test_decode_media_generic_byte_facts(media):
     out = {r["doc_id"]: r for r in decode_media(media).collect()}
     assert out[0]["n_samples"] == 16
     assert out[0]["byte_sum"] == sum(b"\x89PNG\r\n\x1a\nabcdefgh")
     assert out[0]["media_type"] == "image"
     assert out[0]["width"] == 16
     assert out[3]["n_samples"] == 2
+    # doc 1 carries a RIFF/WAVE magic but a malformed body: the real
+    # parser rejects it and the generic byte facts stand
+    assert out[1]["n_samples"] == len(b"RIFFxxxxWAVEfmt \x00\x01")
+    assert out[1]["byte_sum"] == sum(b"RIFFxxxxWAVEfmt \x00\x01")
+
+
+def test_decode_media_routes_real_containers(spark):
+    """Payloads with valid self-describing containers go through the
+    single real parsers (parse_wav_pcm16 / parse_ppm_p6) — same facts
+    as decode_wav/decode_ppm, not byte statistics."""
+    from binance_data_ingestor_spark.operators.multimodal import (
+        ppm_p6_bytes,
+        wav_pcm16_bytes,
+    )
+
+    samples = np.array([100, -200, 300, -400], dtype=np.int16)
+    wav = wav_pcm16_bytes(8000, samples)
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(-1, 3)
+    ppm = ppm_p6_bytes(3, 2, rgb)
+    rows = [
+        (10, "audio", wav, 0, 0),
+        (11, "image", ppm, 99, 99),
+        (12, "video", b"\x00\x00\x00\x18ftypmp42", 4, 4),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_media(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out[10]["n_samples"] == 4
+    assert out[10]["byte_sum"] == int(np.abs(samples.astype(np.int64)).sum())
+    # PPM: parsed dims override the metadata, facts are pixel-level
+    assert (out[11]["width"], out[11]["height"]) == (3, 2)
+    assert out[11]["n_samples"] == 6
+    assert out[11]["byte_sum"] == int(rgb.astype(np.int64).sum())
+    # unrecognized container: vectorized generic path
+    assert out[12]["n_samples"] == 12
+    assert out[12]["byte_sum"] == sum(b"\x00\x00\x00\x18ftypmp42")
 
 
 def test_decode_media_real_codecs_not_implemented(media):

@@ -369,6 +369,38 @@ def test_int8_quantize_has_no_shuffle(plans):
     assert "Exchange" not in p, p
 
 
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Window nodes with no partition spec print two top-level bracket
+    groups (`Window [exprs], [order]`); partitioned ones print three
+    (`Window [exprs], [part], [order]`)."""
+    bad = []
+    for line in plan.splitlines():
+        i = line.find("Window [")
+        if i == -1:
+            continue
+        node = line[i:]
+        if node.count("], [") < 2:
+            bad.append(node[:120])
+    return bad
+
+
+def test_global_rank_queries_have_no_unpartitioned_window(plans):
+    # q71/q132/q133/q142/q163 rank/ntile/cumsum an entity-sized table
+    # (parts, customers, documents — all grow with the data) and must
+    # route through the bucket-offset two-pass rank: every Window node
+    # in their plans carries a partition spec, so no stage funnels the
+    # whole entity set into one task.
+    for q in [
+        "q71_length_buckets",
+        "q132_decile_lift",
+        "q133_auc_ranksum",
+        "q142_abc_classification",
+        "q163_rfm_segments",
+    ]:
+        bad = _unpartitioned_window_lines(plans(q))
+        assert not bad, f"{q}: unpartitioned window(s): {bad}"
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # Hive-partitioned writes + a partition-key filter must prune at the
     # FILE level (PartitionFilters in the scan), not post-scan — the
