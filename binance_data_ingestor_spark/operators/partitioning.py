@@ -238,23 +238,27 @@ def with_range_bucket(
     DESCENDING, pass the negated expression. Degenerate span (all values
     equal) collapses to one bucket — correct, and no worse than the
     single-partition window it replaces.
+
+    The min/max span is a driver-side 1-row planning statistic (same
+    class as AQE's size estimates and ``rangejoin.auto_bin_seconds``)
+    embedded as literals — a broadcast-join of the 1-row span would
+    plan as a BroadcastNestedLoopJoin node and muddy the BNLJ
+    regression census for every consumer.
     """
     from pyspark.sql import functions as F
 
-    span = df.agg(
-        F.min(expr).cast("double").alias("__rb_lo"),
-        F.max(expr).cast("double").alias("__rb_hi"),
-    )
-    rng = F.greatest(F.col("__rb_hi") - F.col("__rb_lo"), F.lit(1e-12))
+    row = df.agg(
+        F.min(expr).cast("double").alias("lo"),
+        F.max(expr).cast("double").alias("hi"),
+    ).collect()[0]
+    lo = float(row["lo"]) if row["lo"] is not None else 0.0
+    hi = float(row["hi"]) if row["hi"] is not None else 0.0
+    rng = max(hi - lo, 1e-12)
     bucket = F.least(
         F.lit(n_buckets - 1),
-        F.floor((expr.cast("double") - F.col("__rb_lo")) / rng * n_buckets),
+        F.floor((expr.cast("double") - F.lit(lo)) / F.lit(rng) * n_buckets),
     ).cast("int")
-    return (
-        df.join(F.broadcast(span))
-        .withColumn(bucket_col, bucket)
-        .drop("__rb_lo", "__rb_hi")
-    )
+    return df.withColumn(bucket_col, bucket)
 
 
 def with_global_cumsum(
@@ -353,26 +357,24 @@ def with_global_ntile(
 
     ``bucket`` must be monotone in ``order`` (see
     :func:`with_range_bucket`). The internal rank column is dropped;
-    only ``tile_col`` is added.
+    only ``tile_col`` is added. The total row count is a driver-side
+    planning statistic folded into the tile expression as literals
+    (a 1-row broadcast join would add a BNLJ node to every consumer's
+    plan).
     """
     from pyspark.sql import functions as F
 
     ranked = with_global_rank(
         df, [], order, bucket=bucket, rank_col="__gnt_rk"
     )
-    total = df.agg(F.count("*").alias("__gnt_n"))
-    q = (F.col("__gnt_n") / n_tiles).cast("long")  # floor: both positive
-    r = F.col("__gnt_n") % n_tiles
+    total = df.count()
+    q, r = divmod(total, n_tiles)
     rk = F.col("__gnt_rk")
-    # greatest(q,1) guards the (never-taken) big-tile branch when N < n
+    # max(q,1) guards the (never-taken) big-tile branch when N < n
     tile = F.when(
-        rk <= r * (q + 1), F.ceil(rk / (q + 1))
-    ).otherwise(r + F.ceil((rk - r * (q + 1)) / F.greatest(q, F.lit(1))))
-    return (
-        ranked.join(F.broadcast(total))
-        .withColumn(tile_col, tile.cast("int"))
-        .drop("__gnt_rk", "__gnt_n")
-    )
+        rk <= r * (q + 1), F.ceil(rk / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rk - r * (q + 1)) / F.lit(max(q, 1))))
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__gnt_rk")
 
 
 def with_global_rank(

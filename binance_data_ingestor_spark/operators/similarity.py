@@ -672,3 +672,146 @@ def int8_quantize(
         ).alias("sum_codes"),
         err.alias("max_abs_err"),
     )
+
+
+def closest_pairs_exact(
+    df: DataFrame,
+    *,
+    id_col: str,
+    feature_cols: list[str],
+    k: int,
+    round_dp: int = 6,
+    neighbor_taps: int = 8,
+) -> DataFrame:
+    """EXACT k closest pairs (squared euclidean, deterministic
+    (dist2, id_a, id_b) ordering) WITHOUT an all-pairs product —
+    projection-bound pruning.
+
+    Pruning invariant: for the unit vector u = (1,…,1)/√d the scalar
+    projection p(x) = <x, u> is 1-Lipschitz, so |p(a) − p(b)| ≤
+    ‖a − b‖₂ for EVERY pair; any radius r that provably contains the
+    k-th smallest pair distance makes "projection gap > r" a safe
+    (exactness-preserving) rejection.
+
+    Two rounds, both adaptive statistics collected driver-side (the
+    same planning-statistic class as ``rangejoin.auto_bin_seconds``):
+
+    1. **Bound**: rank rows by p via the bucket-offset two-pass rank
+       (fully parallel), pair each row with its ``neighbor_taps``
+       following rank-neighbors through a bounded explode + equi-join
+       on rank (≈ taps·n candidate pairs, never n²), and collect the
+       k-th smallest candidate distance — an upper bound on the true
+       k-th distance since candidates ⊆ all pairs. Tiny inputs with
+       fewer than k candidates fall back to the per-dimension span
+       diagonal, which bounds every distance.
+    2. **Exact sweep**: binned radius self-join on p — bin width = r,
+       one side replicated into bins {b−1, b, b+1}, plain equi-join on
+       the bin id. Each qualifying pair meets in both orientations and
+       the ``id_a < id_b`` guard keeps exactly one; a pair with
+       ‖a−b‖ ≤ r has projection gap ≤ r, hence bin gap ≤ 1, hence is
+       matched, while every excluded pair is strictly farther than the
+       k-th — so TakeOrdered(k) over the exact distances is the true
+       answer. The radius carries conservative padding (relative 1e-9,
+       absolute 1e-12, plus 10^-round_dp for the output rounding) so
+       float wobble can only ADD candidates, never drop a true pair.
+
+    Scale: the shuffles are the rank pass, the taps equi-join, and the
+    bin equi-join — all keyed; no CartesianProduct or BNLJ anywhere.
+    Bin-join fan-in is the row count within r of each other in
+    projection — the governing quantity of any fixed-radius blocking
+    scheme; data where everything sits within r of everything degrades
+    toward the quadratic that the exact answer inherently costs (the
+    LSH/IVF operators above are the approximate escape hatch).
+    """
+    import math
+
+    from .partitioning import with_global_rank, with_range_bucket
+
+    d = len(feature_cols)
+    proj = sum(F.col(c) for c in feature_cols) / F.lit(math.sqrt(d))
+    s = (
+        df.select(F.col(id_col).alias("__id"), *feature_cols)
+        .withColumn("__proj", proj)
+        .localCheckpoint(eager=True)  # feeds rank, bound probe, and sweep
+    )
+    n = s.count()
+    if n < 2:
+        return s.select(
+            F.col("__id").alias("id_a"),
+            F.col("__id").alias("id_b"),
+            F.lit(0.0).alias("dist2"),
+        ).limit(0)
+
+    dist2 = None
+    for c in feature_cols:
+        t = (F.col(f"__a_{c}") - F.col(f"__b_{c}")) * (
+            F.col(f"__a_{c}") - F.col(f"__b_{c}")
+        )
+        dist2 = t if dist2 is None else dist2 + t
+
+    # ---- round 1: candidate bound from proj-rank neighbors -------------
+    ranked = with_global_rank(
+        with_range_bucket(s, F.col("__proj"), bucket_col="__rb"),
+        [],
+        [F.asc("__proj"), F.asc("__id")],
+        bucket=F.col("__rb"),
+        rank_col="__rk",
+    ).drop("__rb")
+    taps = min(neighbor_taps, n - 1)
+    left = ranked.filter(F.col("__rk") < n).select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in feature_cols],
+        F.explode(
+            F.sequence(
+                F.col("__rk") + 1,
+                F.least(F.col("__rk") + taps, F.lit(n).cast("long")),
+            )
+        ).alias("__rk_b"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in feature_cols],
+        F.col("__rk").alias("__rk_b"),
+    )
+    top = (
+        left.join(right, "__rk_b")
+        .select(F.round(dist2, round_dp).alias("__d2"))
+        .orderBy("__d2")
+        .limit(k)
+        .collect()
+    )
+    if len(top) >= k:
+        r2_bound = float(top[-1]["__d2"]) + 10.0 ** (-round_dp)
+    else:
+        spans = s.agg(
+            *[(F.max(c) - F.min(c)).alias(f"__sp_{c}") for c in feature_cols]
+        ).collect()[0]
+        r2_bound = (
+            sum(float(spans[f"__sp_{c}"] or 0.0) ** 2 for c in feature_cols)
+            + 1.0
+        )
+    radius = math.sqrt(max(r2_bound, 0.0)) * (1.0 + 1e-9) + 1e-12
+
+    # ---- round 2: binned radius self-join, exact refine -----------------
+    binned = s.withColumn(
+        "__bin", F.floor(F.col("__proj") / F.lit(radius)).cast("long")
+    )
+    a = binned.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in feature_cols],
+        F.explode(
+            F.array(F.col("__bin") - 1, F.col("__bin"), F.col("__bin") + 1)
+        ).alias("__jb"),
+    )
+    b = binned.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in feature_cols],
+        F.col("__bin").alias("__jb"),
+    )
+    return (
+        a.join(b, "__jb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dist2, round_dp).alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )

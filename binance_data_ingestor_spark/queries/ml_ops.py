@@ -253,23 +253,20 @@ def q132_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__d")
         .agg(F.sum("n").alias("__cum_n"), F.sum("n_resp").alias("__cum_resp"))
     )
-    tot = deciles.agg(
-        F.sum("n").alias("__tot_n"), F.sum("n_resp").alias("__tot_resp")
-    )
-    return (
-        deciles.join(cum, deciles["decile"] == cum["__d"])
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n",
-            "n_resp",
-            F.round(F.col("n_resp") / F.col("n"), 6).alias("rate_r"),
-            F.round(
-                (F.col("__cum_resp") / F.col("__cum_n"))
-                / (F.col("__tot_resp") / F.col("__tot_n")),
-                6,
-            ).alias("cum_lift_r"),
-        )
+    # grand totals: 1-row planning statistic as literals (a broadcast
+    # cross of the 1-row aggregate would add a BNLJ node to the plan)
+    tot = deciles.agg(F.sum("n"), F.sum("n_resp")).collect()[0]
+    tot_n, tot_resp = int(tot[0] or 0), int(tot[1] or 0)
+    return deciles.join(cum, deciles["decile"] == cum["__d"]).select(
+        "decile",
+        "n",
+        "n_resp",
+        F.round(F.col("n_resp") / F.col("n"), 6).alias("rate_r"),
+        F.round(
+            (F.col("__cum_resp") / F.col("__cum_n"))
+            / (F.lit(tot_resp) / F.lit(tot_n)),
+            6,
+        ).alias("cum_lift_r"),
     )
 
 

@@ -1099,14 +1099,14 @@ def q142_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.col("__rb"),
         out_col="cum_cents",
     ).drop("__rb")
-    total = rev.agg(F.sum("cents").alias("__tot"))
-    share = F.col("cum_cents") / F.col("__tot")
+    # grand total: 1-row planning statistic as a literal (a broadcast
+    # cross of the 1-row aggregate would add a BNLJ node to the plan)
+    total = rev.agg(F.sum("cents")).collect()[0][0] or 0
+    share = F.col("cum_cents") / F.lit(total)
     cls = (
         F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
     )
-    per_part = cum.crossJoin(F.broadcast(total)).select(
-        "l_partkey", "cents", cls.alias("abc_class")
-    )
+    per_part = cum.select("l_partkey", "cents", cls.alias("abc_class"))
     return per_part.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
         F.sum("cents").alias("cents_sum"),

@@ -337,17 +337,21 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EDBT'19/'20, ICDE'21 distributed top-k series similarity). Each user's
 # activity becomes a fixed-width series (per-day-bucket value sums);
 # the top-20 most-similar user pairs by squared Euclidean distance.
-# Scale: the series build is one map-side-combinable groupBy; the
-# all-pairs scoring is pure codegen arithmetic (no HOFs, no Python) and
-# the top-k is TakeOrderedAndProject (per-partition heads, driver
-# merge — no global sort). The LSH/IVF bucketing from similarity.py is
-# the same pruning you'd bolt on when |users|² stops fitting.
+# Scale: the series build is one map-side-combinable groupBy; pair
+# generation goes through similarity.closest_pairs_exact — projection-
+# bound pruning whose joins are all keyed equi-joins (rank-neighbor
+# bound probe, then a binned radius self-join), so there is NO
+# CartesianProduct while the result stays provably identical to the
+# all-pairs answer; the top-k is TakeOrderedAndProject (per-partition
+# heads, driver merge — no global sort).
 # --------------------------------------------------------------------------
 N_BUCKETS = 8
 TOPK_PAIRS = 20
 
 
 def q27_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import closest_pairs_exact
+
     ev = load(spark, sf_dir, "events")
     bucket = F.dayofmonth("ts") % N_BUCKETS
     series = ev.groupBy("user_id").agg(
@@ -358,22 +362,15 @@ def q27_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BUCKETS)
         ]
     )
-    # both crossJoin branches read the series table — materialize the
-    # (users-sized, tiny) aggregate once instead of scanning+aggregating
-    # the raw events twice
-    series = series.localCheckpoint(eager=True)
-    a = series.select(F.col("user_id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_BUCKETS)])
-    b = series.select(F.col("user_id").alias("id_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_BUCKETS)])
-    dist = None
-    for i in range(N_BUCKETS):
-        term = (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
-        dist = term if dist is None else dist + term
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dist, 6).alias("dist2"))
-        .orderBy(F.asc("dist2"), F.asc("id_a"), F.asc("id_b"))
-        .limit(TOPK_PAIRS)
+    # exact top-k via projection-bound pruning (binned equi-joins only,
+    # no CartesianProduct): same 20 rows as the all-pairs form — the
+    # prune radius provably contains the k-th distance and the final
+    # ordering re-verifies exact distances
+    return closest_pairs_exact(
+        series,
+        id_col="user_id",
+        feature_cols=[f"s{i}" for i in range(N_BUCKETS)],
+        k=TOPK_PAIRS,
     )
 
 

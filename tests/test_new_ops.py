@@ -679,3 +679,72 @@ def test_gini_rank_formula_matches_lorenz_definition(spark):
     ).collect()[0]
     gini_rank = (2 * r.s1 - (r.n + 1) * r.s0) / (r.n * r.s0)
     assert gini_rank == pytest.approx(gini_def, abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_closest_pairs_exact_matches_bruteforce(spark, seed):
+    """closest_pairs_exact (projection-bound prune) must return the
+    IDENTICAL rows to the all-pairs formulation — including rounded-
+    distance ties broken by ids — on adversarial-ish random data with
+    duplicate points (dist 0 ties) and tight clusters."""
+    import random as _random
+
+    from binance_data_ingestor_spark.operators.similarity import (
+        closest_pairs_exact,
+    )
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(60):
+        base = rng.choice([0.0, 5.0, 100.0])  # clusters
+        rows.append(
+            (i, *[round(base + rng.uniform(-1, 1), 2) for _ in range(4)])
+        )
+    rows.append((60, *rows[0][1:]))  # exact duplicate -> dist2 == 0
+    df = spark.createDataFrame(
+        rows, "uid long, f0 double, f1 double, f2 double, f3 double"
+    )
+    k = 15
+    got = closest_pairs_exact(
+        df, id_col="uid", feature_cols=["f0", "f1", "f2", "f3"], k=k
+    ).collect()
+
+    vals = {r[0]: r[1:] for r in rows}
+    brute = sorted(
+        (
+            round(sum((a - b) ** 2 for a, b in zip(vals[i], vals[j])), 6),
+            i,
+            j,
+        )
+        for i in vals
+        for j in vals
+        if i < j
+    )[:k]
+    assert [(r["dist2"], r["id_a"], r["id_b"]) for r in got] == [
+        (d, i, j) for d, i, j in brute
+    ]
+
+
+def test_closest_pairs_exact_tiny_inputs(spark):
+    from binance_data_ingestor_spark.operators.similarity import (
+        closest_pairs_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 4.0), (3, 0.0, 1.0)], "uid long, x double, y double"
+    )
+    # k exceeds the 3 possible pairs -> all pairs, correctly ordered
+    got = closest_pairs_exact(
+        df, id_col="uid", feature_cols=["x", "y"], k=10
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dist2"]) for r in got] == [
+        (1, 3, 1.0),
+        (2, 3, 18.0),
+        (1, 2, 25.0),
+    ]
+    # single row -> empty result with the contract schema
+    one = closest_pairs_exact(
+        df.limit(1), id_col="uid", feature_cols=["x", "y"], k=5
+    )
+    assert one.collect() == []
+    assert [f.name for f in one.schema.fields] == ["id_a", "id_b", "dist2"]

@@ -369,6 +369,15 @@ def test_int8_quantize_has_no_shuffle(plans):
     assert "Exchange" not in p, p
 
 
+def test_series_topk_has_no_cartesian(plans):
+    # q27: closest-pairs must run through the projection-bound prune —
+    # rank-neighbor probe + binned radius self-join are all equi-joins;
+    # a CartesianProduct/BNLJ means the all-pairs form crept back
+    p = plans("q27_series_topk")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def _unpartitioned_window_lines(plan: str) -> list[str]:
     """Window nodes with no partition spec print two top-level bracket
     groups (`Window [exprs], [order]`); partitioned ones print three
