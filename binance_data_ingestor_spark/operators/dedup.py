@@ -225,13 +225,19 @@ def prefix_filter_jaccard_pairs(
         .localCheckpoint(eager=True)  # feeds the candidate join twice + verify twice
     )
     pref = per_doc.select(
-        id_col, "__sz", F.explode("__prefix").alias("shingle")
+        id_col, "__sz", F.posexplode("__prefix").alias("__p", "shingle")
     )
     a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "shingle"
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sza"),
+        (F.col("__p") + 1).alias("__pa"),
+        "shingle",
     )
     b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "shingle"
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__szb"),
+        (F.col("__p") + 1).alias("__pb"),
+        "shingle",
     )
     # AllPairs length filter (exactness-preserving): Jaccard >= t forces
     # t·max(|a|,|b|) <= min(|a|,|b|), so size-mismatched collisions are
@@ -243,12 +249,33 @@ def prefix_filter_jaccard_pairs(
     # keeps jaccard >= t INCLUSIVE, so the prune must be conservative
     # at the boundary — extra candidates are verified away, dropped
     # true pairs are gone for good.
+    # PPJoin positional filter (exactness-preserving): Jaccard ≥ t ⇒
+    # |A∩B| ≥ t/(1+t)·(|A|+|B|); a match at (1-based) prefix positions
+    # (pa, pb) bounds the overlap by 1 + min(|A|−pa, |B|−pb) — every
+    # common element sits at-or-after the matched one in the shared
+    # global shingle order. A true pair always survives through its
+    # FIRST common shingle (which prefix filtering guarantees both
+    # prefixes contain), so pruning matches that fail the bound drops
+    # candidates, never answers. On length-homogeneous corpora (where
+    # the length filter is inert) this is the prune that actually
+    # bites: late-prefix collisions can no longer reach the verify
+    # join. Epsilons keep both bounds conservative under float
+    # rounding, as above.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sza") + F.col("__szb"))
+        - 1e-9
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa"), F.col("__szb") - F.col("__pb")
+    )
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("__szb") * threshold <= F.col("__sza") + 1e-9)
             & (F.col("__sza") * threshold <= F.col("__szb") + 1e-9)
+            & (pos_bound >= min_overlap)
         )
         .select("id_a", "id_b")
         .distinct()

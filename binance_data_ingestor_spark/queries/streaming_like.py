@@ -287,8 +287,17 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
 
-    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
-        f"{work}/in"
+    # one data micro-batch (all files at once), then the engine's own
+    # trailing flush batch: after the data batch the watermark sits past
+    # every real session (the sentinel rode along), and
+    # shouldRunAnotherBatch on the stateful operator makes availableNow
+    # run one final no-data batch that fires all event-time timeouts.
+    # Two batches total instead of one per file — per-trigger state-store
+    # setup is the dominant fixed cost of this replay.
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{work}/in")
     )
     name = f"q26_out_{abs(hash(work)) % 10**8}"
     # state-store instances scale with shuffle partitions; 8 is plenty of
@@ -309,7 +318,12 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = (
+    # direct snapshot of the (terminated) memory sink's view — no
+    # collect→createDataFrame round-trip through the driver. The view
+    # name is unique per invocation, so later q26 runs can't collide
+    # with a result a caller is still holding; each lingering view
+    # costs one closed-sessions table (KBs) until session end.
+    return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
         .select(
@@ -320,16 +334,6 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
         )
     )
-    # materialize the (small: one row per closed session) result and drop
-    # the memory sink so the streaming state doesn't linger in the session
-    rows = out.collect()
-    result = spark.createDataFrame(
-        rows,
-        "user_id long, n_events long, sess_value double,"
-        " sess_start timestamp, sess_end timestamp",
-    )
-    spark.catalog.dropTempView(name)
-    return result
 
 
 # --------------------------------------------------------------------------
