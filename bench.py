@@ -31,7 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from binance_data_ingestor_spark.queries import PRIORITY, registry  # noqa: E402
 from binance_data_ingestor_spark.session import get_spark  # noqa: E402
 
-DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+# full-registry sweeps write here; scaling runs (e.g. the sf1 study)
+# point SPARK_GRAFT_DETAIL_PATH elsewhere so the canonical sf0.1 detail
+# file never gets clobbered by a different-SF sweep
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+)
 
 
 def main() -> None:

@@ -815,3 +815,94 @@ def closest_pairs_exact(
         .orderBy(F.asc("dist2"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def quantize_micro(M: np.ndarray) -> np.ndarray:
+    """Float matrix → exact integer µunits via ``floor(x·1e6 + 0.5)`` —
+    the quantization rule shared VERBATIM with the DuckDB oracle
+    (identical IEEE double ops → identical int64 on both engines,
+    half-up including negatives)."""
+    return np.floor(M * 1e6 + 0.5).astype(np.int64)
+
+
+def pq_fit_micro(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    seed: int = 11,
+) -> list[list[list[int]]]:
+    """µ-quantized Lloyd's codebook training — distributed AND
+    bit-reproducible on any engine with int64 + IEEE doubles.
+
+    The cross-engine trick: embeddings and centroids live on an exact
+    integer 1e-6 grid (:func:`quantize_micro`), so assignment distances
+    are exact int64 sums of squares (order-free — no float summation
+    ambiguity, no GEMM-order sensitivity), ties break to the lowest
+    code (numpy argmin-first == SQL ``ORDER BY d2, code``), and the
+    ONLY float operation in an update is one IEEE double division per
+    centroid coordinate, re-gridded as ``floor(sum/n + 0.5)``. A fixed
+    seed + fixed iteration count therefore yields the IDENTICAL
+    codebook in this implementation and in the unrolled DuckDB replay
+    (q67's oracle) — iterative training moves from rows-only checking
+    to full hash parity.
+
+    Distribution shape (same as :func:`pq_fit`): each iteration is one
+    pass; tasks emit ≤ |tasks|·m·n_codes partial (sum, count) rows and
+    the driver reduces integers (order-free, no sort needed). Empty
+    clusters keep their previous centroid. At 100 TB you train on a
+    deterministic hash-sample; int64 holds exact sums for ~9e6 vectors
+    per task batch at µ-scale ±1e6 — far beyond any sane sample.
+    """
+    ds = dim // m
+    books = [
+        quantize_micro(np.array(b, dtype=np.float64))
+        for b in codebooks(dim, m, n_codes, seed)
+    ]
+    vecs = df.select(F.col(vec_col).alias("vec"))
+
+    for _ in range(iters):
+        B = [b.copy() for b in books]
+
+        def partial(
+            batches: Iterator[pd.DataFrame], _B: list[np.ndarray] = B
+        ) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((m, n_codes, ds), dtype=np.int64)
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            for pdf in batches:
+                Z = quantize_micro(_matrix(pdf["vec"]))
+                for j in range(m):
+                    S = Z[:, j * ds : (j + 1) * ds]
+                    d2 = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2 * (S @ _B[j].T)
+                        + (_B[j] * _B[j]).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)
+                    np.add.at(sums[j], a, S)
+                    np.add.at(counts[j], a, 1)
+            out = [
+                (j, c, [int(x) for x in sums[j, c]], int(counts[j, c]))
+                for j in range(m)
+                for c in range(n_codes)
+                if counts[j, c] > 0
+            ]
+            yield pd.DataFrame(out, columns=["subspace", "code", "vsum", "n"])
+
+        parts = vecs.mapInPandas(
+            partial, "subspace int, code int, vsum array<long>, n long"
+        ).collect()
+        acc_s = np.zeros((m, n_codes, ds), dtype=np.int64)
+        acc_n = np.zeros((m, n_codes), dtype=np.int64)
+        for r in parts:  # integer accumulation: order-free by construction
+            acc_s[r["subspace"], r["code"]] += np.asarray(r["vsum"], dtype=np.int64)
+            acc_n[r["subspace"], r["code"]] += r["n"]
+        for j in range(m):
+            nz = acc_n[j] > 0
+            books[j][nz] = np.floor(
+                acc_s[j][nz] / acc_n[j][nz, None] + 0.5
+            ).astype(np.int64)
+    return [[[int(x) for x in c] for c in b] for b in books]

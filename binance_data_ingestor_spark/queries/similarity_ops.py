@@ -291,38 +291,43 @@ Q66_SQL = _pq_sql()
 # q67 — PQ codebook training: 4 rounds of distributed per-subspace
 # k-means (Lloyd's) over the embeddings, then the trained-codebook
 # quantization profile: per (subspace, code) the assigned-vector count
-# and integer-micro quantization error. Iterative float training is not
-# SQL-expressible — rows-only check, like q26; the unit tests pin the
-# semantics against a pure-numpy Lloyd's reference, and determinism
-# comes from seeded init + sorted driver-side reduction.
+# and exact integer quantization error. Training runs on the µ-grid
+# (similarity.pq_fit_micro): embeddings and centroids are exact
+# integer µunits, distances exact int64, and the only float op per
+# update is one IEEE division per coordinate — so the DuckDB oracle
+# UNROLLS all four Lloyd rounds in SQL and matches hash-exactly.
+# Iterative training thereby graduates from the rows-only policy;
+# q26 (stateful streaming) is now the registry's only rows-only entry.
+# inertia_sq_micro is Σ‖z−c‖² in (µunit)² — int64 holds it to ~1e8
+# training vectors at these magnitudes (a trainer samples long before
+# that).
 # --------------------------------------------------------------------------
 def q67_pq_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.similarity import _matrix, pq_fit
+    from ..operators.similarity import _matrix, pq_fit_micro, quantize_micro
 
     emb = _emb(spark, sf_dir)
-    books = pq_fit(emb, m=PQ_M, n_codes=PQ_CODES, dim=DIM, iters=4, seed=11)
-    B = [np.asarray(b, dtype=np.float64) for b in books]
+    books = pq_fit_micro(emb, m=PQ_M, n_codes=PQ_CODES, dim=DIM, iters=4, seed=11)
+    B = [np.asarray(b, dtype=np.int64) for b in books]
     ds = DIM // PQ_M
 
     def stats(batches):
         n = np.zeros((PQ_M, PQ_CODES), dtype=np.int64)
         err = np.zeros((PQ_M, PQ_CODES), dtype=np.int64)
         for pdf in batches:
-            M = _matrix(pdf["vec"])
+            Z = quantize_micro(_matrix(pdf["vec"]))
             for j in range(PQ_M):
-                S = M[:, j * ds : (j + 1) * ds]
+                S = Z[:, j * ds : (j + 1) * ds]
                 d2 = (
                     (S * S).sum(axis=1)[:, None]
-                    - 2.0 * (S @ B[j].T)
+                    - 2 * (S @ B[j].T)
                     + (B[j] * B[j]).sum(axis=1)[None, :]
                 )
                 a = d2.argmin(axis=1)
-                u = np.floor(d2[np.arange(len(a)), a] * 1e6 + 0.5).astype(np.int64)
                 np.add.at(n[j], a, 1)
-                np.add.at(err[j], a, u)
+                np.add.at(err[j], a, d2[np.arange(len(a)), a])
         out = [
             (j, c, int(n[j, c]), int(err[j, c]))
             for j in range(PQ_M)
@@ -330,18 +335,105 @@ def q67_pq_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n[j, c] > 0
         ]
         yield pd.DataFrame(
-            out, columns=["subspace", "code", "n_vectors", "inertia_micro"]
+            out, columns=["subspace", "code", "n_vectors", "inertia_sq_micro"]
         )
 
     return (
         emb.select(F.col("embedding").alias("vec"))
-        .mapInPandas(stats, "subspace int, code int, n_vectors long, inertia_micro long")
+        .mapInPandas(
+            stats,
+            "subspace int, code int, n_vectors long, inertia_sq_micro long",
+        )
         .groupBy("subspace", "code")
         .agg(
             F.sum("n_vectors").alias("n_vectors"),
-            F.sum("inertia_micro").alias("inertia_micro"),
+            F.sum("inertia_sq_micro").alias("inertia_sq_micro"),
         )
     )
+
+
+def _q67_sql() -> str:
+    """Unrolled DuckDB replay of the µ-grid Lloyd training: the seeded
+    initial codebook is embedded as µ-quantized literals, each of the
+    4 rounds is an (assign → per-dim integer sums → re-gridded means)
+    CTE chain, and the final SELECT profiles assignments under the
+    trained books — every arithmetic step mirrors pq_fit_micro
+    bit-for-bit (int64 distances, ties to lowest code,
+    floor(sum/n + 0.5) updates)."""
+    import math
+
+    ds = DIM // PQ_M
+    rows = []
+    for j, book in enumerate(codebooks(DIM, PQ_M, PQ_CODES, seed=11)):
+        for c, cent in enumerate(book):
+            vals = ", ".join(
+                str(int(math.floor(v * 1e6 + 0.5))) for v in cent
+            )
+            rows.append(f"({j}, {c}, [{vals}]::BIGINT[])")
+    cb0 = ",\n    ".join(rows)
+    dist = (
+        "CAST(list_sum(list_transform(range(1, %d), "
+        "k -> (z.zv[k] - cb.c[k]) * (z.zv[k] - cb.c[k]))) AS BIGINT)" % (ds + 1)
+    )
+    parts = [
+        f"""
+WITH z AS (
+  SELECT vec_id, s.s AS subspace,
+         list_transform(range(1, {ds + 1}),
+           k -> CAST(floor(CAST(embedding[s.s * {ds} + k] AS DOUBLE) * 1000000
+                           + 0.5) AS BIGINT)) AS zv
+  FROM embeddings, range(0, {PQ_M}) s(s)
+),
+cb0(subspace, code, c) AS (VALUES
+    {cb0}
+)"""
+    ]
+    prev = "cb0"
+    for i in range(1, 5):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT z.vec_id, z.subspace, cb.code
+  FROM z JOIN {prev} cb USING (subspace)
+  QUALIFY row_number() OVER (PARTITION BY z.vec_id, z.subspace
+                             ORDER BY {dist} ASC, cb.code ASC) = 1
+),
+u{i} AS (
+  SELECT subspace, code,
+         list(CAST(floor(CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                   AS BIGINT) ORDER BY k) AS c
+  FROM (
+    SELECT a.subspace, a.code, r.k,
+           CAST(sum(z.zv[r.k]) AS BIGINT) AS sk, count(*) AS n
+    FROM a{i} a
+    JOIN z ON z.vec_id = a.vec_id AND z.subspace = a.subspace,
+         range(1, {ds + 1}) r(k)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+cb{i} AS (
+  SELECT p.subspace, p.code, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{i} u USING (subspace, code)
+)"""
+        )
+        prev = f"cb{i}"
+    parts.append(
+        f""",
+final AS (
+  SELECT z.vec_id, z.subspace, cb.code, {dist} AS d2
+  FROM z JOIN {prev} cb USING (subspace)
+  QUALIFY row_number() OVER (PARTITION BY z.vec_id, z.subspace
+                             ORDER BY {dist} ASC, cb.code ASC) = 1
+)
+SELECT subspace, code,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d2) AS BIGINT) AS inertia_sq_micro
+FROM final GROUP BY 1, 2"""
+    )
+    return "".join(parts)
+
+
+Q67_SQL = _q67_sql()
 
 
 # --------------------------------------------------------------------------
@@ -671,10 +763,9 @@ QUERIES = {
     "q181_rank_transform": q181_rank_transform,
 }
 
-# q67 is intentionally absent from ORACLES (iterative training —
-# rows-only check, same policy as q26).
 ORACLES = {
     "q50_ann_brute_topk": Q50_SQL,
+    "q67_pq_kmeans_train": Q67_SQL,
     "q51_cosine_neardup": Q51_SQL,
     "q52_lsh_topk": Q52_SQL,
     "q53_ivf_topk": Q53_SQL,

@@ -377,3 +377,50 @@ def test_prefix_filter_equals_inverted_index_jaccard(spark):
         }
         assert a == b, f"threshold={t}"
         assert a or t > 0.2  # low thresholds must find the planted dups
+
+
+def test_pq_fit_micro_matches_integer_lloyds_reference(spark):
+    """pq_fit_micro must equal a pure-numpy µ-grid Lloyd's replay
+    EXACTLY (integer equality, not allclose) — the property the q67
+    DuckDB oracle depends on."""
+    import numpy as np
+
+    from binance_data_ingestor_spark.operators.similarity import (
+        codebooks,
+        pq_fit_micro,
+        quantize_micro,
+    )
+
+    m, n_codes, dim, iters = 4, 3, 8, 3
+    ds = dim // m
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(60, dim)) / np.sqrt(dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    Z = quantize_micro(vecs.astype(np.float32).astype(np.float64))
+
+    got = pq_fit_micro(df, m=m, n_codes=n_codes, dim=dim, iters=iters, seed=5)
+
+    B = [
+        quantize_micro(np.array(b, dtype=np.float64))
+        for b in codebooks(dim, m, n_codes, seed=5)
+    ]
+    for _ in range(iters):
+        for j in range(m):
+            S = Z[:, j * ds : (j + 1) * ds]
+            d2 = (
+                (S * S).sum(1)[:, None] - 2 * (S @ B[j].T) + (B[j] * B[j]).sum(1)
+            )
+            a = d2.argmin(1)
+            for c in range(n_codes):
+                if (a == c).any():
+                    B[j][c] = np.floor(
+                        S[a == c].sum(axis=0) / (a == c).sum() + 0.5
+                    ).astype(np.int64)
+
+    assert got == [[[int(x) for x in c] for c in b] for b in B]
+    # determinism across invocations (the cross-engine contract)
+    again = pq_fit_micro(df, m=m, n_codes=n_codes, dim=dim, iters=iters, seed=5)
+    assert again == got
