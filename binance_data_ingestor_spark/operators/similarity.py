@@ -906,3 +906,109 @@ def pq_fit_micro(
                 acc_s[j][nz] / acc_n[j][nz, None] + 0.5
             ).astype(np.int64)
     return [[[int(x) for x in c] for c in b] for b in books]
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    cent_seed: int = 7,
+    pq_seed: int = 11,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed production ANN shape
+    (FAISS ``IVFx,PQy``): the coarse quantizer restricts each query to
+    ``n_probe`` of ``n_centroids`` cells AND the scan over those cells
+    reads only m-byte PQ codes, never embeddings.
+
+    Index build (once): nearest-centroid cell per candidate
+    (:func:`assign_cells`) + PQ codes (:func:`pq_encode`) — the stored
+    index row is (id, cell, m codes) ≈ 12 bytes/vector here vs 256 for
+    raw float32. Query: probe cells exactly as :func:`ivf_topk`
+    (6-dp-rounded sims, cell-asc tie-break), then ADC-score only the
+    probed cells' codes with the integer-µ LUT from :func:`pq_topk`
+    (exact, orderless sums — engine-reproducible). The scan cost per
+    query is O(N·m·n_probe/n_centroids); the shuffle carries per-task
+    per-query top-k remainders only.
+    """
+    cents = centroids(dim, n_centroids, cent_seed)
+    books = codebooks(dim, m, n_codes, pq_seed)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    ds = dim // m
+
+    cells = assign_cells(candidates, cents, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(cells, books, id_col="vec_id", vec_col="vec")
+    index = encoded.join(cells.select("vec_id", "cell"), "vec_id")
+
+    q_sims = _centroid_sims(F.col(vec_col), cents)
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(q_sims).alias("cell", "sim"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("cell")
+    )
+    probes = (
+        q_cells.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    q_pdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+    Q = _matrix(q_pdf["q_vec"])
+    ftab = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        S = Q[:, j * ds : (j + 1) * ds]
+        ftab[:, j, :] = (
+            (S * S).sum(axis=1)[:, None]
+            - 2.0 * (S @ B[j].T)
+            + (B[j] * B[j]).sum(axis=1)[None, :]
+        )
+    tables = np.floor(ftab * 1e6 + 0.5).astype(np.int64)
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[int, int]]] = {int(q): [] for q in q_ids}
+        cols = np.arange(m)
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id"):
+                qi = q_index[int(qid)]
+                ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                C = np.array([np.asarray(c, dtype=np.int64) for c in grp["codes"]])
+                d = tables[qi][cols[None, :], C].sum(axis=1)
+                mask = ids != int(qid)
+                row, rids = d[mask], ids[mask]
+                if len(row) == 0:
+                    continue
+                idx = np.lexsort((rids, row))[:k]
+                cur = best[int(qid)] + [
+                    (int(row[j]), int(rids[j])) for j in idx
+                ]
+                cur.sort(key=lambda t: (t[0], t[1]))
+                best[int(qid)] = cur[:k]
+        out = [
+            (qid, nid, dist)
+            for qid, heap in best.items()
+            for dist, nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adc_micro"])
+
+    scored = index.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "codes"
+    ).mapInPandas(scan, "query_id long, neighbor_id long, adc_micro long")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )

@@ -66,7 +66,9 @@ def _modules():
 #     this round (two-pass ntile/rank, real-codec decode, positional
 #     prefix filter, view-free CUSUM);
 #   - q67 enters with its new µ-grid Lloyd oracle (first iterative-
-#     training query to be hash-certified).
+#     training query to be hash-certified);
+#   - q182 is this round's new composed IVF-PQ operator (certify new
+#     surface immediately rather than a round later).
 # Expensive driver-loop queries (q26 streaming — the only remaining
 # rows-only entry — q99 pagerank, q129 bootstrap, q144 dup-spans) stay
 # out of the window so a runtime-budgeted cut still reaches 50; slower
@@ -122,7 +124,7 @@ PRIORITY = [
     "q67_pq_kmeans_train",
     "q158_kcore",
     "q160_rolling_median",
-    "q86_column_profile",
+    "q182_ivfpq_topk",
     "q180_json_schema_profile",
 ]
 

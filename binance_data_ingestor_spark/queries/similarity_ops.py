@@ -749,6 +749,116 @@ FROM r, n GROUP BY vec_id, n_vecs
 """
 
 
+# --------------------------------------------------------------------------
+# q182 — composed IVF-PQ top-k (FAISS "IVF8,PQ8" shape): the coarse
+# quantizer restricts each query to its N_PROBE best cells AND the scan
+# over those cells ranks by integer-µ ADC over 8-byte PQ codes — the
+# production ANN configuration where q53 (IVF, exact rerank) and q66
+# (PQ, full scan) are the two halves. The oracle composes the same two
+# certified literal artifacts (seed-7 centroids, seed-11 codebooks):
+# cell assignment + probe ranking from q53's SQL, code assignment + ADC
+# from q66's, joined per (query, cell). Scale: index row = (id, cell,
+# codes) ≈ 12 bytes/vector; per-query scan cost O(N·m·n_probe/n_cells);
+# shuffle carries per-task top-k remainders only.
+# --------------------------------------------------------------------------
+def q182_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        dim=DIM,
+        cent_seed=7,
+        pq_seed=11,
+    )
+
+
+def _ivfpq_sql() -> str:
+    cents = centroids(DIM, N_CENTROIDS, seed=7)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    books = codebooks(DIM, PQ_M, PQ_CODES, seed=11)
+    ds = DIM // PQ_M
+    cb_rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(repr(x) for x in books[j][c]) + "]::DOUBLE[])"
+        for j in range(PQ_M)
+        for c in range(PQ_CODES)
+    )
+    d2 = (
+        "list_inner_product(s, s) - 2 * list_inner_product(s, cent)"
+        " + list_inner_product(cent, cent)"
+    )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT vec_id, v,
+         list_transform(cl, c -> round(list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c))), 6)) AS s
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, list_position(s, list_max(s)) - 1 AS cell
+  FROM sims
+),
+qcells AS (
+  SELECT vec_id AS query_id, j - 1 AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s[j] DESC, j ASC) AS pr
+  FROM (SELECT vec_id, s, unnest(range(1, {N_CENTROIDS + 1})) AS j
+        FROM sims WHERE vec_id < {N_QUERIES}) t
+),
+probes AS (SELECT query_id, cell FROM qcells WHERE pr <= {N_PROBE}),
+cb AS (SELECT * FROM (VALUES {cb_rows}) AS t(subspace, code, cent)),
+dist AS (
+  SELECT vec_id, subspace, code, {d2} AS d2
+  FROM (SELECT vec_id, subspace, code, cent,
+               list_slice(v, subspace * {ds} + 1, subspace * {ds} + {ds}) AS s
+        FROM e CROSS JOIN cb) t
+),
+codes AS (
+  SELECT vec_id, subspace, code
+  FROM (SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM dist) t
+  WHERE rn = 1
+),
+qd AS (SELECT vec_id AS query_id, subspace, code,
+              CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2u
+       FROM dist WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.d2u) AS BIGINT) AS adc_micro
+  FROM codes c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN qd q ON q.subspace = c.subspace AND q.code = c.code
+           AND q.query_id = p.query_id
+  WHERE c.vec_id != q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, rank, adc_micro
+FROM ranked WHERE rank <= {K}
+"""
+
+
+Q182_SQL = _ivfpq_sql()
+
+
+
 QUERIES = {
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
@@ -761,6 +871,7 @@ QUERIES = {
     "q118_semantic_dedup": q118_semantic_dedup,
     "q165_int8_quantize": q165_int8_quantize,
     "q181_rank_transform": q181_rank_transform,
+    "q182_ivfpq_topk": q182_ivfpq_topk,
 }
 
 ORACLES = {
@@ -775,4 +886,5 @@ ORACLES = {
     "q118_semantic_dedup": Q118_SQL,
     "q165_int8_quantize": Q165_SQL,
     "q181_rank_transform": Q181_SQL,
+    "q182_ivfpq_topk": Q182_SQL,
 }
