@@ -2254,7 +2254,63 @@ SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q183 — deterministic epoch shuffle + striped shard layout: the
+# training-order primitive. Every epoch the corpus must be re-ordered
+# pseudorandomly but REPRODUCIBLY (resume-from-step, multi-worker
+# determinism, ablation reruns), so the permutation is the md5 of an
+# epoch-salted key — stable across engines, reruns, partitionings —
+# never an RNG. Position = the bucket-offset distributed global rank
+# over the hash order (first-8-hex bucket, monotone in the key), so
+# there is NO single-partition sort over the corpus; shards stripe
+# round-robin by rank (|shard sizes| differ by ≤1 by construction) and
+# a writer would repartition(shard) + sortWithinPartitions(pos) — one
+# shuffle, cluster-wide. Output is the full (doc → shard, pos)
+# assignment plus the key prefix the oracle re-derives.
+# --------------------------------------------------------------------------
+EPOCH_SALT = "ep1#"
+EPOCH_SHARDS = 8
+
+
+def q183_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    d = docs.withColumn("__key", key)
+    bucket = F.conv(F.substring("__key", 1, 8), 16, 10).cast("long")
+    ranked = with_global_rank(
+        d,
+        [],
+        [F.asc("__key"), F.asc("doc_id")],
+        bucket=bucket,
+        rank_col="__rk",
+    )
+    return ranked.select(
+        "doc_id",
+        ((F.col("__rk") - 1) % EPOCH_SHARDS).cast("int").alias("shard"),
+        F.expr(f"CAST((__rk - 1) DIV {EPOCH_SHARDS} AS BIGINT)").alias("pos"),
+        F.substring("__key", 1, 8).alias("key_prefix"),
+    )
+
+
+Q183_SQL = f"""
+WITH k AS (SELECT doc_id,
+                  md5('{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)) AS key
+           FROM documents),
+r AS (SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) AS rk
+      FROM k)
+SELECT doc_id,
+       CAST((rk - 1) % {EPOCH_SHARDS} AS INTEGER) AS shard,
+       CAST((rk - 1) // {EPOCH_SHARDS} AS BIGINT) AS pos,
+       substring(key, 1, 8) AS key_prefix
+FROM r
+"""
+
+
 QUERIES = {
+    "q183_epoch_shuffle": q183_epoch_shuffle,
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
     "q42_fingerprint": q42_fingerprint,
@@ -2298,6 +2354,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q183_epoch_shuffle": Q183_SQL,
     "q40_text_quality": Q40_SQL,
     "q41_lang_id": Q41_SQL,
     "q42_fingerprint": Q42_SQL,
