@@ -546,35 +546,44 @@ FROM full_funnel
 
 # --------------------------------------------------------------------------
 # q110 — peak concurrent user presence per day. Each user's presence
-# on a day is the closed interval [first event, last event]; the peak
-# is evaluated at interval starts only (the maximum of a step function
-# that only rises at starts), so the operator is an equi-join on day
-# + a range predicate instead of an order-dependent sweep — no
-# tie-break semantics to keep aligned across engines. The per-day
-# self-join is quadratic in concurrent-users-per-day (bounded by
-# DAU, partitioned by day); at 100 TB cardinalities the same query
-# drops to the sweep-line form over (ts, ±1) deltas partitioned by
-# day, which is one sort per day-partition.
+# on a day is the closed interval [first event, last event]. The plan
+# is the SWEEP-LINE form: ±1 deltas at interval starts/ends, a running
+# sum ordered by (ts, +1-before-−1) within each day, peak = max of the
+# running sum at +1 rows. The running sum goes through the bucket-
+# offset two-pass cumsum keyed on (day, hour-bucket) — fully parallel,
+# never one task per day — because a per-day interval self-join
+# (the naive form, kept as the ORACLE so the hash compare proves the
+# sweep equivalent) is quadratic in DAU: measured 26.6× wall at 10×
+# data in the sf1 study, the round-3 scale-killer this rewrite
+# removes. Tie semantics: +1 sorts before −1 at an equal timestamp
+# (closed intervals touching at endpoints ARE concurrent), and the
+# max after the LAST +1 of a timestamp carries the full count, so
+# equal-start ties need no further ordering.
 # --------------------------------------------------------------------------
 def q110_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum
+
     iv = (
         load(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"), "user_id", "ts")
         .groupBy("day", "user_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
-    a, b = iv.alias("a"), iv.alias("b")
+    deltas = iv.select(
+        "day", F.col("s").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(iv.select("day", F.col("e").alias("ts"), F.lit(-1).alias("d")))
+    cum = with_global_cumsum(
+        deltas,
+        ["day"],
+        [F.asc("ts"), F.desc("d")],
+        "d",
+        bucket=F.hour("ts"),
+        out_col="running",
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("b.s") <= F.col("a.s"))
-            & (F.col("b.e") >= F.col("a.s")),
-        )
-        .groupBy(F.col("a.day").alias("day"), F.col("a.user_id"))
-        .agg(F.count("*").alias("conc"))
+        cum.filter(F.col("d") == 1)
         .groupBy("day")
-        .agg(F.max("conc").alias("peak_concurrent"))
+        .agg(F.max("running").alias("peak_concurrent"))
     )
 
 
