@@ -1434,7 +1434,50 @@ FROM scored GROUP BY r_q, f_q, m_q
 """
 
 
+# --------------------------------------------------------------------------
+# q184 — salted fact⨝dim join under a hot key (operators/skew.salted_join
+# certified through the oracle gate): lineitem⨝orders on orderkey with
+# the large side scattered across 8 salt buckets and the dim replicated
+# into each, then revenue by order priority. The salt changes ONLY the
+# shuffle layout — the oracle runs the plain join, so the hash compare
+# proves salting result-invariant (inner-join semantics survive because
+# the large side keeps exactly one copy of each row). This is the
+# pathological-skew answer AQE's post-shuffle split can't reach: one
+# key too hot for a single map task's output. Cost: dim replicated 8×;
+# revenue accumulates as exact integer cents so the group sums are
+# order-independent.
+# --------------------------------------------------------------------------
+def q184_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_c"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("rev_c").alias("revenue_cents"),
+    )
+
+
+Q184_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q184_salted_hot_join": q184_salted_hot_join,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_shipping_priority": q02_shipping_priority,
     "q03_regional_revenue": q03_regional_revenue,
@@ -1471,6 +1514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q184_salted_hot_join": Q184_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_shipping_priority": Q02_SQL,
     "q03_regional_revenue": Q03_SQL,
