@@ -19,6 +19,8 @@ A query passing this sweep should be hash-green on the driver.
 
 Usage: python scripts/verify_strict.py [--stability] [name_filter ...]
        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 (default)
+       SPARK_GRAFT_VANILLA=1  — run on a PLAIN SparkSession (no engine
+       confs): the session-independence certificate
 
 --stability additionally executes every Spark query TWICE and compares
 the two runs at the same full precision — catching Spark-side
@@ -104,10 +106,27 @@ def main():
     stability = "--stability" in filters
     filters = [f for f in filters if f != "--stability"]
 
-    from binance_data_ingestor_spark.session import get_spark
     from binance_data_ingestor_spark.queries import registry
 
-    spark = get_spark("verify-strict")
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        # session-independence certificate: a PLAIN SparkSession with
+        # none of session.get_spark's confs (no UTC pin, no AQE flags,
+        # no Arrow conf) — proves no query depends on engine session
+        # configuration
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .appName("verify-strict-vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from binance_data_ingestor_spark.session import get_spark
+
+        spark = get_spark("verify-strict")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")

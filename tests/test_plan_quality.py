@@ -431,3 +431,82 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "day" in pf
     n_days = df.select("day").distinct().count()
     assert n_days <= 1
+
+
+def test_global_ntile_matches_builtin_ntile(spark):
+    """with_global_ntile must reproduce SQL-standard ntile exactly —
+    including the ceil-sized leading tiles when N % n != 0 and
+    duplicate order values — for several (N, n) shapes."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_global_ntile,
+        with_range_bucket,
+    )
+
+    rng = _random.Random(13)
+    for n_rows, n_tiles in [(97, 8), (40, 5), (7, 10), (64, 4)]:
+        rows = [(i, rng.randrange(0, 12)) for i in range(n_rows)]  # heavy ties
+        df = spark.createDataFrame(rows, "id long, v long")
+        want = {
+            (r["id"]): r["t"]
+            for r in df.select(
+                "id", F.ntile(n_tiles).over(W.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in with_global_ntile(
+                with_range_bucket(df, F.col("v"), bucket_col="__rb"),
+                [F.asc("v"), F.asc("id")],
+                n_tiles,
+                bucket=F.col("__rb"),
+                tile_col="t",
+            ).select("id", "t").collect()
+        }
+        assert got == want, (n_rows, n_tiles)
+
+
+def test_global_cumsum_matches_window_running_sum(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_global_cumsum,
+        with_range_bucket,
+    )
+
+    rows = [(i, i % 7, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k int, v long")
+
+    # global (empty keys) against an unpartitioned running-sum window
+    w = W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {r["id"]: r["c"] for r in df.select("id", F.sum("v").over(w).alias("c")).collect()}
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            with_range_bucket(df, F.col("v"), bucket_col="__rb"),
+            [],
+            [F.asc("v"), F.asc("id")],
+            "v",
+            bucket=F.col("__rb"),
+        ).select("id", "cum").collect()
+    }
+    assert got == want
+
+    # per-key form against a partitioned window
+    wk = W.partitionBy("k").orderBy("v", "id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want_k = {r["id"]: r["c"] for r in df.select("id", F.sum("v").over(wk).alias("c")).collect()}
+    got_k = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df, ["k"], [F.asc("v"), F.asc("id")], "v",
+            bucket=(F.col("v") / 10).cast("int"),
+        ).select("id", "cum").collect()
+    }
+    assert got_k == want_k
