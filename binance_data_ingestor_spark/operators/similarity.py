@@ -1012,3 +1012,85 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_micro")
     )
+
+
+def hard_negative_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query), the k most-similar candidates with a DIFFERENT label —
+    the negatives that actually teach the margin.
+
+    Same execution shape as :func:`brute_force_topk` (the anchor
+    matrix+labels ship in the task closure, each task GEMMs its
+    candidate batch and keeps a per-anchor top-k, the shuffle carries
+    |partitions|·|Q|·k rows), with the label-mismatch mask applied
+    inside the kernel so excluded positives never leave the task.
+    """
+    q_pdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).cast("int").alias("q_label"),
+    ).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+    q_labels = q_pdf["q_label"].to_numpy(dtype=np.int64)
+    Q = _matrix(q_pdf["q_vec"])
+    q_norm = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int, int]]] = {
+            int(q): [] for q in q_ids
+        }
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            labels = pdf["n_label"].to_numpy(dtype=np.int64)
+            C = _matrix(pdf["c_vec"])
+            c_norm = np.sqrt((C * C).sum(axis=1))
+            S = (Q @ C.T) / np.outer(q_norm, c_norm)
+            for qi, qid in enumerate(q_ids):
+                mask = (ids != qid) & (labels != q_labels[qi])
+                row, rids, rlab = S[qi][mask], ids[mask], labels[mask]
+                take = min(len(row), k)
+                if take == 0:
+                    continue
+                idx = np.argpartition(-row, take - 1)[:take]
+                cur = best[int(qid)] + [
+                    (float(row[j]), int(rids[j]), int(rlab[j])) for j in idx
+                ]
+                cur.sort(key=lambda t: (-t[0], t[1]))
+                best[int(qid)] = cur[:k]
+        out = [
+            (int(qid), nid, lab, cos)
+            for qid, heap in best.items()
+            for cos, nid, lab in heap
+        ]
+        yield pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "neg_label", "cos_sim"]
+        )
+
+    c = candidates.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).cast("int").alias("n_label"),
+    )
+    scored = c.mapInPandas(
+        score, "query_id long, neighbor_id long, neg_label int, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

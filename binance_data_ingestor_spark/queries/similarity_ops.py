@@ -859,7 +859,163 @@ Q182_SQL = _ivfpq_sql()
 
 
 
+# --------------------------------------------------------------------------
+# q185 — hard-negative mining for contrastive training: for each of the
+# broadcast anchor vectors, the top-5 most-similar candidates with a
+# DIFFERENT label (the negatives that actually teach the margin — the
+# standard batch-mining pass of embedding-model training). Execution is
+# the q50 brute-force shape with the label-mismatch mask applied inside
+# the Arrow kernel, so excluded positives never leave the task; the
+# shuffle carries per-task top-k remainders only. The IVF/LSH bucketing
+# (q52/q53/q182) is the documented prune when exact mining stops
+# fitting.
+# --------------------------------------------------------------------------
+def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_topk
+
+    emb = _emb(spark, sf_dir)
+    return hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K
+    )
+
+
+Q185_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  label AS q_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             CAST(label AS INTEGER) AS neg_label
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, neg_label, {_COS} AS cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id != query_id AND neg_label != q_label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q186 — leave-one-out kNN label accuracy, IVF-cell-restricted: the
+# embedding-quality probe a pipeline runs before trusting vectors for
+# retrieval or dedup. Every vector is classified by the majority label
+# of its 5 nearest cell-mates (cosine, deterministic (count DESC,
+# label ASC) vote tie-break, (cos DESC, id ASC) rank tie-break); output
+# is per-true-label accuracy. The cell restriction is the SCALE
+# contract: pairs form only inside IVF cells through a plain equi-join
+# (Σ|cell|² work, exactly q118's bound — never n²), and the oracle
+# replays the same centroid literals, so the hash compare certifies the
+# restricted semantics, not an approximation of full kNN. Vectors alone
+# in their cell have no neighbors and are excluded on both engines.
+# --------------------------------------------------------------------------
+def q186_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import assign_cells, cosine
+
+    emb = _emb(spark, sf_dir)
+    cells = assign_cells(
+        emb, centroids(DIM, N_CENTROIDS, seed=7)
+    ).join(emb.select("vec_id", F.col("label").cast("int").alias("label")), "vec_id")
+    a = cells.select(
+        F.col("vec_id").alias("aid"),
+        F.col("vec").alias("av"),
+        F.col("label").alias("a_label"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("bid"),
+        F.col("vec").alias("bv"),
+        F.col("label").alias("b_label"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("aid") != F.col("bid"))
+        .select("aid", "a_label", "bid", "b_label", cosine(F.col("av"), F.col("bv")).alias("cos"))
+    )
+    wr = W.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
+    knn = pairs.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= K)
+    votes = knn.groupBy("aid", "a_label", "b_label").agg(F.count("*").alias("c"))
+    wv = W.partitionBy("aid").orderBy(F.desc("c"), F.asc("b_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("aid", "a_label", F.col("b_label").alias("pred"))
+    )
+    return pred.groupBy(F.col("a_label").alias("label")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum((F.col("pred") == F.col("a_label")).cast("long")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("pred") == F.col("a_label")).cast("long"))
+            / F.count("*"),
+            6,
+        ).alias("loo_accuracy_r"),
+    )
+
+
+def _knn_eval_sql() -> str:
+    cents = centroids(DIM, N_CENTROIDS, seed=7)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS INTEGER) AS label
+      FROM embeddings),
+sims AS (
+  SELECT vec_id, v, label,
+         list_transform(cl, c -> round(list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c))), 6)) AS s
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, label, list_position(s, list_max(s)) - 1 AS cell
+  FROM sims
+),
+pairs AS (
+  SELECT a.vec_id AS aid, a.label AS a_label, b.vec_id AS bid,
+         b.label AS b_label,
+         list_inner_product(a.v, b.v) /
+         (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT aid, a_label, b_label
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid ASC) <= {K}
+),
+votes AS (SELECT aid, a_label, b_label, count(*) AS c
+          FROM knn GROUP BY 1, 2, 3),
+pred AS (
+  SELECT aid, a_label, b_label AS pred
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY aid ORDER BY c DESC, b_label ASC) = 1
+)
+SELECT a_label AS label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS loo_accuracy_r
+FROM pred GROUP BY 1
+"""
+
+
+Q186_SQL = _knn_eval_sql()
+
+
 QUERIES = {
+    "q185_hard_negatives": q185_hard_negatives,
+    "q186_knn_label_eval": q186_knn_label_eval,
     "q50_ann_brute_topk": q50_ann_brute_topk,
     "q51_cosine_neardup": q51_cosine_neardup,
     "q52_lsh_topk": q52_lsh_topk,
@@ -875,6 +1031,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q185_hard_negatives": Q185_SQL,
+    "q186_knn_label_eval": Q186_SQL,
     "q50_ann_brute_topk": Q50_SQL,
     "q67_pq_kmeans_train": Q67_SQL,
     "q51_cosine_neardup": Q51_SQL,
