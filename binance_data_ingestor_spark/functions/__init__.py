@@ -30,6 +30,16 @@ from ..operators.text import (  # noqa: F401
 # dedup primitives
 from ..operators.dedup import minhash_signature, with_shingles  # noqa: F401
 
+# distributed ordering primitives (DataFrame → DataFrame, one keyed
+# shuffle each — exposed here because they replace the single-partition
+# global window, the most common hand-rolled scale bug)
+from ..operators.partitioning import (  # noqa: F401
+    with_global_cumsum,
+    with_global_ntile,
+    with_global_rank,
+    with_range_bucket,
+)
+
 # order-book / market data
 from ..sinks.redis_sink import redis_key  # noqa: F401
 
