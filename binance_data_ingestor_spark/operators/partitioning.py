@@ -280,7 +280,8 @@ def with_global_cumsum(
     (3) inclusive running sum within each (key, bucket) — a parallel
     window — plus the bucket's offset. ``bucket`` must be monotone in
     ``order`` with equal order-prefix values sharing a bucket
-    (:func:`with_range_bucket` provides this for value orderings).
+    (:func:`with_range_bucket` provides this for value orderings), and
+    NON-NULL for every row (see :func:`_bucket_offsets`).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -311,6 +312,14 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
     prefix-sums in Python, and ships the offsets back as a broadcast
     table. Same cost (the summary is tiny), no single-partition
     exchange, no warning.
+
+    PRECONDITION: the bucket expression must be NON-NULL for every row
+    — the callers re-attach offsets with an equi-join on ``__b``, and a
+    NULL equi-join key silently drops the row. Every in-repo bucket
+    (range buckets, hash prefixes, integer time buckets) is non-null by
+    construction; violations fail loudly here (driver-side raise in the
+    keyless path, runtime assert_true in the keyed path) instead of
+    silently shrinking the output.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -318,16 +327,28 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
 
     if keys:
         wk = W.partitionBy(*keys).orderBy("__b")
+        # assert_true returns NULL when the condition holds, so the
+        # when() wrapper forces its (summary-sized, cheap) evaluation
+        # while leaving __off untouched.
+        guard = F.assert_true(
+            F.col("__b").isNotNull(),
+            F.lit("_bucket_offsets: bucket expression produced NULL"),
+        )
         return summary.select(
             *keys,
             "__b",
-            (F.sum(agg_col).over(wk) - F.col(agg_col)).alias("__off"),
+            F.when(
+                guard.isNull(), F.sum(agg_col).over(wk) - F.col(agg_col)
+            ).alias("__off"),
         )
-    # NULLS FIRST to match the window orderBy default
-    rows = sorted(
-        summary.collect(),
-        key=lambda r: (r["__b"] is not None, r["__b"] if r["__b"] is not None else 0),
-    )
+    rows = summary.collect()
+    if any(r["__b"] is None for r in rows):
+        raise ValueError(
+            "_bucket_offsets: bucket expression produced NULL — NULL "
+            "equi-join keys would silently drop those rows downstream; "
+            "coalesce the bucket to a sentinel before calling"
+        )
+    rows.sort(key=lambda r: r["__b"])
     acc, data = 0, []
     for r in rows:
         data.append((r["__b"], acc))
@@ -339,6 +360,72 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
         ]
     )
     return summary.sparkSession.createDataFrame(data, schema)
+
+
+def with_global_runmax(
+    df: DataFrame,
+    keys: list[str],
+    order: list,
+    value: str,
+    *,
+    bucket: "Column",
+    out_col: str = "runmax",
+    exclusive: bool = True,
+) -> DataFrame:
+    """Parallel global (or per-key) running max via bucket offsets — the
+    distributed alternative to ``max(v) OVER (ORDER BY … ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` (``exclusive=True``, the
+    skyline/dominance shape) or ``… AND CURRENT ROW``.
+
+    Same two-pass shape as :func:`with_global_cumsum`: (1) max per
+    (key, bucket) — parallel aggregate; (2) exclusive prefix-MAX over
+    the bucket SUMMARY (driver-side when keyless, per-key window
+    otherwise); (3) within-bucket running max — parallel window — and
+    ``greatest`` with the bucket offset. ``greatest`` skips NULLs, so
+    the first rows (no predecessor) keep the window's NULL semantics.
+    ``bucket`` must be monotone in ``order`` with equal order-prefix
+    values sharing a bucket, and NON-NULL (see :func:`_bucket_offsets`).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    b = df.withColumn("__b", bucket)
+    sums = b.groupBy(*keys, "__b").agg(F.max(value).alias("__m"))
+    if keys:
+        wk = (
+            W.partitionBy(*keys)
+            .orderBy("__b")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = sums.select(
+            *keys, "__b", F.max("__m").over(wk).alias("__offm")
+        )
+        join_hint = offsets
+    else:
+        rows = sums.collect()
+        if any(r["__b"] is None for r in rows):
+            raise ValueError("with_global_runmax: bucket produced NULL")
+        rows.sort(key=lambda r: r["__b"])
+        acc, data = None, []
+        for r in rows:
+            data.append((r["__b"], acc))
+            acc = r["__m"] if acc is None else max(acc, r["__m"])
+        schema = StructType(
+            [sums.schema["__b"], StructField("__offm", sums.schema["__m"].dataType)]
+        )
+        join_hint = F.broadcast(df.sparkSession.createDataFrame(data, schema))
+    end = -1 if exclusive else W.currentRow
+    wb = (
+        W.partitionBy(*keys, "__b")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    return (
+        b.join(join_hint, [*keys, "__b"])
+        .withColumn(out_col, F.greatest(F.max(value).over(wb), F.col("__offm")))
+        .drop("__b", "__offm")
+    )
 
 
 def with_global_ntile(
@@ -396,7 +483,8 @@ def with_global_rank(
     serialized step); (3) rank within each (key, bucket) — a parallel
     window — plus the bucket's offset. Requires ``bucket`` to be
     monotone in ``order`` (rows with equal order prefix share a
-    bucket), e.g. a coarse time bucket when ordering by time.
+    bucket), e.g. a coarse time bucket when ordering by time, and
+    NON-NULL for every row (see :func:`_bucket_offsets`).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def ks_2sample(
@@ -47,15 +48,30 @@ def ks_2sample(
     sums = b.groupBy("bkt").agg(
         F.sum("c1").alias("s1"), F.sum("c2").alias("s2")
     )
-    wo = W.orderBy("bkt")
-    offsets = sums.select(
-        "bkt",
-        (F.sum("s1").over(wo) - F.col("s1")).alias("o1"),
-        (F.sum("s2").over(wo) - F.col("s2")).alias("o2"),
+    # exclusive prefix over the bucket SUMMARY: computed driver-side
+    # (|buckets| rows, exact integer sums) and shipped back as a
+    # broadcast table — same cost as the keyless window it replaces,
+    # without the single-partition WindowExec
+    srows = sorted(sums.collect(), key=lambda r: r["bkt"])
+    acc1 = acc2 = 0
+    odata = []
+    for r in srows:
+        odata.append((r["bkt"], acc1, acc2))
+        acc1 += r["s1"]
+        acc2 += r["s2"]
+    offsets = df.sparkSession.createDataFrame(
+        odata,
+        StructType(
+            [
+                sums.schema["bkt"],
+                StructField("o1", LongType()),
+                StructField("o2", LongType()),
+            ]
+        ),
     )
     wb = W.partitionBy("bkt").orderBy("v")
     cum = (
-        b.join(offsets, "bkt")
+        b.join(F.broadcast(offsets), "bkt")
         .select(
             "v",
             (F.sum("c1").over(wb) + F.col("o1")).alias("f1"),
@@ -98,47 +114,56 @@ def ks_2sample(
 def kaplan_meier(subjects: DataFrame, *, t_col: str = "t", event_col: str = "died") -> DataFrame:
     """Kaplan-Meier survival curve from (duration, event) subjects.
 
-    One subjects-sized shuffle (groupBy duration); the cumulative pass
-    runs on the KM TABLE — one row per distinct duration (days-sized,
-    bounded by calendar span, never subjects-sized), so the global
-    window over it is a deliberate summary-only serialization.
+    One subjects-sized shuffle (groupBy duration) does the heavy
+    lifting; the curve itself is then a strictly sequential fold over
+    the KM TABLE — one row per distinct duration (days-sized, bounded
+    by calendar span, never subjects-sized) — computed DRIVER-SIDE (the
+    _bucket_offsets stance: a bounded summary's serial pass belongs on
+    the driver, not in a partition-less WindowExec that warns and
+    occupies an executor task).
 
-    survival(t) = Π_{t'≤t} (1 - d/n). Emitted as
-    round(exp(Σ ln(1-d/n)), 6): the ln terms are the only
-    transcendentals, the running sum's order is the duration order on
-    both engines, and 6 dp has ~8 orders of headroom over the
-    accumulated cross-engine ulp noise. A timepoint where everyone at
-    risk dies (d = n) zeroes the curve from there on via an explicit
-    flag — never ln(0).
+    survival(t) = Π_{t'≤t} (1 - d/n), emitted as round(exp(Σ
+    ln(1-d/n)), 6): the ln terms are the only transcendentals, the sum
+    order is the duration order on both engines (Python libm vs DuckDB
+    libm — 6 dp has ~8 orders of headroom over the accumulated ulp
+    noise; rounding replicates Spark's HALF_UP on the shortest decimal
+    repr exactly). A timepoint where everyone at risk dies (d = n)
+    zeroes the curve from there on — never ln(0).
     """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     t, e = F.col(t_col), F.col(event_col)
     km = subjects.groupBy(t.alias("t")).agg(
         F.sum(e).cast("long").alias("d"), F.count("*").alias("c")
     )
-    total = subjects.agg(F.count("*").alias("n_total"))
-    wo = W.orderBy("t")
-    km = (
-        km.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_at_risk",
-            (F.col("n_total") - (F.sum("c").over(wo) - F.col("c"))).cast("long"),
-        )
-        .withColumn(
-            "lnterm",
-            F.when(
-                F.col("d") < F.col("n_at_risk"),
-                F.log(
-                    F.lit(1.0)
-                    - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
-                ),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "survival_r",
-            F.when(
-                F.max((F.col("d") == F.col("n_at_risk")).cast("int")).over(wo) == 1,
-                F.lit(0.0),
-            ).otherwise(F.round(F.exp(F.sum("lnterm").over(wo)), 6)),
-        )
+    rows = sorted(km.collect(), key=lambda r: r["t"])
+    n_total = sum(r["c"] for r in rows)
+    seen, cum_ln, dead = 0, 0.0, False
+    out = []
+    for r in rows:
+        n_at_risk = n_total - seen
+        seen += r["c"]
+        if r["d"] < n_at_risk:
+            cum_ln += math.log(1.0 - r["d"] / n_at_risk)
+        else:
+            dead = True
+        if dead:
+            surv = 0.0
+        else:
+            surv = float(
+                Decimal(repr(math.exp(cum_ln))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+        if r["d"] > 0:
+            out.append((r["t"], r["d"], n_at_risk, surv))
+    schema = StructType(
+        [
+            km.schema["t"],
+            StructField("d", LongType()),
+            StructField("n_at_risk", LongType()),
+            StructField("survival_r", DoubleType()),
+        ]
     )
-    return km.filter(F.col("d") > 0).select("t", "d", "n_at_risk", "survival_r")
+    return subjects.sparkSession.createDataFrame(out, schema)

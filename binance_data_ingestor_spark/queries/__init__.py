@@ -54,78 +54,77 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-3 rotation: rounds 1+2 certified 85 distinct queries; 44 of the
-# round-2 window's 50 slots held names already green in a prior round.
-# This window converts local strict-sweep claims into driver-certified
-# fact for 45 FIRST-TIME names (driver-certified coverage 85 → ~130 of
-# 180) while keeping regression signal:
+# Round-4 rotation: rounds 1-3 drove cumulative certification to 127 of
+# 185 distinct names. This window converts 45 MORE first-time names
+# (cumulative → ~172) while keeping regression signal:
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - q142/q27 re-certify this round's plan rewrites of already-green
-#     queries (two-pass cumsum, projection-bound closest pairs);
-#   - q71/q132/q133/q163/q63/q159/q177 are both first-time AND changed
-#     this round (two-pass ntile/rank, real-codec decode, positional
-#     prefix filter, view-free CUSUM);
-#   - q67 enters with its new µ-grid Lloyd oracle (first iterative-
-#     training query to be hash-certified);
-#   - q182 is this round's new composed IVF-PQ operator (certify new
-#     surface immediately rather than a round later).
-# Expensive driver-loop queries (q26 streaming — the only remaining
-# rows-only entry — q99 pagerank, q129 bootstrap, q144 dup-spans) stay
-# out of the window so a runtime-budgeted cut still reaches 50; slower
-# in-window entries sit at the tail for the same reason. Every family
-# keeps ≥1 in-window representative (the round-2 reps it displaced are
-# all driver-green in CORRECTNESS_r01/r02).
+#   - q132/q133 re-enter after round 3's only red cells: root cause was
+#     un-cast integer sums in their DuckDB oracles (HUGEINT → float64 vs
+#     Spark int64), fixed this round with CAST(sum(..) AS BIGINT); the
+#     other four latent dtype landmines (q69/q98/q101/q114) are fixed
+#     the same way and enter as first-time names;
+#   - q183-q186 are round 3's new operators (epoch shuffle, salted hot
+#     join, hard-negative mining, LOO kNN eval) — certify new surface
+#     the round after it lands;
+#   - q26 — the former rows-only streaming entry — now asserts
+#     stream≡batch in-query and carries the batch-twin oracle, so the
+#     registry is 100% oracle-backed; it sits LAST in the window (it is
+#     the slowest entry — a real Structured Streaming replay) so a
+#     runtime-budgeted cut loses it before any cheap query.
+# Deferred to round 5 (11 names, all strict-green locally, families
+# already driver-certified by siblings): q48, q55, q57, q59, q61, q62,
+# q99, q104, q113, q129, q144.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q142_abc_classification",
-    "q27_series_topk",
-    "q71_length_buckets",
     "q132_decile_lift",
     "q133_auc_ranksum",
-    "q163_rfm_segments",
-    "q63_decode_media",
-    "q159_prefix_jaccard",
-    "q177_cusum",
-    "q145_waiting_suppliers",
-    "q146_order_count_distribution",
-    "q154_top_supplier",
-    "q155_dormant_capital",
-    "q157_asof_tolerance",
-    "q46_simhash",
-    "q49_tfidf_topterms",
-    "q70_vocab",
-    "q72_chunking",
-    "q138_skipgram_pmi",
-    "q143_dsir_weights",
-    "q150_token_balanced_shards",
-    "q161_quality_representative",
-    "q93_bm25_retrieval",
-    "q96_rrf_fusion",
-    "q131_ab_test",
-    "q174_purged_tscv",
-    "q90_pit_features",
-    "q51_cosine_neardup",
-    "q66_pq_topk",
-    "q151_lsh_recall_certificate",
-    "q181_rank_transform",
-    "q92_embedding_covariance",
-    "q108_editdist_join",
-    "q60_media_metadata",
-    "q64_resize_raster",
-    "q179_ppm_roundtrip",
-    "q75_upsert_audit",
-    "q173_scd2_temporal_join",
-    "q110_peak_concurrency",
-    "q171_rolling_hll",
-    "q56_stratified_sample",
-    "q81_pii_mask",
-    "q67_pq_kmeans_train",
-    "q158_kcore",
-    "q160_rolling_median",
-    "q182_ivfpq_topk",
-    "q180_json_schema_profile",
+    "q69_repetition",
+    "q98_unigram_surprisal",
+    "q101_token_entropy",
+    "q114_chi_square",
+    "q58_pack_chunks",
+    "q68_decontaminate",
+    "q79_value_histogram",
+    "q84_block_dedup_reconstruct",
+    "q85_equidepth_bins",
+    "q86_column_profile",
+    "q87_grouped_split",
+    "q94_psi_drift",
+    "q95_winsorize",
+    "q97_negative_sampling",
+    "q100_token_mi",
+    "q102_weighted_sample",
+    "q107_rolling_distinct_users",
+    "q111_ewma",
+    "q112_max_drawdown",
+    "q115_snapshot_diff",
+    "q116_countmin",
+    "q117_bigram_surprisal",
+    "q119_incremental_agg",
+    "q120_transition_matrix",
+    "q121_funnel_timing",
+    "q128_k_anonymity",
+    "q130_ndcg_eval",
+    "q134_skew_report",
+    "q136_corr_matrix",
+    "q137_session_entry_exit",
+    "q139_event_trigrams",
+    "q140_purge_audit",
+    "q141_d7_retention",
+    "q148_concurrent_sessions",
+    "q156_windowed_funnel",
+    "q162_multi_touch_attribution",
+    "q168_benford_audit",
+    "q172_label_kappa",
+    "q175_cramers_v",
+    "q176_woe_iv",
+    "q183_epoch_shuffle",
+    "q184_salted_hot_join",
+    "q185_hard_negatives",
+    "q186_knn_label_eval",
+    "q26_stream_sessions",
 ]
 
 
@@ -142,13 +141,8 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     if missing:
         raise ValueError(f"PRIORITY names not in registry: {missing}")
     ordered = {n: queries[n] for n in PRIORITY}
-    # Remainder: oracle-backed queries first (hash-checkable); q26 —
-    # since q67's µ-grid oracle landed, the registry's ONLY rows-only
-    # entry, and a slow streaming replay — dead last, so a driver that
-    # scores past 50 entries keeps landing on hard-checkable, fast
-    # queries.
-    ordered.update(
-        (n, f) for n, f in queries.items() if n not in ordered and n in oracles
-    )
+    # Remainder after the window: every registry entry is oracle-backed
+    # as of round 4 (q26 gained its batch-twin oracle), so the tail is
+    # simply the not-in-window names in module order.
     ordered.update((n, f) for n, f in queries.items() if n not in ordered)
     return ordered, oracles

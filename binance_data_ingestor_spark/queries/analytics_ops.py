@@ -572,12 +572,17 @@ def q110_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(
         "day", F.col("s").alias("ts"), F.lit(1).alias("d")
     ).unionByName(iv.select("day", F.col("e").alias("ts"), F.lit(-1).alias("d")))
+    # bucket = epoch hour, NOT session-local hour(ts): under a DST
+    # fall-back timezone hour() repeats (01:59 → 01:00) and is
+    # non-monotone in ts, violating the two-pass cumsum's monotone-
+    # bucket precondition; floor(unix_micros/3.6e9) is timezone-
+    # independent and strictly monotone in ts under any session tz
     cum = with_global_cumsum(
         deltas,
         ["day"],
         [F.asc("ts"), F.desc("d")],
         "d",
-        bucket=F.hour("ts"),
+        bucket=F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)),
         out_col="running",
     )
     return (
@@ -1166,14 +1171,22 @@ def q171_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = daily.groupBy("day").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
-    # RANGE window on the day ordinal: calendar [d-6, d], robust to gaps
-    wd = (
-        W.orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
-        .rangeBetween(-6, 0)
-    )
-    est = sk.select(
-        "day",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wd)).alias("__est"),
+    # each day's sketch contributes to the 7 window-ends it can appear
+    # in (bounded 7× explode of the days-sized sketch table), then one
+    # groupBy(window end) merges — HLL union is order-free, so this is
+    # value-identical to a calendar RANGE window but shuffles on the
+    # day key instead of serializing a partition-less window; phantom
+    # window ends past the calendar drop at the inner join below
+    est = (
+        sk.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+                "eday"
+            ),
+            "sk",
+        )
+        .groupBy("eday")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+        .withColumnRenamed("eday", "day")
     )
     expanded = daily.select(
         "user_id",

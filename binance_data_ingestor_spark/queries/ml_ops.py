@@ -281,7 +281,8 @@ WITH labeled AS (
 d AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
                AS decile, resp
       FROM labeled),
-g AS (SELECT decile, count(*) AS n, sum(resp) AS n_resp
+g AS (SELECT decile, count(*) AS n,
+             CAST(sum(resp) AS BIGINT) AS n_resp
       FROM d GROUP BY decile)
 SELECT decile, n, n_resp,
        round(n_resp / CAST(n AS DOUBLE), 6) AS rate_r,
@@ -359,8 +360,8 @@ ranked AS (
   SELECT pos, row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
            AS rk
   FROM labeled)
-SELECT sum(pos) AS n_pos,
-       sum(1 - pos) AS n_neg,
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
        round((sum(pos * rk) - sum(pos) * (sum(pos) + 1) / 2)
              / nullif(CAST(sum(pos) * sum(1 - pos) AS DOUBLE), 0.0), 6)
          AS auc_r

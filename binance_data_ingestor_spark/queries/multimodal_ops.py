@@ -132,19 +132,36 @@ FROM nib GROUP BY doc_id, bin
 
 
 # --------------------------------------------------------------------------
-# q63 — stub decode: real Arrow plumbing, deterministic fake kernel.
-# The oracle reproduces the stub's facts (n_samples = byte length,
-# byte_sum = sum of byte values — exact integers, no float rounding)
-# straight from the blob.
+# q63 — unified decode dispatch over the generic (non-container) path.
+# decode_media real-decodes payloads whose magic identifies an in-repo
+# parser (RIFF/WAVE, PPM P6 — those paths are hash-certified by the
+# q178/q179 parameter-round-trip oracles); everything else gets exact
+# vectorized byte statistics (n_samples = byte length, byte_sum = sum
+# of byte values). The media fixture here is UTF-8 text, so a payload
+# COULD accidentally start with a container magic and real-decode —
+# diverging from this oracle, which only knows the generic facts. Both
+# sides therefore exclude container-magic payloads with the IDENTICAL
+# 12-byte predicate (magic only — not body validity, which the oracle
+# cannot see), making operator and oracle semantics equal by
+# construction while keeping the full dispatch kernel in the plan.
 # --------------------------------------------------------------------------
 def q63_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(fanout(_media(spark, sf_dir)))
+    m = _media(spark, sf_dir)
+    is_wav = (F.substring("content", 1, 4) == F.lit(b"RIFF")) & (
+        F.substring("content", 9, 4) == F.lit(b"WAVE")
+    )
+    is_ppm = F.substring("content", 1, 2) == F.lit(b"P6")
+    return decode_media(fanout(m.filter(~(is_wav | is_ppm))))
 
 
+# RIFF = 52494646, WAVE = 57415645, P6 = 5036 (hex of ASCII magic)
 Q63_SQL = f"""
 WITH {_SQL_MEDIA},
 hx AS (SELECT doc_id, media_type, width, height, upper(hex(content)) AS h
-       FROM media),
+       FROM media
+       WHERE NOT ((substring(upper(hex(content)), 1, 8) = '52494646'
+                   AND substring(upper(hex(content)), 17, 8) = '57415645')
+                  OR substring(upper(hex(content)), 1, 4) = '5036')),
 ks AS (SELECT doc_id, h, unnest(range(0, length(h) // 2)) AS k FROM hx),
 byte_vals AS (
   SELECT doc_id,

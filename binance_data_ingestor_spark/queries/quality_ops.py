@@ -268,7 +268,7 @@ grid AS (SELECT rt.lang, ct.source, coalesce(obs.o, 0) AS o,
          CROSS JOIN n)
 SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2_r,
        (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
-       sum(o) AS n_docs
+       CAST(sum(o) AS BIGINT) AS n_docs
 FROM grid
 """
 

@@ -688,19 +688,29 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 # level compression, not a self-join: collapse to distinct price
 # levels (groupBy → max size), running-max over strictly-cheaper
 # levels (ROWS … 1 PRECEDING), join survivors back by price. The
-# quadratic dominance EXISTS-check becomes one grouped aggregate + a
-# window over the (bounded, values-sized) level table + one keyed
-# join — the level table is orders of magnitude smaller than the fact
-# at 100 TB, so the unpartitioned window is a non-issue (same stance
-# as q76's days-sized cumsum).
+# quadratic dominance EXISTS-check becomes one grouped aggregate + an
+# exclusive running max over the level table + one keyed join. The
+# running max goes through the bucket-offset two-pass form
+# (with_global_runmax): price levels can approach |parts| distinct
+# values, so a partition-less window over them would serialize — the
+# two-pass form keeps only the 64-bucket summary on one task.
 # --------------------------------------------------------------------------
 def q103_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_runmax, with_range_bucket
+
     part = load(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
     lvl = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    run = lvl.withColumn("prev_max", F.max("msize").over(w))
+    run = with_global_runmax(
+        with_range_bucket(lvl, F.col("p_retailprice"), bucket_col="__rb"),
+        [],
+        [F.asc("p_retailprice")],
+        "msize",
+        bucket=F.col("__rb"),
+        out_col="prev_max",
+        exclusive=True,
+    ).drop("__rb")
     return (
         part.join(run, "p_retailprice")
         .filter(

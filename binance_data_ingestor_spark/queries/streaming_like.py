@@ -253,6 +253,35 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q26's oracle: the batch-twin session definition (identical to Q24_SQL)
+# projected to q26's emission schema. Valid because q26 asserts
+# stream≡batch in-query and emits the batch-certified result.
+Q26_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sess_value,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 Q25_SQL = """
 WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
      p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
@@ -268,11 +297,14 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 # sessionizer (applyInPandasWithState + event-time timeout): events are
 # replayed as a file stream with a sentinel row driving the watermark
 # past every real session, and the emitted (append-mode, watermark-
-# closed) sessions are returned as a batch DataFrame. Genuinely
-# non-SQL-expressible (stateful streaming semantics) — no oracle entry;
-# the batch twin q24 carries the SQL-checkable version of the same
-# session definition, and tests/test_stateful_streaming.py proves the
-# two agree row-for-row.
+# closed) sessions are compared against the batch twin (q24's gap
+# definition) IN-QUERY — a cent-exact multiset equality assert — before
+# the batch-certified result is returned. That makes q26 oracle-backed
+# (the oracle is the batch sessionize SQL, hash-exact like q24's) while
+# every run still executes the full streaming engine: a stream/batch
+# divergence fails the query loudly instead of shipping either side.
+# tests/test_stateful_streaming.py additionally proves stream≡batch on
+# adversarial replays (out-of-order, multi-batch, timeout-window).
 # --------------------------------------------------------------------------
 def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -323,7 +355,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name is unique per invocation, so later q26 runs can't collide
     # with a result a caller is still holding; each lingering view
     # costs one closed-sessions table (KBs) until session end.
-    return (
+    streamed = (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
         .select(
@@ -334,6 +366,33 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("sess_end")).alias("sess_end"),
         )
     )
+    # batch twin (same gap rule, integer-cent value sums); sess_value
+    # compared at cent granularity so the assert is immune to the last-
+    # ulp float accumulation-order difference between the stream's
+    # per-event fold and the batch cent-sum
+    batch = q24_sessionize(spark, sf_dir).select(
+        "user_id", "n_events", "sess_value", "sess_start", "sess_end"
+    )
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "n_events",
+            F.round(F.col("sess_value") * 100).cast("long").alias("cv"),
+            "sess_start",
+            "sess_end",
+        )
+
+    n_diff = (
+        _cents(streamed).exceptAll(_cents(batch)).count()
+        + _cents(batch).exceptAll(_cents(streamed)).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q26: streaming sessionizer diverged from batch twin on "
+            f"{n_diff} session rows — refusing to emit either result"
+        )
+    return batch
 
 
 # --------------------------------------------------------------------------
@@ -580,6 +639,7 @@ ORACLES = {
     "q23_lag_lead": Q23_SQL,
     "q24_sessionize": Q24_SQL,
     "q25_asof_join": Q25_SQL,
+    "q26_stream_sessions": Q26_SQL,
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,

@@ -743,7 +743,7 @@ g AS (SELECT doc_id,
       FROM tok WHERE len(t) >= 2),
 per_gram AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
 SELECT doc_id,
-       sum(cnt) AS n_grams,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
        round(1 - count(*) / sum(cnt), 6) AS dup_gram_frac,
        round(max(cnt) / sum(cnt), 6) AS top_gram_frac
 FROM per_gram GROUP BY doc_id
@@ -1146,7 +1146,7 @@ WITH toks AS (
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
 model AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
 total AS (SELECT sum(cnt) AS total FROM model)
-SELECT doc_id, sum(tf) AS n_tokens,
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        round(sum(tf * (-ln(cnt / total))) / sum(tf), 6) AS surprisal_r
 FROM tf JOIN model USING (token) CROSS JOIN total
 GROUP BY doc_id
@@ -1241,7 +1241,7 @@ Q101_SQL = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
              FROM documents),
 c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
-SELECT doc_id, sum(c) AS n_tokens,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
        round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_r
 FROM c GROUP BY doc_id
 """
@@ -2261,7 +2261,9 @@ SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20
 # determinism, ablation reruns), so the permutation is the md5 of an
 # epoch-salted key — stable across engines, reruns, partitionings —
 # never an RNG. Position = the bucket-offset distributed global rank
-# over the hash order (first-8-hex bucket, monotone in the key), so
+# over the hash order (first-4-hex bucket — ≤65,536 buckets so the
+# driver-side prefix-offset summary stays bounded — monotone in the
+# key), so
 # there is NO single-partition sort over the corpus; shards stripe
 # round-robin by rank (|shard sizes| differ by ≤1 by construction) and
 # a writer would repartition(shard) + sortWithinPartitions(pos) — one
@@ -2278,7 +2280,12 @@ def q183_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
     d = docs.withColumn("__key", key)
-    bucket = F.conv(F.substring("__key", 1, 8), 16, 10).cast("long")
+    # Bucket on a 4-hex-char prefix (65,536 buckets max, still monotone
+    # in the key): with keys=[], the two-pass rank collects the bucket
+    # summary driver-side, so the bucket domain must stay bounded — an
+    # 8-char prefix would give ~|docs| distinct buckets at corpus scale
+    # and turn the prefix-offset step into a corpus-sized driver collect.
+    bucket = F.conv(F.substring("__key", 1, 4), 16, 10).cast("long")
     ranked = with_global_rank(
         d,
         [],

@@ -92,10 +92,17 @@ def canon_cell(v):
 
 
 def canon_frame(df: pd.DataFrame):
+    # Column-wise iteration (NOT iterrows): iterrows materializes each
+    # mixed-dtype row as a float64-upcast Series, which silently erases
+    # the int-vs-float dtype family and masked the q132/q133 driver
+    # hash-mismatches (DuckDB HUGEINT sum → pandas float64 vs Spark
+    # int64). tolist() per column preserves native scalar types, so
+    # canon_cell sees '127' vs '127.0' exactly as the driver does.
     cols = sorted(df.columns)
+    col_vals = [df[c].tolist() for c in cols]
     rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for _, row in df.iterrows()
+        tuple(canon_cell(col_vals[j][i]) for j in range(len(cols)))
+        for i in range(len(df))
     ]
     return cols, sorted(rows)
 
