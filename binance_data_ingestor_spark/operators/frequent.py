@@ -28,23 +28,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_ingest(counters: dict, items, capacity: int) -> tuple[int, int]:
+    """Feed ``items`` through a Misra-Gries counter dict in place.
+
+    Returns (n_ingested, n_decrements). The decrement count is the MG
+    error certificate: for every item, true_count - counters.get(item,
+    0) ∈ [0, n_decrements], and n_decrements ≤ n/(capacity+1). Shared
+    by the batch per-partition summarizer below and the streaming
+    per-key operator (streaming/stateful.heavy_hitters_stream).
+    """
+    n = dec = 0
+    for item in items:
+        n += 1
+        if item in counters:
+            counters[item] += 1
+        elif len(counters) < capacity:
+            counters[item] = 1
+        else:
+            dec += 1
+            dead = [k for k, v in counters.items() if v == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+    return n, dec
+
+
 def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries → distinct candidate items."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item in pdf[col].dropna():
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < capacity:
-                    counters[item] = 1
-                else:
-                    dead = [k for k, v in counters.items() if v == 1]
-                    for k in counters:
-                        counters[k] -= 1
-                    for k in dead:
-                        del counters[k]
+            mg_ingest(counters, pdf[col].dropna(), capacity)
         yield pd.DataFrame({col: pd.Series(list(counters), dtype="object")})
 
     return df.mapInPandas(summarize, schema=f"{col} string").distinct()

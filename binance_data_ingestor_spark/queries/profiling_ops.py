@@ -193,6 +193,89 @@ WHERE cnt >= tot * {HH_MIN_SHARE}
 
 
 # --------------------------------------------------------------------------
+# q187 — REAL Structured Streaming execution of the grouped Misra-Gries
+# heavy-hitter operator (streaming/stateful.heavy_hitters_stream:
+# applyInPandasWithState, O(capacity) state per key, snapshot emission
+# on watermark advance): the q88 token stream is replayed as a file
+# stream with a private-group sentinel driving the watermark, the final
+# per-key MG summary's candidate set is exactly recounted batch-side
+# (the same second pass the batch operator runs), and the thresholded
+# result is returned. Oracle = Q88_SQL — the hash gate proves the
+# streaming-candidates + recount pipeline equals the exact answer
+# (valid because MG retains every item with share > 1/(capacity+1) and
+# capacity = 2/min_share). The MG lower bounds themselves are
+# ingestion-order-dependent and deliberately NOT emitted.
+# --------------------------------------------------------------------------
+def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import heavy_hitters_stream
+
+    capacity = max(int(2.0 / HH_MIN_SHARE), 16)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    base = toks.select(
+        F.lit("all").alias("grp"),
+        "token",
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+    )
+    sentinel = spark.sql(
+        "SELECT '__wm__' grp, 'x' token, to_timestamp('2031-01-01') ts"
+    )
+    work = tempfile.mkdtemp(prefix="q187_")
+    base.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
+        f"{work}/in"
+    )
+    stream = (
+        spark.readStream.schema("grp string, token string, ts timestamp")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{work}/in")
+    )
+    name = f"q187_out_{abs(hash(work)) % 10**8}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            heavy_hitters_stream(
+                stream, ["grp"], "token",
+                capacity=capacity, watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    cand = (
+        spark.table(name)
+        .filter(F.col("grp") == "all")
+        .select(F.col("item").alias("token"))
+        .distinct()
+    )
+    counts = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = toks.agg(F.count("token").alias("tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("tot") * HH_MIN_SHARE)
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("share_r"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q116 — count-min sketch frequency estimation with an error
 # certificate. Three md5-derived hash rows × 32 buckets (deliberately
 # tight so collisions actually occur and the overestimate is visible):
@@ -565,6 +648,7 @@ QUERIES = {
     "q86_column_profile": q86_column_profile,
     "q87_grouped_split": q87_grouped_split,
     "q88_heavy_hitters": q88_heavy_hitters,
+    "q187_stream_heavy_hitters": q187_stream_heavy_hitters,
     "q116_countmin": q116_countmin,
     "q129_poisson_bootstrap": q129_poisson_bootstrap,
     "q134_skew_report": q134_skew_report,
@@ -577,6 +661,7 @@ ORACLES = {
     "q86_column_profile": Q86_SQL,
     "q87_grouped_split": Q87_SQL,
     "q88_heavy_hitters": Q88_SQL,
+    "q187_stream_heavy_hitters": Q88_SQL,
     "q116_countmin": Q116_SQL,
     "q129_poisson_bootstrap": Q129_SQL,
     "q134_skew_report": Q134_SQL,

@@ -293,6 +293,141 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+        StructField("dec", LongType()),
+    ]
+)
+
+
+def _mg_stream_fn(item_col: str, capacity: int, n_keys: int):
+    from ..operators.frequent import mg_ingest
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = dec = 0
+        if state.exists:
+            items, counts, n, dec = state.get
+            counters = dict(zip(items, counts))
+            n, dec = int(n), int(dec)
+
+        if state.hasTimedOut:
+            # watermark advanced past the armed timestamp: emit the
+            # current per-key summary snapshot, keep state, re-arm so
+            # the next watermark advance emits the next snapshot. On a
+            # bounded availableNow replay the engine's trailing flush
+            # batch fires this exactly once per key (the re-armed
+            # wm+1 timer is never reached), so the memory sink holds
+            # ONE final summary per key.
+            if counters:
+                ordered = sorted(
+                    counters.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                yield pd.DataFrame(
+                    {
+                        **{
+                            f"__k{i}": [key[i]] * len(ordered)
+                            for i in range(n_keys)
+                        },
+                        "item": [k for k, _ in ordered],
+                        "count_lb": [v for _, v in ordered],
+                        "n_processed": [n] * len(ordered),
+                        "max_err": [dec] * len(ordered),
+                    }
+                )
+            state.update(
+                (
+                    list(counters.keys()),
+                    [int(v) for v in counters.values()],
+                    n,
+                    dec,
+                )
+            )
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            return
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            dn, dd = mg_ingest(
+                counters, pdf[item_col].dropna().astype(str), capacity
+            )
+            n += dn
+            dec += dd
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()], n, dec)
+        )
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    keys: list[str],
+    item_col: str,
+    *,
+    capacity: int = 256,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming grouped approx top-k by frequency: a Misra-Gries
+    summary per key maintained in keyed state (applyInPandasWithState),
+    emitting a snapshot of the per-key summary whenever the watermark
+    advances past the key's last-armed timer.
+
+    Per-key state is O(capacity) — items and lower-bound counts plus
+    the (n_processed, decrement) error certificate — NEVER the raw
+    item-frequency table, so an unbounded stream over an unbounded
+    vocabulary runs in bounded memory. The MG guarantee carries over
+    verbatim from the batch operator (operators/frequent.py, shared
+    ``mg_ingest`` kernel): every item with true per-key count
+    > n/(capacity+1) is present in the summary, and
+    true_count - count_lb ∈ [0, max_err] with max_err ≤ n/(capacity+1).
+
+    Emission contract (append mode): each emitted batch is a monotone
+    snapshot tagged with ``n_processed`` — consumers keep the row set
+    with the highest n_processed per key. On a bounded availableNow
+    replay the trailing flush batch emits exactly one final snapshot
+    per key, which is what the batch-twin test recounts against q88's
+    exact heavy hitters. Output columns: *keys, item (stringified),
+    count_lb, n_processed, max_err.
+    """
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            StructField(f"__k{i}", in_schema[k].dataType)
+            for i, k in enumerate(keys)
+        ]
+        + [
+            StructField("item", StringType()),
+            StructField("count_lb", LongType()),
+            StructField("n_processed", LongType()),
+            StructField("max_err", LongType()),
+        ]
+    )
+    raw = (
+        events.select(*keys, item_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _mg_stream_fn(item_col, capacity, len(keys)),
+            out_schema,
+            MG_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    for i, k in enumerate(keys):
+        raw = raw.withColumnRenamed(f"__k{i}", k)
+    return raw
+
+
 TRANSITION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
