@@ -59,6 +59,15 @@ def main() -> None:
 
     # No console progress bar: the driver keeps only the last ~2 KB of
     # output, and \r-progress junk competes with the final JSON line.
+    # Also silence the known-benign pandas concat FutureWarning that
+    # pyspark's stateful-streaming serializer triggers once per
+    # micro-batch worker (q26/q187 replays) — Python workers inherit
+    # this env var, and dozens of copies would otherwise fill the
+    # driver's retained output tail.
+    os.environ.setdefault(
+        "PYTHONWARNINGS",
+        "ignore:The behavior of DataFrame concatenation:FutureWarning",
+    )
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs, _ = registry()
     headline = set(PRIORITY)

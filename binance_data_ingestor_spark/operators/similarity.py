@@ -1094,3 +1094,65 @@ def hard_negative_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def cell_loo_knn(
+    cells: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cell leave-one-out k-nearest-neighbor labels: for every
+    vector, the labels of its ≤k nearest cell-mates by cosine.
+
+    Input is :func:`assign_cells` output joined with a label column;
+    output rows are (aid, a_label, b_label, rk). Same execution shape
+    as :func:`semantic_dedup`: each cell is ONE applyInPandas group
+    running a single float64 GEMM (Σ|cell|² flops total, never n²) and
+    emitting only ≤k rows per vector — so the shuffle after the
+    groupBy(cell) carries n·k rows, not the n·|cell| pair table a
+    pair-join + window would move. Ranking uses 6-dp-ROUNDED cosine
+    (np.round before selection — the repo-wide convention: GEMM and a
+    sequential dot product differ in the last ulp, rounding makes the
+    rank order engine-independent) with ascending-id tie-break.
+    Vectors alone in their cell emit nothing.
+    """
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["aid", "a_label", "b_label", "rk"]
+            ).astype({"aid": "int64", "a_label": "int32",
+                      "b_label": "int32", "rk": "int32"})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        labels = pdf[label_col].to_numpy(dtype=np.int64)
+        M = _matrix(pdf[vec_col])
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(S, -np.inf)  # leave-one-out: never self
+        take = min(k, n - 1)
+        out_a, out_al, out_bl, out_rk = [], [], [], []
+        for j in range(n):
+            # ids ascending ⇒ lexsort((ids, -S)) = (cos DESC, id ASC)
+            idx = np.lexsort((ids, -S[j]))[:take]
+            out_a.extend([ids[j]] * take)
+            out_al.extend([labels[j]] * take)
+            out_bl.extend(labels[idx])
+            out_rk.extend(range(1, take + 1))
+        return pd.DataFrame(
+            {
+                "aid": np.asarray(out_a, dtype=np.int64),
+                "a_label": np.asarray(out_al, dtype=np.int32),
+                "b_label": np.asarray(out_bl, dtype=np.int32),
+                "rk": np.asarray(out_rk, dtype=np.int32),
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        lambda _, pdf: cell_knn(pdf),
+        "aid long, a_label int, b_label int, rk int",
+    )

@@ -909,40 +909,28 @@ FROM ranked WHERE rank <= {K}
 # of its 5 nearest cell-mates (cosine, deterministic (count DESC,
 # label ASC) vote tie-break, (cos DESC, id ASC) rank tie-break); output
 # is per-true-label accuracy. The cell restriction is the SCALE
-# contract: pairs form only inside IVF cells through a plain equi-join
-# (Σ|cell|² work, exactly q118's bound — never n²), and the oracle
-# replays the same centroid literals, so the hash compare certifies the
-# restricted semantics, not an approximation of full kNN. Vectors alone
-# in their cell have no neighbors and are excluded on both engines.
+# contract: the O(n²) similarity never crosses cells — each cell is ONE
+# applyInPandas group running a single float64 GEMM and emitting only
+# ≤K rows per vector (operators/similarity.cell_loo_knn, same kernel
+# shape as q118's SemDeDup), so total work is Σ|cell|² flops and the
+# post-cell shuffle carries n·K rows, never the n·|cell| pair table a
+# pair-join + window would move (the round-3 form — 10.8 s at sf0.1 —
+# did exactly that; this kernel runs it in ~1 s). Ranking is on
+# 6-dp-ROUNDED cosine (repo-wide GEMM convention), which the oracle
+# mirrors; it replays the same centroid literals, so the hash compare
+# certifies the restricted semantics, not an approximation of full
+# kNN. Vectors alone in their cell are excluded on both engines.
 # --------------------------------------------------------------------------
 def q186_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.similarity import assign_cells, cosine
+    from ..operators.similarity import assign_cells, cell_loo_knn
 
     emb = _emb(spark, sf_dir)
     cells = assign_cells(
         emb, centroids(DIM, N_CENTROIDS, seed=7)
     ).join(emb.select("vec_id", F.col("label").cast("int").alias("label")), "vec_id")
-    a = cells.select(
-        F.col("vec_id").alias("aid"),
-        F.col("vec").alias("av"),
-        F.col("label").alias("a_label"),
-        "cell",
-    )
-    b = cells.select(
-        F.col("vec_id").alias("bid"),
-        F.col("vec").alias("bv"),
-        F.col("label").alias("b_label"),
-        "cell",
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("aid") != F.col("bid"))
-        .select("aid", "a_label", "bid", "b_label", cosine(F.col("av"), F.col("bv")).alias("cos"))
-    )
-    wr = W.partitionBy("aid").orderBy(F.desc("cos"), F.asc("bid"))
-    knn = pairs.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= K)
+    knn = cell_loo_knn(cells, k=K)
     votes = knn.groupBy("aid", "a_label", "b_label").agg(F.count("*").alias("c"))
     wv = W.partitionBy("aid").orderBy(F.desc("c"), F.asc("b_label"))
     pred = (
@@ -983,8 +971,9 @@ assigned AS (
 pairs AS (
   SELECT a.vec_id AS aid, a.label AS a_label, b.vec_id AS bid,
          b.label AS b_label,
-         list_inner_product(a.v, b.v) /
-         (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+         round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id != b.vec_id
 ),
