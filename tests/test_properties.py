@@ -277,3 +277,52 @@ def test_with_global_rank_equals_serial_row_number(spark, rows):
             .collect()
         )
         assert got == expected, f"bucket={bucket}"
+
+
+@given(rows=ctx_strategy)
+@settings(max_examples=10, deadline=None)
+def test_with_global_runmax_equals_serial_window(spark, rows):
+    """Bucket-offset distributed running max must equal the serialized
+    max(v) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING AND {1 PRECEDING |
+    CURRENT ROW}) — keyed and keyless, any monotone bucket granularity,
+    including the NULL first rows of the exclusive form."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_global_runmax,
+    )
+
+    uniq = {(k, t): v for k, t, v in rows}
+    rows = [(k, t, float(v)) for (k, t), v in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    for keys in ([], ["k"]):
+        for exclusive in (True, False):
+            end = -1 if exclusive else W.currentRow
+            wg = (
+                W.partitionBy(*keys)
+                .orderBy("t", "k")
+                .rowsBetween(W.unboundedPreceding, end)
+            )
+            expected = sorted(
+                df.select("k", "t", F.max("v").over(wg).alias("m")).collect(),
+                key=str,
+            )
+            for bucket in (1, 13, 1000):
+                got = sorted(
+                    with_global_runmax(
+                        df,
+                        keys,
+                        [F.asc("t"), F.asc("k")],
+                        "v",
+                        bucket=F.expr(f"t div {bucket}"),
+                        out_col="m",
+                        exclusive=exclusive,
+                    )
+                    .select("k", "t", "m")
+                    .collect(),
+                    key=str,
+                )
+                assert got == expected, (
+                    f"keys={keys} exclusive={exclusive} bucket={bucket}"
+                )
