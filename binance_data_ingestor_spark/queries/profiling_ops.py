@@ -307,24 +307,30 @@ def q116_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("token", "exact_cnt")
     )
-    est = None
+    # ALL d hash rows in ONE token-stream scan: stack fans each token
+    # out to its d (row, bucket) cells and the map-side partial agg
+    # collapses them to ≤ d·w groups per partition before the shuffle —
+    # one pass over the data instead of the d separate scans the naive
+    # per-row loop runs (the split/explode is the dominant cost, the
+    # sketch shuffle is O(d·w) regardless)
+    stack_expr = "stack({}, {}) AS (j, b)".format(
+        CM_D,
+        ", ".join(f"{j}, {_cm_hash('spark', j)}" for j in range(CM_D)),
+    )
+    sketch = (
+        toks.select(F.expr(stack_expr))
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("bc"))
+    )
+    probe = top
     for j in range(CM_D):
-        bucket = F.expr(_cm_hash("spark", j))
-        row = (
-            toks.select(bucket.alias("b"))
-            .groupBy("b")
-            .agg(F.count("*").alias("bc"))
+        probe = probe.withColumn(f"__b{j}", F.expr(_cm_hash("spark", j)))
+    for j in range(CM_D):
+        row_j = sketch.filter(F.col("j") == j).select(
+            F.col("b").alias(f"__b{j}"), F.col("bc").alias(f"est_{j}")
         )
-        probe = top.select(
-            "token", "exact_cnt", F.expr(_cm_hash("spark", j)).alias("b")
-        ).join(F.broadcast(row), "b")
-        cur = probe.select(
-            "token", "exact_cnt", F.col("bc").alias(f"est_{j}")
-        )
-        est = cur if est is None else est.join(
-            cur.select("token", f"est_{j}"), "token"
-        )
-    return est.select(
+        probe = probe.join(F.broadcast(row_j), f"__b{j}")
+    return probe.select(
         "token",
         "exact_cnt",
         F.least(*[F.col(f"est_{j}") for j in range(CM_D)]).alias("cm_est"),
