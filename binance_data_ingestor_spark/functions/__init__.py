@@ -37,8 +37,13 @@ from ..operators.partitioning import (  # noqa: F401
     with_global_cumsum,
     with_global_ntile,
     with_global_rank,
+    with_global_runmax,
     with_range_bucket,
 )
+
+# frequency sketching (batch MG summaries + the shared ingest kernel
+# the streaming per-key operator builds on)
+from ..operators.frequent import heavy_hitters, mg_ingest  # noqa: F401
 
 # order-book / market data
 from ..sinks.redis_sink import redis_key  # noqa: F401
