@@ -44,7 +44,12 @@ def ks_2sample(
         F.count(F.when(g == 0, 1)).alias("c1"),
         F.count(F.when(g == 1, 1)).alias("c2"),
     )
-    b = per_v.withColumn("bkt", F.expr(f"v div {int(bucket_width)}"))
+    # materialize the per-value table once: both the bucket summary
+    # (collected below) and the final join consume it, and without the
+    # checkpoint each action would re-run the groupBy(v) shuffle
+    b = per_v.withColumn(
+        "bkt", F.expr(f"v div {int(bucket_width)}")
+    ).localCheckpoint(eager=False)
     sums = b.groupBy("bkt").agg(
         F.sum("c1").alias("s1"), F.sum("c2").alias("s2")
     )

@@ -701,7 +701,13 @@ def q103_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    lvl = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    # one materialization of the level table: the range-bucket span agg,
+    # the bucket summary, and the offset join all consume it
+    lvl = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("msize"))
+        .localCheckpoint(eager=False)
+    )
     run = with_global_runmax(
         with_range_bucket(lvl, F.col("p_retailprice"), bucket_col="__rb"),
         [],
