@@ -303,53 +303,28 @@ MG_STATE_SCHEMA = StructType(
 )
 
 
-def _mg_stream_fn(item_col: str, capacity: int, n_keys: int):
+def _mg_stream_fn(
+    item_col: str, capacity: int, n_keys: int, idle_state_ttl_ms: int
+):
     from ..operators.frequent import mg_ingest
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the event-time TTL: the key's latest snapshot
+            # was already emitted with its last data batch, so just
+            # free the state (O(capacity) per key, but dead keys would
+            # otherwise accumulate forever)
+            state.remove()
+            return
+
         counters: dict = {}
         n = dec = 0
         if state.exists:
             items, counts, n, dec = state.get
             counters = dict(zip(items, counts))
             n, dec = int(n), int(dec)
-
-        if state.hasTimedOut:
-            # watermark advanced past the armed timestamp: emit the
-            # current per-key summary snapshot, keep state, re-arm so
-            # the next watermark advance emits the next snapshot. On a
-            # bounded availableNow replay the engine's trailing flush
-            # batch fires this exactly once per key (the re-armed
-            # wm+1 timer is never reached), so the memory sink holds
-            # ONE final summary per key.
-            if counters:
-                ordered = sorted(
-                    counters.items(), key=lambda kv: (-kv[1], kv[0])
-                )
-                yield pd.DataFrame(
-                    {
-                        **{
-                            f"__k{i}": [key[i]] * len(ordered)
-                            for i in range(n_keys)
-                        },
-                        "item": [k for k, _ in ordered],
-                        "count_lb": [v for _, v in ordered],
-                        "n_processed": [n] * len(ordered),
-                        "max_err": [dec] * len(ordered),
-                    }
-                )
-            state.update(
-                (
-                    list(counters.keys()),
-                    [int(v) for v in counters.values()],
-                    n,
-                    dec,
-                )
-            )
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-            return
 
         for pdf in pdfs:
             if pdf.empty:
@@ -359,10 +334,34 @@ def _mg_stream_fn(item_col: str, capacity: int, n_keys: int):
             )
             n += dn
             dec += dd
+
+        # emit the post-batch snapshot EVERY data batch (never from a
+        # timer): emission then cannot depend on whether the watermark
+        # happens to advance again after the key's last data — the
+        # failure mode a timer-driven flush has when a replay's
+        # watermark-driving row is processed before the final data
+        # batch. Consumers keep the rows with the highest n_processed
+        # per key; the last data batch's emission IS the final summary.
+        if counters:
+            ordered = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    **{
+                        f"__k{i}": [key[i]] * len(ordered)
+                        for i in range(n_keys)
+                    },
+                    "item": [k for k, _ in ordered],
+                    "count_lb": [v for _, v in ordered],
+                    "n_processed": [n] * len(ordered),
+                    "max_err": [dec] * len(ordered),
+                }
+            )
         state.update(
             (list(counters.keys()), [int(v) for v in counters.values()], n, dec)
         )
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_state_ttl_ms
+        )
 
     return fn
 
@@ -375,11 +374,18 @@ def heavy_hitters_stream(
     capacity: int = 256,
     ts_col: str = "ts",
     watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
 ) -> DataFrame:
     """Streaming grouped approx top-k by frequency: a Misra-Gries
     summary per key maintained in keyed state (applyInPandasWithState),
-    emitting a snapshot of the per-key summary whenever the watermark
-    advances past the key's last-armed timer.
+    emitting the post-batch snapshot with EVERY data batch the key
+    receives (never from a watermark timer — a timer-driven final
+    flush silently never fires when the stream's last watermark
+    advance precedes the key's last data, e.g. a replay whose
+    sentinel file is processed before the final data file; the
+    multi-batch twin test pins this). Keys idle past
+    ``idle_state_ttl_ms`` of event time have their state dropped —
+    their last emitted snapshot is already final.
 
     Per-key state is O(capacity) — items and lower-bound counts plus
     the (n_processed, decrement) error certificate — NEVER the raw
@@ -390,13 +396,12 @@ def heavy_hitters_stream(
     > n/(capacity+1) is present in the summary, and
     true_count - count_lb ∈ [0, max_err] with max_err ≤ n/(capacity+1).
 
-    Emission contract (append mode): each emitted batch is a monotone
-    snapshot tagged with ``n_processed`` — consumers keep the row set
-    with the highest n_processed per key. On a bounded availableNow
-    replay the trailing flush batch emits exactly one final snapshot
-    per key, which is what the batch-twin test recounts against q88's
-    exact heavy hitters. Output columns: *keys, item (stringified),
-    count_lb, n_processed, max_err.
+    Emission contract (append mode): snapshots are monotone in
+    ``n_processed`` — consumers keep the row set with the highest
+    n_processed per key; the last data batch's emission IS the
+    full-stream summary, which is what the batch-twin tests recount
+    against q88's exact heavy hitters. Output columns: *keys, item
+    (stringified), count_lb, n_processed, max_err.
     """
     in_schema = events.schema
     out_schema = StructType(
@@ -416,7 +421,7 @@ def heavy_hitters_stream(
         .withWatermark(ts_col, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
-            _mg_stream_fn(item_col, capacity, len(keys)),
+            _mg_stream_fn(item_col, capacity, len(keys), idle_state_ttl_ms),
             out_schema,
             MG_STATE_SCHEMA,
             "append",

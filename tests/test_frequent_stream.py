@@ -138,6 +138,74 @@ def test_heavy_hitters_stream_per_key_independence(spark):
             assert r.max_err <= tot // (capacity + 1)
 
 
+def test_heavy_hitters_stream_multibatch_state_merge(spark):
+    """Replay with maxFilesPerTrigger=1 so the MG state is built across
+    SEVERAL micro-batches (cross-batch counter merge + intermediate
+    snapshot emissions), and check (a) snapshots are monotone in
+    n_processed, (b) the FINAL snapshot carries the full-stream
+    certificate and its candidates recount to the exact heavy hitters —
+    i.e. batch-boundary placement does not change the answer."""
+    from binance_data_ingestor_spark.operators.frequent import heavy_hitters
+    from binance_data_ingestor_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    capacity = 64
+    min_share = 1.0 / (capacity // 2)
+    static, _, work = _token_stream_replay(spark, F.lit("all"))
+    stream = (
+        spark.readStream.schema("grp string, token string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    out = heavy_hitters_stream(
+        stream, ["grp"], "token", capacity=capacity, watermark="30 minutes"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hh_multibatch")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_mb")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = (
+        spark.table("hh_multibatch").filter(F.col("grp") == "all").collect()
+    )
+    assert rows
+    true_counts = {
+        r.token: r.cnt
+        for r in static.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    tot = sum(true_counts.values())
+    snap_totals = sorted({r.n_processed for r in rows})
+    assert snap_totals[-1] == tot  # final snapshot saw every token
+    final = [r for r in rows if r.n_processed == tot]
+    for r in final:
+        t = true_counts.get(r.item, 0)
+        assert r.count_lb <= t <= r.count_lb + r.max_err
+        assert r.max_err <= tot // (capacity + 1)
+    cand = {r.item for r in final}
+    got = sorted(
+        (k, true_counts[k])
+        for k in cand
+        if true_counts[k] >= tot * min_share
+    )
+    expected = sorted(
+        (r.token, r.cnt)
+        for r in heavy_hitters(
+            static.select("token"), "token", min_share
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_mg_ingest_certificate_randomized():
     import random
 
