@@ -370,8 +370,12 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compared at cent granularity so the assert is immune to the last-
     # ulp float accumulation-order difference between the stream's
     # per-event fold and the batch cent-sum
-    batch = q24_sessionize(spark, sf_dir).select(
-        "user_id", "n_events", "sess_value", "sess_start", "sess_end"
+    # one materialization: the two exceptAll sides and the returned
+    # result all consume the batch twin
+    batch = (
+        q24_sessionize(spark, sf_dir)
+        .select("user_id", "n_events", "sess_value", "sess_start", "sess_end")
+        .localCheckpoint(eager=False)
     )
 
     def _cents(df: DataFrame) -> DataFrame:
