@@ -299,6 +299,102 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    df: DataFrame, *, text_col: str = "text", n_merges: int = 20
+) -> DataFrame:
+    """FULL iterative BPE tokenizer training: ``n_merges`` rounds of
+    (count adjacent symbol pairs → pick the most frequent → merge it
+    everywhere), returning the learned merge table — THE tokenizer
+    artifact: (rk, left_sym, right_sym, merged, cnt).
+
+    Scale shape (the classic BPE trick, one step of which is
+    :func:`bpe_pair_counts`): the corpus collapses ONCE to the
+    (word, freq) vocabulary — the only corpus-sized aggregation — and
+    every training round touches only the vocab table. Words are held
+    as separator-padded symbol strings (``\\x1f`` + symbols joined by
+    ``\\x1f`` + ``\\x1f``), so applying a merge is ONE codegen
+    ``replace`` of ``SEP+x+SEP+y+SEP`` with ``SEP+x+y+SEP`` — the
+    boundary separators stop a pattern from matching across symbol
+    boundaries. Merge-application semantics are DEFINED as this
+    left-to-right non-overlapping replace (identical in Spark, DuckDB,
+    and Python str.replace — pinned by tests/test_bpe_train.py): a
+    match consumes its trailing separator, so inside a run of ≥4
+    consecutive same-boundary symbols it skips the immediately-adjacent
+    overlapping occurrence where greedy tuple-scan BPE would take it —
+    a deterministic, engine-reproducible variant of the greedy pass
+    (real tokenizers differ in exactly this class of tie/overlap
+    handling too). Each round runs one vocab-sized pair aggregate and one
+    1-row argmax collect (bounded driver state, same class as the
+    pagerank/k-core convergence scalars); the vocab is checkpointed per
+    round (SCALING rule 3). Ties break on exact integer count DESC,
+    then (left, right) symbol strings ASC — fully deterministic, which
+    is what lets q188's DuckDB oracle replay the identical 20 rounds
+    unrolled and hash-match the merge table.
+    """
+    spark = df.sparkSession
+    t = F.col(text_col)
+    words = df.select(F.explode(F.split(t, " ")).alias("w")).filter(
+        (F.length("w") > 0) & (~F.col("w").contains(BPE_SEP))
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    # the training loop runs 2·n_merges vocab-sized jobs: repartition
+    # the vocab once (a vocab-sized shuffle — coalesce would instead
+    # cap the corpus-sized aggregation's own parallelism) so per-round
+    # task-launch overhead doesn't dominate the rounds; 8 partitions
+    # cover millions of words
+    cur = (
+        vocab.repartition(8)
+        .select(
+            F.concat(
+                F.lit(BPE_SEP), F.regexp_replace("w", "(.)", "$1" + BPE_SEP)
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # split(s, SEP) on the padded string yields ["", sym1…symk, ""]
+    # (1-based element_at positions 2…k+1); adjacent pairs live at
+    # (i, i+1) for i in 2…k. The size guard matters: Spark's
+    # sequence(2, 1) DESCENDS instead of being empty.
+    pair_expr = (
+        "CASE WHEN size(split(s, '{sep}')) >= 4 THEN "
+        "transform(sequence(2, size(split(s, '{sep}')) - 2), "
+        "i -> struct(element_at(split(s, '{sep}'), i) AS x, "
+        "element_at(split(s, '{sep}'), i + 1) AS y)) "
+        "ELSE array() END"
+    ).format(sep=BPE_SEP)
+
+    merges: list[tuple] = []
+    for rk in range(1, n_merges + 1):
+        best = (
+            cur.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, cnt = best[0]["x"], best[0]["y"], best[0]["cnt"]
+        merges.append((rk, x, y, x + y, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + x + BPE_SEP + y + BPE_SEP),
+                F.lit(BPE_SEP + x + y + BPE_SEP),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rk int, left_sym string, right_sym string, merged string, cnt long"
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame, *, text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

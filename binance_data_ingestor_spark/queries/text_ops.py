@@ -2255,6 +2255,68 @@ SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# q188 — FULL iterative BPE tokenizer training, hash-certified: 20
+# rounds of count-pairs → argmax → merge over the collapsed (word,
+# freq) vocabulary (operators/text.bpe_train — corpus touched exactly
+# once; every round is vocab-sized). The DuckDB oracle UNROLLS the
+# identical 20 rounds as chained CTEs from the same padded-symbol
+# representation, so the hash gate certifies the whole training
+# trajectory — every argmax decision and every merge application —
+# not just one step (q164) or the final counts. Extends the certified
+# iterative-training family (q67's µ-grid Lloyd) to text. Exact
+# integer counts; ties break (cnt DESC, left ASC, right ASC);
+# left-to-right non-overlapping replace on the separator-padded
+# string is the merge semantics on BOTH engines by construction.
+# --------------------------------------------------------------------------
+BPE_N_MERGES = 20
+
+
+def q188_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
+
+
+def _bpe_train_sql(n: int) -> str:
+    # Every v{i} is referenced TWICE (by p{i+1} and v{i+1}); without
+    # MATERIALIZED, DuckDB inlines CTEs and the 20-level chain expands
+    # 2^20 scans of the base parquet ("too many open files").
+    s = """
+WITH w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 AND NOT contains(w, chr(31))
+  GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s,
+         freq
+  FROM w0)"""
+    for i in range(1, n + 1):
+        s += f""",
+p{i} AS (
+  SELECT pr.x AS x, pr.y AS y, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(s, chr(31)) AS a, freq FROM v{i - 1}) t,
+       LATERAL (SELECT unnest(list_transform(generate_series(2, len(a) - 2),
+                j -> struct_pack(x := a[j], y := a[j + 1]))) AS pr) u
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT replace(s, chr(31) || x || chr(31) || y || chr(31),
+                 chr(31) || x || y || chr(31)) AS s, freq
+  FROM v{i - 1} CROSS JOIN b{i})"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rk, x AS left_sym, y AS right_sym,"
+        f" x || y AS merged, cnt FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return s + "\n" + rows
+
+
+Q188_SQL = _bpe_train_sql(BPE_N_MERGES)
+
+
+# --------------------------------------------------------------------------
 # q183 — deterministic epoch shuffle + striped shard layout: the
 # training-order primitive. Every epoch the corpus must be re-ordered
 # pseudorandomly but REPRODUCIBLY (resume-from-step, multi-worker
@@ -2358,6 +2420,7 @@ QUERIES = {
     "q161_quality_representative": q161_quality_representative,
     "q144_dup_spans": q144_dup_spans,
     "q164_bpe_merge_step": q164_bpe_merge_step,
+    "q188_bpe_train": q188_bpe_train,
 }
 
 ORACLES = {
@@ -2402,4 +2465,5 @@ ORACLES = {
     "q161_quality_representative": Q161_SQL,
     "q144_dup_spans": Q144_SQL,
     "q164_bpe_merge_step": Q164_SQL,
+    "q188_bpe_train": Q188_SQL,
 }

@@ -1,0 +1,80 @@
+"""bpe_train vs a pure-Python reference of the same defined scheme:
+each round counts adjacent symbol pairs corpus-weighted, picks the
+(cnt DESC, left ASC, right ASC) argmax, and applies it as a
+separator-padded string REPLACE — the exact semantics both engines
+implement (Python str.replace shares them), which differs from greedy
+tuple-scan BPE only inside runs of ≥4 same-boundary symbols (the
+replace's consumed trailing separator skips the immediately-adjacent
+overlapping occurrence; the fixture's 'aaaa' word exercises this).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+SEP = "\x1f"
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    vocab: dict[tuple, int] = {}
+    for w, f in word_freqs.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + f
+    merges = []
+    for rk in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (x, y), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rk, x, y, x + y, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            padded = SEP + SEP.join(syms) + SEP
+            merged = padded.replace(
+                SEP + x + SEP + y + SEP, SEP + x + y + SEP
+            )
+            key = tuple(s for s in merged.split(SEP) if s)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@pytest.mark.parametrize("n_merges", [5, 12])
+def test_bpe_train_matches_reference(spark, n_merges):
+    from binance_data_ingestor_spark.operators.text import bpe_train
+
+    docs = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "widest aaaa aaaa aa a banana banana bandana",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [
+        (r.rk, r.left_sym, r.right_sym, r.merged, r.cnt)
+        for r in bpe_train(df, n_merges=n_merges).orderBy("rk").collect()
+    ]
+    freqs: Counter = Counter(w for d in docs for w in d.split(" ") if w)
+    assert got == _ref_bpe(dict(freqs), n_merges)
+
+
+def test_bpe_train_single_char_and_empty_words(spark):
+    from binance_data_ingestor_spark.operators.text import bpe_train
+
+    # single-char words contribute no pairs; empty splits are dropped
+    df = spark.createDataFrame(
+        [("a b c  d",), ("ab ab",)], "text string"
+    )
+    got = bpe_train(df, n_merges=3).orderBy("rk").collect()
+    # only one mergeable pair exists ('a','b') ×2; after merging it no
+    # pairs remain, so training stops early
+    assert [(r.rk, r.left_sym, r.right_sym, r.cnt) for r in got] == [
+        (1, "a", "b", 2)
+    ]
