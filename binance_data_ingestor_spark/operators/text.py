@@ -395,6 +395,34 @@ def bpe_train(
     )
 
 
+def bpe_word_tokens(
+    words_df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    word_col: str = "w",
+    out_col: str = "w_tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge list (rank order) to a word column and
+    attach the resulting token count — the ENCODE side of
+    :func:`bpe_train`, with byte-identical merge semantics: the same
+    separator-padded representation and the same single left-to-right
+    ``replace`` per merge, folded into ONE codegen expression chain (no
+    Python in the path). Run it on the DISTINCT word table and join
+    back: encoding cost is vocab-sized, not corpus-sized.
+    """
+    s = F.concat(
+        F.lit(BPE_SEP), F.regexp_replace(word_col, "(.)", "$1" + BPE_SEP)
+    )
+    for x, y in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_SEP + x + BPE_SEP + y + BPE_SEP),
+            F.lit(BPE_SEP + x + y + BPE_SEP),
+        )
+    n_seps = F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))
+    return words_df.withColumn(out_col, (n_seps - 1).cast("long"))
+
+
 def bpe_pair_counts(
     df: DataFrame, *, text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

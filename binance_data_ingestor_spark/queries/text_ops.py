@@ -2277,10 +2277,13 @@ def q188_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
 
 
-def _bpe_train_sql(n: int) -> str:
-    # Every v{i} is referenced TWICE (by p{i+1} and v{i+1}); without
-    # MATERIALIZED, DuckDB inlines CTEs and the 20-level chain expands
-    # 2^20 scans of the base parquet ("too many open files").
+def _bpe_chain_sql(n: int) -> str:
+    # Shared by Q188 (merge table) and Q189 (encode): the unrolled
+    # n-round training chain, with the original word threaded through
+    # so the final vocab v{n} is keyed by w. Every v{i} is referenced
+    # TWICE (by p{i+1} and v{i+1}); without MATERIALIZED, DuckDB
+    # inlines CTEs and the chain expands 2^n scans of the base parquet
+    # ("too many open files").
     s = """
 WITH w0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -2288,7 +2291,8 @@ WITH w0 AS MATERIALIZED (
   WHERE len(w) > 0 AND NOT contains(w, chr(31))
   GROUP BY w),
 v0 AS MATERIALIZED (
-  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s,
+  SELECT w,
+         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s,
          freq
   FROM w0)"""
     for i in range(1, n + 1):
@@ -2302,18 +2306,72 @@ p{i} AS (
 b{i} AS MATERIALIZED (
   SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
 v{i} AS MATERIALIZED (
-  SELECT replace(s, chr(31) || x || chr(31) || y || chr(31),
+  SELECT w, replace(s, chr(31) || x || chr(31) || y || chr(31),
                  chr(31) || x || y || chr(31)) AS s, freq
   FROM v{i - 1} CROSS JOIN b{i})"""
+    return s
+
+
+def _bpe_train_sql(n: int) -> str:
     rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS rk, x AS left_sym, y AS right_sym,"
         f" x || y AS merged, cnt FROM b{i}"
         for i in range(1, n + 1)
     )
-    return s + "\n" + rows
+    return _bpe_chain_sql(n) + "\n" + rows
 
 
 Q188_SQL = _bpe_train_sql(BPE_N_MERGES)
+
+
+# --------------------------------------------------------------------------
+# q189 — BPE ENCODE with the q188-trained tokenizer: apply the 20
+# learned merges (byte-identical semantics: same padded representation,
+# same single replace per merge, rank order) to the DISTINCT word
+# table — one folded codegen expression chain, vocab-sized cost — and
+# join the per-word token counts back to the corpus for per-doc BPE
+# token counts: the pretraining cost estimator every data pipeline
+# runs before a training job. The Spark side retrains via bpe_train
+# (its merge list is 20 rows of driver state, same class as the
+# codebooks); the oracle reuses the unrolled chain's final vocabulary
+# v{n}, whose symbol-string length IS the token count — so the hash
+# gate certifies train + encode end-to-end.
+# --------------------------------------------------------------------------
+def q189_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import BPE_SEP, bpe_train, bpe_word_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    merge_rows = bpe_train(docs, n_merges=BPE_N_MERGES).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
+    wtok = bpe_word_tokens(words.select("w").distinct(), merges)
+    return (
+        words.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("w_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+Q189_SQL = _bpe_chain_sql(BPE_N_MERGES) + f""",
+wtok AS (SELECT w,
+                CAST(len(s) - len(replace(s, chr(31), '')) - 1 AS BIGINT)
+                  AS w_tokens
+         FROM v{BPE_N_MERGES}),
+dw AS (SELECT doc_id, w
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+       WHERE len(w) > 0 AND NOT contains(w, chr(31)))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wtok USING (w)
+GROUP BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2421,6 +2479,7 @@ QUERIES = {
     "q144_dup_spans": q144_dup_spans,
     "q164_bpe_merge_step": q164_bpe_merge_step,
     "q188_bpe_train": q188_bpe_train,
+    "q189_bpe_encode": q189_bpe_encode,
 }
 
 ORACLES = {
@@ -2466,4 +2525,5 @@ ORACLES = {
     "q144_dup_spans": Q144_SQL,
     "q164_bpe_merge_step": Q164_SQL,
     "q188_bpe_train": Q188_SQL,
+    "q189_bpe_encode": Q189_SQL,
 }

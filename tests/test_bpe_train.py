@@ -65,6 +65,34 @@ def test_bpe_train_matches_reference(spark, n_merges):
     assert got == _ref_bpe(dict(freqs), n_merges)
 
 
+def test_bpe_word_tokens_matches_reference_encoding(spark):
+    from binance_data_ingestor_spark.operators.text import (
+        bpe_train,
+        bpe_word_tokens,
+    )
+
+    docs = [
+        "low low low low low lower lower",
+        "newest newest newest newest widest widest aaaa aa banana",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(df, n_merges=8).orderBy("rk").collect()
+    ]
+    words = sorted({w for d in docs for w in d.split(" ") if w})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.w_tokens for r in bpe_word_tokens(wdf, merges).collect()}
+
+    def encode(w):
+        s = SEP + SEP.join(w) + SEP
+        for x, y in merges:
+            s = s.replace(SEP + x + SEP + y + SEP, SEP + x + y + SEP)
+        return len([t for t in s.split(SEP) if t])
+
+    assert got == {w: encode(w) for w in words}
+
+
 def test_bpe_train_single_char_and_empty_words(spark):
     from binance_data_ingestor_spark.operators.text import bpe_train
 
