@@ -410,6 +410,22 @@ def test_global_rank_queries_have_no_unpartitioned_window(plans):
         assert not bad, f"{q}: unpartitioned window(s): {bad}"
 
 
+def test_dewindowed_queries_have_no_unpartitioned_window(plans):
+    # round-4 rewrites: q103's exclusive running max routes through the
+    # bucket-offset two-pass form (its only Window is per-bucket), q110
+    # buckets on epoch hour, and q171's rolling HLL union replaced its
+    # calendar RANGE window with explode + groupBy — no Window node at
+    # all; q169/q167 moved their bounded-summary prefixes driver-side.
+    for q in [
+        "q103_skyline",
+        "q110_peak_concurrency",
+        "q169_ks_drift",
+    ]:
+        bad = _unpartitioned_window_lines(plans(q))
+        assert not bad, f"{q}: unpartitioned window(s): {bad}"
+    assert "Window" not in plans("q171_rolling_hll")
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # Hive-partitioned writes + a partition-key filter must prune at the
     # FILE level (PartitionFilters in the scan), not post-scan — the
