@@ -93,6 +93,41 @@ def test_bpe_word_tokens_matches_reference_encoding(spark):
     assert got == {w: encode(w) for w in words}
 
 
+def test_replace_overlap_semantics_pinned_across_engines(spark, duck):
+    """The q188/q189 oracles depend on Spark replace, DuckDB replace,
+    and Python str.replace agreeing on the overlap case (a match
+    consumes its trailing separator, skipping an immediately-adjacent
+    occurrence). The sf fixtures may not contain ≥4-symbol runs, so pin
+    it directly on adversarial strings."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("a", "a", ["aaaaa", "aaaa", "aaa", "aa"]),
+        ("x", "y", ["xyxyxy", "xyxy", "yxyx"]),
+        ("ab", "c", ["?"]),  # placeholder, replaced below
+    ]
+    for x, y, words in cases:
+        pat = SEP + x + SEP + y + SEP
+        rep = SEP + x + y + SEP
+        for w in words:
+            if w == "?":
+                padded = SEP + "ab" + SEP + "c" + SEP + "ab" + SEP + "c" + SEP
+            else:
+                padded = SEP + SEP.join(w) + SEP
+            py = padded.replace(pat, rep)
+            sp = (
+                spark.range(1)
+                .select(
+                    F.replace(F.lit(padded), F.lit(pat), F.lit(rep)).alias("s")
+                )
+                .collect()[0]["s"]
+            )
+            dk = duck.execute(
+                "SELECT replace(?, ?, ?)", [padded, pat, rep]
+            ).fetchone()[0]
+            assert sp == py == dk, (x, y, w, py, sp, dk)
+
+
 def test_bpe_train_single_char_and_empty_words(spark):
     from binance_data_ingestor_spark.operators.text import bpe_train
 
