@@ -15,7 +15,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # vector math (similarity search)
-from ..operators.similarity import cosine, dot, hyperplanes, sign_lsh_bucket  # noqa: F401
+from ..operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+    hyperplanes,
+    pca_project,
+    sign_lsh_bucket,
+)
 
 # text analysis
 from ..operators.text import (  # noqa: F401

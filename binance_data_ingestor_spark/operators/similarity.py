@@ -1096,6 +1096,64 @@ def hard_negative_topk(
     )
 
 
+def pca_project(
+    df: DataFrame,
+    *,
+    k: int = 2,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project the first ``dims`` embedding coordinates onto their top-k
+    principal components — the consumer of q92's covariance sufficient
+    statistic.
+
+    Scale shape: mean and covariance reduce in ONE distributed pass
+    (the same 36-aggregate scan q92 runs — O(dims²) driver state, like
+    the PQ codebooks); the dims×dims eigendecomposition runs
+    driver-side (numpy ``eigh`` on an 8×8 symmetric matrix — a
+    planning-time statistic, not data work); the projection itself is
+    a pure codegen expression (k dot products per row, no Python, no
+    shuffle). Components are deterministic up to sign, so each
+    eigenvector is canonicalized to make its largest-|coordinate|
+    entry positive (ties broken by lowest index); eigenvalues emit in
+    decreasing order. Returns (id_col, pc1…pck).
+    """
+    d = [
+        F.element_at(vec_col, i + 1).cast("double").alias(f"__d{i}")
+        for i in range(dims)
+    ]
+    base = df.select(F.col(id_col), *d)
+    stats = base.agg(
+        *[F.avg(f"__d{i}").alias(f"m{i}") for i in range(dims)],
+        *[
+            F.covar_pop(f"__d{i}", f"__d{j}").alias(f"c_{i}_{j}")
+            for i in range(dims)
+            for j in range(i, dims)
+        ],
+    ).collect()[0]
+    mean = np.array([stats[f"m{i}"] for i in range(dims)])
+    C = np.zeros((dims, dims))
+    for i in range(dims):
+        for j in range(i, dims):
+            C[i, j] = C[j, i] = stats[f"c_{i}_{j}"]
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(-vals)[:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        comps.append(v if v[pivot] >= 0 else -v)
+    cols = [
+        sum(
+            (F.col(f"__d{i}") - F.lit(float(mean[i]))) * F.lit(float(v[i]))
+            for i in range(dims)
+        ).alias(f"pc{c + 1}")
+        for c, v in enumerate(comps)
+    ]
+    return base.select(id_col, *cols)
+
+
 def cell_loo_knn(
     cells: DataFrame,
     *,

@@ -424,3 +424,38 @@ def test_pq_fit_micro_matches_integer_lloyds_reference(spark):
     # determinism across invocations (the cross-engine contract)
     again = pq_fit_micro(df, m=m, n_codes=n_codes, dim=dim, iters=iters, seed=5)
     assert again == got
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+    from binance_data_ingestor_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 8))
+    # give the data real anisotropy so the top components are distinct
+    base[:, 0] *= 5.0
+    base[:, 3] *= 3.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(df, k=2, dims=8).collect()
+    }
+
+    X = base - base.mean(axis=0)
+    C = np.cov(base, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals)[:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        piv = int(np.argmax(np.abs(v)))
+        comps.append(v if v[piv] >= 0 else -v)
+    ref = X @ np.column_stack(comps)
+    for i in range(len(base)):
+        assert abs(got[i][0] - ref[i, 0]) < 1e-9
+        assert abs(got[i][1] - ref[i, 1]) < 1e-9
+    # projected variance must be the top eigenvalues, in order
+    proj = np.array([got[i] for i in range(len(base))])
+    assert np.allclose(proj.var(axis=0), sorted(vals, reverse=True)[:2], rtol=1e-6)
