@@ -1226,6 +1226,81 @@ SELECT day, n_exact, CAST(1 AS BIGINT) AS hll_within_5pct FROM exact
 """
 
 
+# --------------------------------------------------------------------------
+# q190 — grouped GK-quantile SKETCH with a rank-ε certificate: the
+# quantile member of the sketch-audit family (HLL=q171, count-min=q116,
+# Misra-Gries=q88/q187). percentile_approx(accuracy=A) is the 100 TB
+# path (mergeable Greenwald-Khanna summaries, O(A·log) state — exact
+# grouped percentiles need a per-group sort); its guarantee is a RANK
+# bound — the returned element's rank is within N/A of p·N — so the
+# certificate recomputes the approx value's exact rank (one
+# broadcast-join + count pass, integer arithmetic) and emits the
+# within-bound flag. The oracle carries the exact interpolated
+# percentiles plus literal-1 flags: the hash matches only if the GK
+# guarantee actually held. At production scale the exact branch drops
+# and the sketches remain (q171's stance).
+# --------------------------------------------------------------------------
+GK_ACCURACY = 1000
+
+
+def q190_quantile_sketch_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    stats = o.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            "cents", F.array(F.lit(0.5), F.lit(0.95)), F.lit(GK_ACCURACY)
+        ).alias("ap"),
+        F.expr("percentile(cents, array(0.5D, 0.95D))").alias("ex"),
+    )
+    probes = stats.select(
+        "grp", F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a95")
+    )
+    ranks = (
+        o.join(F.broadcast(probes), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum((F.col("cents") <= F.col("a50")).cast("long")).alias("r50"),
+            F.sum((F.col("cents") <= F.col("a95")).cast("long")).alias("r95"),
+        )
+    )
+
+    def within(r, p):
+        bound = F.col("n").cast("double") / GK_ACCURACY + 1
+        return (
+            F.abs(F.col(r).cast("double") - F.lit(p) * F.col("n")) <= bound
+        ).cast("long")
+
+    return (
+        stats.join(ranks, "grp")
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("ex")[0], 6).alias("exact_p50_r"),
+            F.round(F.col("ex")[1], 6).alias("exact_p95_r"),
+            within("r50", 0.5).alias("gk_p50_within_eps"),
+            within("r95", 0.95).alias("gk_p95_within_eps"),
+        )
+    )
+
+
+Q190_SQL = """
+WITH o AS (SELECT o_orderpriority AS grp,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(cents, 0.5), 6)  AS exact_p50_r,
+       round(quantile_cont(cents, 0.95), 6) AS exact_p95_r,
+       CAST(1 AS BIGINT) AS gk_p50_within_eps,
+       CAST(1 AS BIGINT) AS gk_p95_within_eps
+FROM o GROUP BY grp
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -1245,6 +1320,7 @@ QUERIES = {
     "q162_multi_touch_attribution": q162_multi_touch_attribution,
     "q167_kaplan_meier": q167_kaplan_meier,
     "q170_gini_revenue": q170_gini_revenue,
+    "q190_quantile_sketch_certificate": q190_quantile_sketch_certificate,
     "q171_rolling_hll": q171_rolling_hll,
 }
 
@@ -1267,5 +1343,6 @@ ORACLES = {
     "q162_multi_touch_attribution": Q162_SQL,
     "q167_kaplan_meier": Q167_SQL,
     "q170_gini_revenue": Q170_SQL,
+    "q190_quantile_sketch_certificate": Q190_SQL,
     "q171_rolling_hll": Q171_SQL,
 }
