@@ -398,8 +398,18 @@ def with_global_runmax(
             .orderBy("__b")
             .rowsBetween(W.unboundedPreceding, -1)
         )
+        # Same NULL-bucket guard as _bucket_offsets' keyed path: a NULL
+        # __b would flow into the equi-join below and silently drop
+        # rows. assert_true is NULL when the condition holds, so the
+        # when() wrapper forces its (summary-sized) evaluation.
+        guard = F.assert_true(
+            F.col("__b").isNotNull(),
+            F.lit("with_global_runmax: bucket expression produced NULL"),
+        )
         offsets = sums.select(
-            *keys, "__b", F.max("__m").over(wk).alias("__offm")
+            *keys,
+            "__b",
+            F.when(guard.isNull(), F.max("__m").over(wk)).alias("__offm"),
         )
         join_hint = offsets
     else:

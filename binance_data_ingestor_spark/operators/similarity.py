@@ -1032,6 +1032,12 @@ def hard_negative_topk(
     candidate batch and keeps a per-anchor top-k, the shuffle carries
     |partitions|·|Q|·k rows), with the label-mismatch mask applied
     inside the kernel so excluded positives never leave the task.
+
+    Ranking is on 6-dp-ROUNDED cosine with ascending-id tie-break —
+    the repo-wide GEMM convention (see :func:`cell_loo_knn`): GEMM and
+    a sequential dot product differ in the last ulp, so rounding
+    before selection makes the rank order engine-independent instead
+    of relying on a fixture-specific rank-boundary margin.
     """
     q_pdf = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
@@ -1052,7 +1058,10 @@ def hard_negative_topk(
             labels = pdf["n_label"].to_numpy(dtype=np.int64)
             C = _matrix(pdf["c_vec"])
             c_norm = np.sqrt((C * C).sum(axis=1))
-            S = (Q @ C.T) / np.outer(q_norm, c_norm)
+            # round BEFORE selection (repo GEMM convention) so the rank
+            # order is engine-independent; the id tie-break below makes
+            # rounded ties deterministic
+            S = np.round((Q @ C.T) / np.outer(q_norm, c_norm), 6)
             for qi, qid in enumerate(q_ids):
                 mask = (ids != qid) & (labels != q_labels[qi])
                 row, rids, rlab = S[qi][mask], ids[mask], labels[mask]
@@ -1114,10 +1123,17 @@ def pca_project(
     driver-side (numpy ``eigh`` on an 8×8 symmetric matrix — a
     planning-time statistic, not data work); the projection itself is
     a pure codegen expression (k dot products per row, no Python, no
-    shuffle). Components are deterministic up to sign, so each
-    eigenvector is canonicalized to make its largest-|coordinate|
-    entry positive (ties broken by lowest index); eigenvalues emit in
-    decreasing order. Returns (id_col, pc1…pck).
+    shuffle). Components are deterministic up to sign — GIVEN distinct
+    top-k eigenvalues: for a (near-)degenerate eigenvalue, ``eigh``'s
+    basis for the subspace is platform-dependent and sign
+    canonicalization cannot fix a subspace rotation, so determinism is
+    guarded by an explicit relative eigen-gap check (the fixture's
+    spectrum is well-separated; a degenerate real-world spectrum should
+    project onto the whole subspace or perturb the data). Each kept
+    eigenvector is canonicalized to make its largest-|coordinate| entry
+    positive (ties broken by lowest index); eigenvalues emit in
+    decreasing order. Raises on empty input and on a degenerate top-k
+    spectrum. Returns (id_col, pc1…pck).
     """
     d = [
         F.element_at(vec_col, i + 1).cast("double").alias(f"__d{i}")
@@ -1125,6 +1141,7 @@ def pca_project(
     ]
     base = df.select(F.col(id_col), *d)
     stats = base.agg(
+        F.count("*").alias("__n"),
         *[F.avg(f"__d{i}").alias(f"m{i}") for i in range(dims)],
         *[
             F.covar_pop(f"__d{i}", f"__d{j}").alias(f"c_{i}_{j}")
@@ -1132,6 +1149,11 @@ def pca_project(
             for j in range(i, dims)
         ],
     ).collect()[0]
+    if stats["__n"] == 0:
+        raise ValueError(
+            "pca_project: input has no rows — mean/covariance are "
+            "undefined on an empty frame"
+        )
     mean = np.array([stats[f"m{i}"] for i in range(dims)])
     C = np.zeros((dims, dims))
     for i in range(dims):
@@ -1139,6 +1161,23 @@ def pca_project(
             C[i, j] = C[j, i] = stats[f"c_{i}_{j}"]
     vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
     order = np.argsort(-vals)[:k]
+    # Determinism guard: sign canonicalization only pins components
+    # whose eigenvalues are isolated. Require a relative gap between
+    # each kept eigenvalue and its nearest spectrum neighbor.
+    desc = -np.sort(-vals)
+    scale = max(float(desc[0]), 1e-300)
+    for pos in range(min(k, dims)):
+        gap = min(
+            abs(desc[pos] - desc[pos - 1]) if pos > 0 else np.inf,
+            abs(desc[pos] - desc[pos + 1]) if pos + 1 < dims else np.inf,
+        )
+        if gap / scale < 1e-9:
+            raise ValueError(
+                f"pca_project: eigenvalue {pos + 1} is (near-)degenerate "
+                f"(relative gap {gap / scale:.2e}) — component directions "
+                "in a degenerate subspace are platform-dependent; reduce "
+                "k below the degenerate block or perturb the data"
+            )
     comps = []
     for idx in order:
         v = vecs[:, idx]

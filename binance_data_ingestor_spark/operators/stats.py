@@ -139,8 +139,18 @@ def kaplan_meier(subjects: DataFrame, *, t_col: str = "t", event_col: str = "die
     from decimal import ROUND_HALF_UP, Decimal
 
     t, e = F.col(t_col), F.col(event_col)
-    km = subjects.groupBy(t.alias("t")).agg(
-        F.sum(e).cast("long").alias("d"), F.count("*").alias("c")
+    # NULL semantics, pinned BEFORE the driver-side fold (Python < and
+    # sorted() raise on None where the old SQL-window form silently
+    # NULL-propagated): a NULL duration carries no timepoint — dropped;
+    # a NULL event flag is censored-at-t — sum(e) skips it, and an
+    # all-NULL duration group's NULL sum coalesces to 0 deaths.
+    km = (
+        subjects.filter(t.isNotNull())
+        .groupBy(t.alias("t"))
+        .agg(
+            F.coalesce(F.sum(e), F.lit(0)).cast("long").alias("d"),
+            F.count("*").alias("c"),
+        )
     )
     rows = sorted(km.collect(), key=lambda r: r["t"])
     n_total = sum(r["c"] for r in rows)

@@ -1260,20 +1260,29 @@ def q190_quantile_sketch_certificate(
     probes = stats.select(
         "grp", F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a95")
     )
+    # The returned value a occupies the rank INTERVAL
+    # [count(<a)+1, count(<=a)] under duplication; GK guarantees SOME
+    # rank of a lies within ±(n/A+1) of p·n, so the certificate checks
+    # interval OVERLAP — lo ≤ p·n+bound AND hi ≥ p·n−bound. Checking
+    # only the max rank (count(<=a)) can sit outside the band when the
+    # value is heavily duplicated even though the guarantee holds.
     ranks = (
         o.join(F.broadcast(probes), "grp")
         .groupBy("grp")
         .agg(
-            F.sum((F.col("cents") <= F.col("a50")).cast("long")).alias("r50"),
-            F.sum((F.col("cents") <= F.col("a95")).cast("long")).alias("r95"),
+            F.sum((F.col("cents") < F.col("a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("cents") <= F.col("a50")).cast("long")).alias("le50"),
+            F.sum((F.col("cents") < F.col("a95")).cast("long")).alias("lt95"),
+            F.sum((F.col("cents") <= F.col("a95")).cast("long")).alias("le95"),
         )
     )
 
-    def within(r, p):
+    def within(lt, le, p):
         bound = F.col("n").cast("double") / GK_ACCURACY + 1
-        return (
-            F.abs(F.col(r).cast("double") - F.lit(p) * F.col("n")) <= bound
-        ).cast("long")
+        target = F.lit(p) * F.col("n")
+        lo_ok = (F.col(lt).cast("double") + 1) <= target + bound
+        hi_ok = F.col(le).cast("double") >= target - bound
+        return (lo_ok & hi_ok).cast("long")
 
     return (
         stats.join(ranks, "grp")
@@ -1282,8 +1291,8 @@ def q190_quantile_sketch_certificate(
             "n",
             F.round(F.col("ex")[0], 6).alias("exact_p50_r"),
             F.round(F.col("ex")[1], 6).alias("exact_p95_r"),
-            within("r50", 0.5).alias("gk_p50_within_eps"),
-            within("r95", 0.95).alias("gk_p95_within_eps"),
+            within("lt50", "le50", 0.5).alias("gk_p50_within_eps"),
+            within("lt95", "le95", 0.95).alias("gk_p95_within_eps"),
         )
     )
 

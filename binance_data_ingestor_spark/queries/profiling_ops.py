@@ -9,10 +9,14 @@ globally (the classic ntile formulation would — see q85 docstring).
 
 from __future__ import annotations
 
+import contextlib
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import hash_bucket_sql
+from ..operators.text import HEX_DIGITS, hash_bucket_sql
 from .util import load
 
 DEPTH_BINS = 10
@@ -233,7 +237,9 @@ def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1000")
         .parquet(f"{work}/in")
     )
-    name = f"q187_out_{abs(hash(work)) % 10**8}"
+    # mkdtemp's basename is unique per call and [A-Za-z0-9_] — a valid,
+    # DETERMINISTIC-per-run view name (no per-process hash randomization).
+    name = f"out_{os.path.basename(work)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -249,14 +255,32 @@ def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # availableNow must drain fully before the memory sink is read —
+        # a partial replay voids the MG retention guarantee (candidates
+        # could be missing true heavy hitters). Timeout ⇒ stop + raise,
+        # never proceed on an incomplete candidate set.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q187 streaming replay timed out after 600 s")
+        # Drain the candidate set eagerly so the memory table and the
+        # work dir (input + checkpoint) can be torn down here. Bounded
+        # collect by contract: MG retains ≤ capacity items per key and
+        # only grp='all' is kept, so this is ≤ capacity rows.
+        cand_tokens = [
+            r[0]
+            for r in spark.table(name)
+            .filter(F.col("grp") == "all")
+            .select("item")
+            .distinct()
+            .collect()
+        ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    cand = (
-        spark.table(name)
-        .filter(F.col("grp") == "all")
-        .select(F.col("item").alias("token"))
-        .distinct()
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+    cand = spark.createDataFrame(
+        [(t,) for t in cand_tokens], "token string"
     )
     counts = (
         toks.join(F.broadcast(cand), "token")
@@ -378,13 +402,20 @@ Q116_SQL = _cm_sql()
 # --------------------------------------------------------------------------
 # q129 — Poisson-bootstrap confidence interval for mean order value:
 # 32 deterministic resampling replicas, each weighting every row by a
-# Poisson(1) draw derived from md5(replica:key) — the scalable
-# bootstrap (no with-replacement shuffle, weights computed row-local,
-# one pass over a 32× expanded stream that partial aggregation
-# collapses to 32 rows before the shuffle). Replica means → p2.5/p97.5
-# quantiles + bootstrap SE. Hash-derived uniforms are engine-identical
-# (4-hex-digit md5 primitive), so every replica weight — and therefore
-# every output digit — reproduces bit-for-bit on both engines.
+# Poisson(1) draw — the scalable bootstrap (no with-replacement
+# shuffle, weights computed row-local, one pass over a 32× expanded
+# stream that partial aggregation collapses to 32 rows before the
+# shuffle). Replica means → p2.5/p97.5 quantiles + bootstrap SE.
+#
+# md5 bill (the round-4 q116 lesson, applied): the uniforms for ALL 32
+# replicas come from FOUR md5 digests per row — md5(key||':s') for
+# s∈0..3, concatenated to one 128-hex string sliced into 32 disjoint
+# 4-hex windows (replica r reads hex digits [4r, 4r+4)) — instead of
+# one md5 per (row, replica). md5 was ~80% of the query (32
+# evaluations/row, 5.45 s — slowest in the registry); disjoint slices
+# of independent digests keep the replica draws independent and
+# engine-portable, and every weight still reproduces bit-for-bit on
+# both engines (same generator emits both dialects).
 # --------------------------------------------------------------------------
 _BOOT_R = 32
 # Poisson(1) inverse-CDF thresholds (cumulative, 6 dp — literal on both
@@ -392,28 +423,46 @@ _BOOT_R = 32
 _POIS_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406]
 
 
-def _boot_weight(dialect: str) -> str:
-    u = (
-        "("
-        + hash_bucket_sql(
-            dialect, col="concat(rep, ':', o_orderkey)", mod=65536
-        )
-        + ") / 65536.0"
+def _boot_h(dialect: str) -> str:
+    """128-hex per-row digest pool: concat of ``_BOOT_R // 8`` salted md5s."""
+    stype = "STRING" if dialect == "spark" else "VARCHAR"
+    parts = ", ".join(
+        f"md5(concat(CAST(o_orderkey AS {stype}), ':{s}'))"
+        for s in range(_BOOT_R // 8)
     )
+    return f"concat({parts})"
+
+
+def _boot_u(dialect: str) -> str:
+    """Replica uniform in [0,1): 4-hex window ``rep`` of the digest pool
+    ``h`` via per-digit position lookup (the hash_bucket_sql primitive,
+    re-based onto a precomputed digest column)."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    d = [
+        f"({pos}('{HEX_DIGITS}', substring(h, rep * 4 + {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) / 65536.0"
+
+
+def _boot_w() -> str:
     branches = "".join(
-        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        f" WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
     )
     return f"CASE{branches} ELSE {len(_POIS_CDF)} END"
 
 
 def q129_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    reps = orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
-    ).selectExpr(
-        "rep", "o_totalprice", f"{_boot_weight('spark')} AS w"
+    reps = (
+        orders.selectExpr("o_totalprice", f"{_boot_h('spark')} AS h")
+        .select(
+            "o_totalprice",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+        )
+        .selectExpr("rep", "o_totalprice", f"{_boot_u('spark')} AS u")
+        .selectExpr("rep", "o_totalprice", f"{_boot_w()} AS w")
     )
     means = reps.groupBy("rep").agg(
         (
@@ -437,12 +486,17 @@ def q129_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _boot_sql() -> str:
     return f"""
-WITH reps AS (
-  SELECT unnest(range(0, {_BOOT_R})) AS rep, o_orderkey, o_totalprice
-  FROM orders
+WITH digests AS (
+  SELECT o_totalprice, {_boot_h("duckdb")} AS h FROM orders
+),
+reps AS (
+  SELECT unnest(range(0, {_BOOT_R})) AS rep, o_totalprice, h FROM digests
+),
+uniforms AS (
+  SELECT rep, o_totalprice, {_boot_u("duckdb")} AS u FROM reps
 ),
 weighted AS (
-  SELECT rep, o_totalprice, {_boot_weight("duckdb")} AS w FROM reps
+  SELECT rep, o_totalprice, {_boot_w()} AS w FROM uniforms
 ),
 means AS (
   SELECT rep, sum(w * o_totalprice) / nullif(sum(w), 0) AS m

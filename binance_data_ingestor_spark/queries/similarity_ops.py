@@ -887,7 +887,9 @@ c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
              CAST(label AS INTEGER) AS neg_label
       FROM embeddings),
 scored AS (
-  SELECT query_id, neighbor_id, neg_label, {_COS} AS cos
+  -- rank on the 6-dp-ROUNDED cosine (mirrors the operator's in-kernel
+  -- np.round-before-selection — the repo GEMM convention)
+  SELECT query_id, neighbor_id, neg_label, round({_COS}, 6) AS cos
   FROM c CROSS JOIN q
   WHERE neighbor_id != query_id AND neg_label != q_label
 ),

@@ -11,6 +11,9 @@ tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -331,7 +334,10 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1000")
         .parquet(f"{work}/in")
     )
-    name = f"q26_out_{abs(hash(work)) % 10**8}"
+    # mkdtemp's basename is unique per call and [A-Za-z0-9_] — a valid
+    # view name that is DETERMINISTIC within the run (no per-process
+    # Python hash randomization).
+    name = f"out_{os.path.basename(work)}"
     # state-store instances scale with shuffle partitions; 8 is plenty of
     # key-parallelism for this replay and cuts per-micro-batch store
     # setup 4x (a cluster deployment sizes this to executors, not 32)
@@ -347,9 +353,17 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # a partial replay would make the stream≡batch assert below
+        # compare against incomplete sessions — timeout ⇒ stop + raise
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q26 streaming replay timed out after 600 s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the input + checkpoint dirs served only the (now terminated)
+    # replay; the memory-sink view must outlive this function (the
+    # returned DataFrame reads it lazily) and is driver-held rows
+    shutil.rmtree(work, ignore_errors=True)
     # direct snapshot of the (terminated) memory sink's view — no
     # collect→createDataFrame round-trip through the driver. The view
     # name is unique per invocation, so later q26 runs can't collide
