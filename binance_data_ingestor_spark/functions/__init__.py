@@ -51,6 +51,12 @@ from ..operators.partitioning import (  # noqa: F401
 # the streaming per-key operator builds on)
 from ..operators.frequent import heavy_hitters, mg_ingest  # noqa: F401
 
+# as-of enrichment — batch (full merge_asof surface) and its streaming
+# twin (watermarked keyed-state backward as-of; see
+# streaming/asof_enrich.py for the semantics contract)
+from ..operators.asof import asof_join  # noqa: F401
+from ..streaming.asof_enrich import asof_enrich_stream  # noqa: F401
+
 # order-book / market data
 from ..sinks.redis_sink import redis_key  # noqa: F401
 

@@ -54,77 +54,77 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-4 rotation: rounds 1-3 drove cumulative certification to 127 of
-# 185 distinct names. This window converts 45 MORE first-time names
-# (cumulative → ~172) while keeping regression signal:
+# Round-5 rotation (after round 4's 50/50-green window brought
+# cumulative certification to 174/189):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - q132/q133 re-enter after round 3's only red cells: root cause was
-#     un-cast integer sums in their DuckDB oracles (HUGEINT → float64 vs
-#     Spark int64), fixed this round with CAST(sum(..) AS BIGINT); the
-#     other four latent dtype landmines (q69/q98/q101/q114) are fixed
-#     the same way and enter as first-time names;
-#   - q183-q186 are round 3's new operators (epoch shuffle, salted hot
-#     join, hard-negative mining, LOO kNN eval) — certify new surface
-#     the round after it lands;
-#   - q26 — the former rows-only streaming entry — now asserts
-#     stream≡batch in-query and carries the batch-twin oracle, so the
-#     registry is 100% oracle-backed; it sits LAST in the window (it is
-#     the slowest entry — a real Structured Streaming replay) so a
-#     runtime-budgeted cut loses it before any cheap query.
-# Deferred to round 5 (11 names, all strict-green locally, families
-# already driver-certified by siblings): q48, q55, q57, q59, q61, q62,
-# q99, q104, q113, q129, q144.
+#   - the 15 names never driver-scored in any round (q48/q55/q57/q59/
+#     q61/q62/q99/q104/q113/q129/q144 deferred from earlier windows +
+#     round 4's new q187-q190) — green here ⇒ cumulative 100%; they sit
+#     directly after the sentinels, cheapest first, so a
+#     runtime-budgeted cut cannot cost the round its goal (the
+#     expensive streaming/iterative four — q99/q187/q188/q189 — close
+#     the group). q129 enters with its new 4-digest weight derivation
+#     (new weights ⇒ new oracle — it was never certified, so no
+#     regression baseline moves);
+#   - the remaining 32 slots are AGING RE-CERTIFICATION: the round-1
+#     vintage names whose last green driver row is four rounds old,
+#     oldest certificates first (q103 was also rewritten in round 4 —
+#     de-windowed onto with_global_runmax — and has never been
+#     re-scored since). q06_rollup is the one r01 name deferred to
+#     round 6 (its A4 family stays covered in-window by q01/q05/q13).
+# Round 5's new surface (q191 streaming as-of enrichment) follows the
+# "certify the round after it lands" convention → round-6 window.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q132_decile_lift",
-    "q133_auc_ranksum",
-    "q69_repetition",
-    "q98_unigram_surprisal",
-    "q101_token_entropy",
-    "q114_chi_square",
-    "q58_pack_chunks",
-    "q68_decontaminate",
-    "q79_value_histogram",
-    "q84_block_dedup_reconstruct",
-    "q85_equidepth_bins",
-    "q86_column_profile",
-    "q87_grouped_split",
-    "q94_psi_drift",
-    "q95_winsorize",
-    "q97_negative_sampling",
-    "q100_token_mi",
-    "q102_weighted_sample",
-    "q107_rolling_distinct_users",
-    "q111_ewma",
-    "q112_max_drawdown",
-    "q115_snapshot_diff",
-    "q116_countmin",
-    "q117_bigram_surprisal",
-    "q119_incremental_agg",
-    "q120_transition_matrix",
-    "q121_funnel_timing",
-    "q128_k_anonymity",
-    "q130_ndcg_eval",
-    "q134_skew_report",
-    "q136_corr_matrix",
-    "q137_session_entry_exit",
-    "q139_event_trigrams",
-    "q140_purge_audit",
-    "q141_d7_retention",
-    "q148_concurrent_sessions",
-    "q156_windowed_funnel",
-    "q162_multi_touch_attribution",
-    "q168_benford_audit",
-    "q172_label_kappa",
-    "q175_cramers_v",
-    "q176_woe_iv",
-    "q183_epoch_shuffle",
-    "q184_salted_hot_join",
-    "q185_hard_negatives",
-    "q186_knn_label_eval",
-    "q26_stream_sessions",
+    "q48_rolling_fingerprint",
+    "q55_curation_pipeline",
+    "q57_tfidf_retrieval",
+    "q59_token_budget_mix",
+    "q61_frame_sample",
+    "q62_byte_histogram",
+    "q104_rolling_corr",
+    "q113_seasonal_backtest",
+    "q129_poisson_bootstrap",
+    "q144_dup_spans",
+    "q190_quantile_sketch_certificate",
+    "q99_pagerank",
+    "q187_stream_heavy_hitters",
+    "q188_bpe_train",
+    "q189_bpe_encode",
+    "q02_shipping_priority",
+    "q03_regional_revenue",
+    "q05_pivot_status",
+    "q07_semi_anti",
+    "q08_set_ops",
+    "q09_distinct_agg",
+    "q10_enrich_scalar",
+    "q11_global_topk",
+    "q12_percentiles",
+    "q13_cube",
+    "q14_salted_agg",
+    "q15_local_supplier_revenue",
+    "q16_approx_distinct",
+    "q17_small_qty_revenue",
+    "q18_big_orders",
+    "q19_disjunctive_revenue",
+    "q22_rolling_24h",
+    "q23_lag_lead",
+    "q28_range_join",
+    "q29_multires_rollup",
+    "q32_trades_normalize",
+    "q33_klines_normalize",
+    "q34_envelope_filter",
+    "q37_realized_vol",
+    "q103_skyline",
+    "q109_recursive_hierarchy",
+    "q122_nation_volume",
+    "q123_market_share",
+    "q125_grouping_sets",
+    "q126_window_analytics",
+    "q127_array_hof",
+    "q135_depth_weighted_mid",
 ]
 
 

@@ -636,6 +636,132 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+# --------------------------------------------------------------------------
+# q191 — REAL Structured Streaming execution of the as-of enrichment
+# (streaming/asof_enrich.asof_enrich_stream — the streaming twin of
+# J1's batch asof_join, the reference's live trades⟕book shape,
+# /root/reference/tests/test_redis-data-full.py:47-59): clicks and
+# purchases replay as TWO file streams (a sentinel click drives the
+# watermark past every real row), each click is enriched in keyed state
+# with the latest purchase at-or-before it, and the append-mode output
+# is compared against the batch asof_join twin IN-QUERY — a cent-exact
+# multiset equality assert — before the batch-certified q25-shaped
+# result is returned. Oracle = q25's DuckDB native ASOF JOIN, so the
+# hash gate certifies the whole streaming path end-to-end (q26's
+# stance: a stream/batch divergence raises instead of shipping either
+# side). tests/test_asof_stream.py additionally pins ties, tolerance,
+# and out-of-order multi-batch delivery against the batch operator.
+# --------------------------------------------------------------------------
+def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.asof_enrich import asof_enrich_stream
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) user_id,"
+        " to_timestamp('2031-01-01 00:00:00') ts,"
+        " CAST(-1 AS BIGINT) event_id, CAST(0.0 AS DOUBLE) value"
+    )
+    work = tempfile.mkdtemp(prefix="q191_")
+    clicks.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
+        f"{work}/l"
+    )
+    purchases.coalesce(4).write.mode("overwrite").parquet(f"{work}/r")
+
+    l_stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{work}/l")
+    )
+    r_stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, purchase_value double"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{work}/r")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            asof_enrich_stream(
+                l_stream,
+                r_stream,
+                on="ts",
+                by="user_id",
+                value_cols=["purchase_value"],
+                watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q191 streaming replay timed out after 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    streamed = spark.table(name).filter(F.col("user_id") >= 0)
+    # batch twin; one materialization feeds both exceptAll sides and
+    # the returned result
+    batch = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["purchase_value"],
+    ).localCheckpoint(eager=False)
+
+    def _cents(df: DataFrame) -> DataFrame:
+        # cent-granular compare: immune to any last-ulp double
+        # round-trip difference through the Arrow state path
+        return df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cv"),
+            F.round(F.col("asof_purchase_value") * 100)
+            .cast("long")
+            .alias("pv"),
+        )
+
+    n_diff = (
+        _cents(streamed).exceptAll(_cents(batch)).count()
+        + _cents(batch).exceptAll(_cents(streamed)).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q191: streaming as-of enrichment diverged from batch "
+            f"asof_join on {n_diff} rows — refusing to emit either result"
+        )
+    return batch.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("asof_purchase_value", 2).alias("last_purchase_value"),
+    )
+
+
+# q191's oracle: the batch as-of semantics (DuckDB native ASOF JOIN,
+# identical to Q25_SQL). Valid because q191 asserts stream≡batch
+# in-query and emits the batch-certified result.
+Q191_SQL = Q25_SQL
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -645,6 +771,7 @@ QUERIES = {
     "q25_asof_join": q25_asof_join,
     "q157_asof_tolerance": q157_asof_tolerance,
     "q26_stream_sessions": q26_stream_sessions,
+    "q191_stream_asof_enrich": q191_stream_asof_enrich,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
     "q29_multires_rollup": q29_multires_rollup,
@@ -658,6 +785,7 @@ ORACLES = {
     "q24_sessionize": Q24_SQL,
     "q25_asof_join": Q25_SQL,
     "q26_stream_sessions": Q26_SQL,
+    "q191_stream_asof_enrich": Q191_SQL,
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,

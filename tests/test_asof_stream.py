@@ -1,0 +1,180 @@
+"""Streaming as-of enrichment ≡ batch asof_join on identical data.
+
+The J1 story's streaming twin (SURVEY §2.5): the reference's mid-price
+consumer is conceptually a live trades⟕book as-of join; these tests
+replay a fixture through ``asof_enrich_stream`` and assert multiset
+equality with ``operators/asof.asof_join(direction="backward")`` —
+including the equal-timestamp tie rule, the tolerance NULL-out, and
+out-of-order multi-batch delivery.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from binance_data_ingestor_spark.operators.asof import asof_join
+from binance_data_ingestor_spark.queries.util import load
+from binance_data_ingestor_spark.streaming.asof_enrich import asof_enrich_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_L_SCHEMA = "user_id long, ts timestamp, value double"
+_R_SCHEMA = "user_id long, ts timestamp, ref double"
+
+
+def _fixture(spark):
+    """Facts = click/view events, state = purchase events (same users,
+    interleaved timestamps — plenty of tie/stale structure)."""
+    ev = load(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("ref")
+    )
+    return left, right
+
+
+def _sentinel(spark):
+    return spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select(
+        "user_id",
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+
+
+def _run_stream(spark, tmp_path, l_dir, r_dir, tolerance=None, max_files="1000"):
+    l_stream = (
+        spark.readStream.schema(_L_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(l_dir)
+    )
+    r_stream = (
+        spark.readStream.schema(_R_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(r_dir)
+    )
+    out = asof_enrich_stream(
+        l_stream,
+        r_stream,
+        on="ts",
+        by="user_id",
+        value_cols=["ref"],
+        tolerance=tolerance,
+        watermark="30 minutes",
+    )
+    name = f"asof_out_{tmp_path.name}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def _multiset(df):
+    return sorted(
+        (r["user_id"], r["ts"], r["value"], r["asof_ref"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("tolerance", [None, 7200.0])
+def test_asof_stream_matches_batch(spark, tmp_path, tolerance):
+    left, right = _fixture(spark)
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.unionByName(_sentinel(spark)).coalesce(1).write.parquet(l_dir)
+    right.coalesce(1).write.parquet(r_dir)
+
+    got = _run_stream(spark, tmp_path, l_dir, r_dir, tolerance=tolerance)
+    expected = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        value_cols=["ref"],
+        tolerance=tolerance,
+        direction="backward",
+    )
+    g, e = _multiset(got), _multiset(expected)
+    assert len(e) > 0
+    assert g == e
+    if tolerance is not None:
+        # the fixture must actually exercise BOTH branches
+        refs = [x[3] for x in e]
+        assert any(v is None for v in refs) and any(v is not None for v in refs)
+
+
+def test_asof_stream_ties_and_groups(spark, tmp_path):
+    """Hand fixture pinning the tie rule (state at the same instant is
+    visible) and group isolation — compared against the batch operator
+    AND literal expectations."""
+    base = "2024-01-01 00:0{m}:00"
+    left = spark.createDataFrame(
+        [
+            (1, base.format(m=0), 10.0),  # before any state -> NULL
+            (1, base.format(m=2), 11.0),  # state@2 is a tie -> 5.0
+            (1, base.format(m=5), 12.0),  # latest <=5 is state@4 -> 7.0
+            (2, base.format(m=3), 13.0),  # other group's state only
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    right = spark.createDataFrame(
+        [
+            (1, base.format(m=2), 5.0),
+            (1, base.format(m=4), 7.0),
+            (2, base.format(m=1), 9.0),
+        ],
+        "user_id long, ts string, ref double",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "ref")
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.unionByName(_sentinel(spark)).coalesce(1).write.parquet(l_dir)
+    right.coalesce(1).write.parquet(r_dir)
+
+    got = _run_stream(spark, tmp_path, l_dir, r_dir)
+    by_val = {r["value"]: r["asof_ref"] for r in got.collect()}
+    assert by_val == {10.0: None, 11.0: 5.0, 12.0: 7.0, 13.0: 9.0}
+    assert _multiset(got) == _multiset(
+        asof_join(left, right, on="ts", by="user_id", value_cols=["ref"])
+    )
+
+
+def test_asof_stream_multibatch_out_of_order(spark, tmp_path):
+    """Files delivered one per trigger, time-split so the RIGHT stream
+    lags the left by 20 minutes (inside the 30-minute watermark): state
+    rows for the (T−20m, T) window arrive AFTER the fact rows they must
+    enrich — the cross-stream reordering the keyed buffer exists for —
+    and the result must still equal batch."""
+    left, right = _fixture(spark)
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+
+    lo, hi = left.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+    r_cut = mid - __import__("datetime").timedelta(minutes=20)
+
+    left.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(l_dir)
+    left.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(l_dir)
+    _sentinel(spark).coalesce(1).write.mode("append").parquet(l_dir)
+    right.filter(F.col("ts") < F.lit(r_cut)).coalesce(1).write.parquet(r_dir)
+    right.filter(F.col("ts") >= F.lit(r_cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+
+    got = _run_stream(spark, tmp_path, l_dir, r_dir, max_files="1")
+    expected = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["ref"]
+    )
+    assert _multiset(got) == _multiset(expected)
