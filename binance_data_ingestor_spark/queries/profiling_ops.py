@@ -453,15 +453,49 @@ def _boot_w() -> str:
 
 
 def q129_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from ..operators.partitioning import fanout
+
+    # fanout FIRST (lesson 1): the single-row-group fixture scan is ONE
+    # task, and every form of this query is pure per-row CPU until the
+    # 32-row partial agg — without the fanout the md5/slice work
+    # serializes on one core (the old 32-md5 form's 5.4 s was mostly
+    # single-task time, not hash cost).
+    orders = fanout(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
+    # two bounded Generates: row → 4 salted digests → 8 four-hex slices
+    # each. Small per-row expressions at every level (1 md5, then 1
+    # substring + 1 conv) keep the projection inside whole-stage
+    # codegen; the one-shot 32-uniform array form pays interpreted-mode
+    # evaluation for the giant expression and measured 4× slower.
+    d1 = orders.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R // 8 - 1))).alias("s"),
+    ).selectExpr(
+        "o_totalprice",
+        "s",
+        "md5(concat(CAST(o_orderkey AS STRING), ':', CAST(s AS STRING))) AS h8",
+    )
     reps = (
-        orders.selectExpr("o_totalprice", f"{_boot_h('spark')} AS h")
-        .select(
+        d1.select(
             "o_totalprice",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+            "s",
+            "h8",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sl"),
         )
-        .selectExpr("rep", "o_totalprice", f"{_boot_u('spark')} AS u")
+        .selectExpr(
+            "(s * 8 + sl) AS rep",
+            "o_totalprice",
+            # integer value of the 4-hex window — engine-portable: the
+            # oracle reads the SAME window of the SAME digest via the
+            # per-digit strpos primitive (DuckDB has no conv());
+            # conv(hex4, 16, 10) ≡ the per-digit positional sum, both
+            # lowercase-hex md5 (equality also hash-proven by the
+            # oracle gate)
+            "(CAST(conv(substring(h8, sl * 4 + 1, 4), 16, 10) AS BIGINT)"
+            " / 65536.0) AS u",
+        )
         .selectExpr("rep", "o_totalprice", f"{_boot_w()} AS w")
     )
     means = reps.groupBy("rep").agg(
