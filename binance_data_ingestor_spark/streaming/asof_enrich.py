@@ -128,35 +128,39 @@ def _asof_fn(
             return
 
         # ---- ingest -------------------------------------------------
+        def _native(v, kind):
+            # numpy/pandas scalars → Python natives for state storage;
+            # a nullable int column arrives as float64+NaN in pandas —
+            # re-coerce by the DECLARED Spark kind so Long state arrays
+            # never receive floats
+            if pd.isna(v):
+                return None
+            if kind == "i":
+                return int(v)
+            if kind == "f":
+                return float(v)
+            return v.item() if hasattr(v, "item") else v
+
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if pdf.empty:
                     continue
-                ons = pdf["__on_us"].astype("int64")
-                sides = pdf["__side"].astype("int64")
-                l_cols = [pdf[f"__l_{j}"] for j in range(n_l)]
-                r_cols = [pdf[f"__r_{j}"] for j in range(n_r)]
-                def _native(v, kind):
-                    # numpy scalars → Python natives for state storage;
-                    # a nullable int column arrives as float64+NaN in
-                    # pandas — re-coerce by the DECLARED Spark kind so
-                    # Long state arrays never receive floats
-                    if pd.isna(v):
-                        return None
-                    if kind == "i":
-                        return int(v)
-                    if kind == "f":
-                        return float(v)
-                    return v.item() if hasattr(v, "item") else v
-
-                for i in range(len(pdf)):
+                # tolist() + zip, never per-cell .iat — the fold is
+                # per-key Python and this loop touches every row once
+                ons = pdf["__on_us"].astype("int64").tolist()
+                sides = pdf["__side"].astype("int64").tolist()
+                l_lists = [pdf[f"__l_{j}"].tolist() for j in range(n_l)]
+                r_lists = [pdf[f"__r_{j}"].tolist() for j in range(n_r)]
+                for row in zip(ons, sides, *l_lists, *r_lists):
                     lv = tuple(
-                        _native(c.iat[i], k) for c, k in zip(l_cols, l_kinds)
+                        _native(v, k)
+                        for v, k in zip(row[2 : 2 + n_l], l_kinds)
                     )
                     rv = tuple(
-                        _native(c.iat[i], k) for c, k in zip(r_cols, r_kinds)
+                        _native(v, k)
+                        for v, k in zip(row[2 + n_l :], r_kinds)
                     )
-                    pend.append((int(ons.iat[i]), int(sides.iat[i]), lv, rv))
+                    pend.append((row[0], row[1], lv, rv))
 
         # ---- watermark-ordered fold ---------------------------------
         # (on, side) sort with side 0 (state) before side 1 (fact):
