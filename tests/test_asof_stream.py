@@ -178,3 +178,111 @@ def test_asof_stream_multibatch_out_of_order(spark, tmp_path):
         left, right, on="ts", by="user_id", value_cols=["ref"]
     )
     assert _multiset(got) == _multiset(expected)
+
+
+def test_asof_stream_typed_value_and_payload_cols(spark, tmp_path):
+    """Integer and string value/payload columns ride through keyed
+    state intact — the '_kind' coercion paths ('i' for nullable ints
+    that pandas floats, 'o' for strings) that the double-only fixture
+    never touches."""
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 100, "a"),
+            (1, "2024-01-01 00:20:00", 200, "b"),
+            (2, "2024-01-01 00:10:00", 300, "c"),
+        ],
+        "user_id long, ts string, qty long, tag string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "qty", "tag")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:04:00", 7, "s1"),
+            (1, "2024-01-01 00:15:00", 8, "s2"),
+        ],
+        "user_id long, ts string, depth long, book string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "depth", "book")
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    sent = spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select(
+        "user_id",
+        F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("ts"),
+        F.lit(0).cast("long").alias("qty"),
+        F.lit("x").alias("tag"),
+    )
+    left.unionByName(sent).coalesce(1).write.parquet(l_dir)
+    right.coalesce(1).write.parquet(r_dir)
+
+    l_stream = spark.readStream.schema(
+        "user_id long, ts timestamp, qty long, tag string"
+    ).parquet(l_dir)
+    r_stream = spark.readStream.schema(
+        "user_id long, ts timestamp, depth long, book string"
+    ).parquet(r_dir)
+    out = asof_enrich_stream(
+        l_stream, r_stream, on="ts", by="user_id",
+        value_cols=["depth", "book"], watermark="30 minutes",
+    )
+    name = f"asof_typed_{tmp_path.name}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    rows = {
+        (r["user_id"], r["qty"]): (r["tag"], r["asof_depth"], r["asof_book"])
+        for r in spark.table(name).filter(F.col("user_id") >= 0).collect()
+    }
+    assert rows == {
+        (1, 100): ("a", 7, "s1"),     # latest <= 00:05 is s1
+        (1, 200): ("b", 8, "s2"),     # latest <= 00:20 is s2
+        (2, 300): ("c", None, None),  # no state for user 2
+    }
+    # dtype integrity: longs stay longs through state
+    schema = dict(spark.table(name).dtypes)
+    assert schema["qty"] == "bigint" and schema["asof_depth"] == "bigint"
+
+
+@pytest.mark.parametrize("seed", [7, 101])
+def test_asof_stream_randomized_matches_batch(spark, tmp_path, seed):
+    """Randomized replay: arbitrary interleaved fact/state rows across
+    a handful of keys (including same-timestamp ties within and across
+    sides) must match the batch operator as a multiset."""
+    import random
+
+    rng = random.Random(seed)
+    base_s = 1_700_000_000
+    lrows, rrows = [], []
+    for _ in range(300):
+        uid = rng.randrange(6)
+        t = base_s + rng.randrange(0, 3600) * 60  # minute grid => ties
+        if rng.random() < 0.5:
+            lrows.append((uid, t, round(rng.uniform(0, 100), 2)))
+        else:
+            rrows.append((uid, t, round(rng.uniform(0, 100), 2)))
+    # dedupe right rows on (uid, t): multiple state rows at the SAME
+    # instant are ambiguous in BOTH engines (batch window order is
+    # nondeterministic among them) — the operator documents this
+    seen = set()
+    rrows = [
+        r for r in rrows if (r[0], r[1]) not in seen
+        and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(
+        lrows, "user_id long, es long, value double"
+    ).select("user_id", F.timestamp_seconds("es").alias("ts"), "value")
+    right = spark.createDataFrame(
+        rrows, "user_id long, es long, ref double"
+    ).select("user_id", F.timestamp_seconds("es").alias("ts"), "ref")
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.unionByName(_sentinel(spark)).coalesce(1).write.parquet(l_dir)
+    right.coalesce(1).write.parquet(r_dir)
+    got = _run_stream(spark, tmp_path, l_dir, r_dir, tolerance=1800.0)
+    expected = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["ref"],
+        tolerance=1800.0, direction="backward",
+    )
+    assert _multiset(got) == _multiset(expected)
