@@ -286,3 +286,71 @@ def test_asof_stream_randomized_matches_batch(spark, tmp_path, seed):
         tolerance=1800.0, direction="backward",
     )
     assert _multiset(got) == _multiset(expected)
+
+
+def test_asof_stream_checkpoint_restart(spark, tmp_path):
+    """Crash/restart durability: run 1 processes the early files and
+    terminates (availableNow); run 2 shares the CHECKPOINT, resumes
+    from the stored offsets + state store, and processes the late
+    files. The combined emissions must equal the batch as-of exactly
+    once — rows finalized in run 1 must not re-emit, and state rows
+    carried across the restart must still enrich run-2 facts."""
+    left, right = _fixture(spark)
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt = str(tmp_path / "ckpt")
+
+    lo, hi = left.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    # phase-1 files only
+    left.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(l_dir)
+    right.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(r_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery; the parquet sink resumes exactly-once via its
+        # commit manifest — the same guarantee the engine's file sinks
+        # document (SURVEY §2.6 T1)
+        l_stream = spark.readStream.schema(_L_SCHEMA).parquet(l_dir)
+        r_stream = spark.readStream.schema(_R_SCHEMA).parquet(r_dir)
+        out = asof_enrich_stream(
+            l_stream, r_stream, on="ts", by="user_id",
+            value_cols=["ref"], watermark="30 minutes",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+        return [
+            (r["user_id"], r["ts"], r["value"], r["asof_ref"])
+            for r in spark.read.parquet(out_dir)
+            .filter(F.col("user_id") >= 0)
+            .collect()
+        ]
+
+    rows1 = run()
+
+    # "crash" happened here; late files (+ sentinel) land, new query
+    # resumes from the same checkpoint
+    left.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(l_dir)
+    _sentinel(spark).coalesce(1).write.mode("append").parquet(l_dir)
+    right.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+    rows_all = run()
+
+    expected = _multiset(
+        asof_join(left, right, on="ts", by="user_id", value_cols=["ref"])
+    )
+    assert sorted(rows_all) == expected        # exactly once, state carried
+    assert 0 < len(rows1) < len(rows_all)      # both phases emitted
