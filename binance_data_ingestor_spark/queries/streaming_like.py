@@ -762,6 +762,127 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q191_SQL = Q25_SQL
 
 
+# --------------------------------------------------------------------------
+# q192 — REAL Structured Streaming execution of the NATIVE kline
+# aggregation (A1, operators/klines.klines_from_trades — the windowed
+# OHLCV the reference outsources to the exchange,
+# /root/reference/binance-di.py:56-67): the events table is mapped to
+# the typed trade contract (symbol=event_type, trade_time=epoch-ms,
+# price=value, quantity=1), replayed as a file stream with a sentinel
+# symbol driving the watermark past every window, aggregated by the
+# SAME klines_from_trades the batch path uses (watermarked streaming
+# window agg, append mode = closed klines), and compared against the
+# batch twin IN-QUERY at cent granularity before the batch-certified
+# result is returned against an independent DuckDB oracle. This
+# upgrades A1's streaming evidence from replay-pytest to
+# driver-hash-certified, the q26/q191 stance. Determinism note:
+# (event_type, epoch-ms) is unique at every driver SF (checked), and
+# the sf1 derived data's replicated timestamps carry identical values,
+# so the min_by/max_by open/close picks are tie-safe on all fixtures.
+# --------------------------------------------------------------------------
+def q192_stream_klines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.klines import klines_from_trades
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        F.unix_millis("ts").alias("trade_time"),
+        F.col("value").alias("price"),
+        F.lit(1.0).alias("quantity"),
+    )
+    sentinel = spark.sql(
+        "SELECT '__wm__' symbol,"
+        " unix_millis(to_timestamp('2031-01-01 00:00:00')) trade_time,"
+        " CAST(0.0 AS DOUBLE) price, CAST(0.0 AS DOUBLE) quantity"
+    )
+    work = tempfile.mkdtemp(prefix="q192_")
+    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
+        f"{work}/in"
+    )
+    stream = (
+        spark.readStream.schema(
+            "symbol string, trade_time long, price double, quantity double"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{work}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            klines_from_trades(stream, "1h", watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q192 streaming replay timed out after 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            "symbol",
+            "kline_start_time",
+            F.round(F.col("open_price").cast("double"), 2).alias("open_r"),
+            F.round(F.col("high_price").cast("double"), 2).alias("high_r"),
+            F.round(F.col("low_price").cast("double"), 2).alias("low_r"),
+            F.round(F.col("close_price").cast("double"), 2).alias("close_r"),
+            F.col("number_of_trades").alias("n_trades"),
+            F.round("quote_asset_volume", 2).alias("quote_r"),
+        )
+
+    streamed = _shape(spark.table(name).filter(F.col("symbol") != "__wm__"))
+    batch = _shape(klines_from_trades(ev, "1h")).localCheckpoint(eager=False)
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            "symbol",
+            "kline_start_time",
+            *[
+                F.round(F.col(c) * 100).cast("long").alias(c)
+                for c in ("open_r", "high_r", "low_r", "close_r", "quote_r")
+            ],
+            "n_trades",
+        )
+
+    n_diff = (
+        _cents(streamed).exceptAll(_cents(batch)).count()
+        + _cents(batch).exceptAll(_cents(streamed)).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q192: streaming kline aggregation diverged from batch twin "
+            f"on {n_diff} window rows — refusing to emit either result"
+        )
+    return batch
+
+
+# q192's oracle: the tumbling-OHLCV semantics computed independently in
+# DuckDB (q21's shape on the trade-contract mapping). Valid because
+# q192 asserts stream≡batch in-query and emits the batch-certified
+# result.
+Q192_SQL = """
+SELECT event_type AS symbol,
+       epoch_ms(date_trunc('hour', ts)) AS kline_start_time,
+       round(arg_min(value, ts), 2) AS open_r,
+       round(max(value), 2)         AS high_r,
+       round(min(value), 2)         AS low_r,
+       round(arg_max(value, ts), 2) AS close_r,
+       count(*)                     AS n_trades,
+       round(sum(value), 2)         AS quote_r
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -772,6 +893,7 @@ QUERIES = {
     "q157_asof_tolerance": q157_asof_tolerance,
     "q26_stream_sessions": q26_stream_sessions,
     "q191_stream_asof_enrich": q191_stream_asof_enrich,
+    "q192_stream_klines": q192_stream_klines,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
     "q29_multires_rollup": q29_multires_rollup,
@@ -786,6 +908,7 @@ ORACLES = {
     "q25_asof_join": Q25_SQL,
     "q26_stream_sessions": Q26_SQL,
     "q191_stream_asof_enrich": Q191_SQL,
+    "q192_stream_klines": Q192_SQL,
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,
