@@ -214,6 +214,7 @@ def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.stateful import heavy_hitters_stream
+    from .util import replay_input
 
     capacity = max(int(2.0 / HH_MIN_SHARE), 16)
     toks = (
@@ -228,14 +229,22 @@ def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = spark.sql(
         "SELECT '__wm__' grp, 'x' token, to_timestamp('2031-01-01') ts"
     )
-    work = tempfile.mkdtemp(prefix="q187_")
-    base.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
-        f"{work}/in"
+    # input parquet memoized per (session, sf); the checkpoint below is
+    # fresh per invocation (a reused checkpoint would resume, not replay)
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q187",
+        lambda w: base.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
     )
+    work = tempfile.mkdtemp(prefix="q187_")
     stream = (
         spark.readStream.schema("grp string, token string, ts timestamp")
         .option("maxFilesPerTrigger", "1000")
-        .parquet(f"{work}/in")
+        .parquet(f"{data}/in")
     )
     # mkdtemp's basename is unique per call and [A-Za-z0-9_] — a valid,
     # DETERMINISTIC-per-run view name (no per-process hash randomization).

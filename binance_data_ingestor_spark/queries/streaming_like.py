@@ -313,14 +313,26 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.stateful import sessionize_stream
+    from .util import replay_input
 
-    work = tempfile.mkdtemp(prefix="q26_")
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     sentinel = spark.sql(
         "SELECT CAST(-1 AS BIGINT) user_id,"
         " to_timestamp('2031-01-01 00:00:00') ts, CAST(0.0 AS DOUBLE) value"
     )
-    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    # input parquet memoized per (session, sf) — the checkpoint below
+    # is fresh per invocation (a reused checkpoint would resume, not
+    # replay)
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q26",
+        lambda w: ev.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q26_")
 
     # one data micro-batch (all files at once), then the engine's own
     # trailing flush batch: after the data batch the watermark sits past
@@ -332,7 +344,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", "1000")
-        .parquet(f"{work}/in")
+        .parquet(f"{data}/in")
     )
     # mkdtemp's basename is unique per call and [A-Za-z0-9_] — a valid
     # view name that is DETERMINISTIC within the run (no per-process
@@ -360,9 +372,10 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("q26 streaming replay timed out after 600 s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # the input + checkpoint dirs served only the (now terminated)
-    # replay; the memory-sink view must outlive this function (the
-    # returned DataFrame reads it lazily) and is driver-held rows
+    # the checkpoint dir served only the (now terminated) replay; the
+    # memoized input dir is session-lived (atexit-cleaned); the
+    # memory-sink view must outlive this function (the returned
+    # DataFrame reads it lazily) and is driver-held rows
     shutil.rmtree(work, ignore_errors=True)
     # direct snapshot of the (terminated) memory sink's view — no
     # collect→createDataFrame round-trip through the driver. The view
@@ -656,6 +669,7 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.asof_enrich import asof_enrich_stream
+    from .util import replay_input
 
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -669,25 +683,29 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         " to_timestamp('2031-01-01 00:00:00') ts,"
         " CAST(-1 AS BIGINT) event_id, CAST(0.0 AS DOUBLE) value"
     )
+
+    def _write(w: str) -> None:
+        clicks.unionByName(sentinel).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{w}/l")
+        purchases.coalesce(4).write.mode("overwrite").parquet(f"{w}/r")
+
+    data = replay_input(spark, sf_dir, "q191", _write)
     work = tempfile.mkdtemp(prefix="q191_")
-    clicks.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
-        f"{work}/l"
-    )
-    purchases.coalesce(4).write.mode("overwrite").parquet(f"{work}/r")
 
     l_stream = (
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, value double"
         )
         .option("maxFilesPerTrigger", "1000")
-        .parquet(f"{work}/l")
+        .parquet(f"{data}/l")
     )
     r_stream = (
         spark.readStream.schema(
             "user_id long, ts timestamp, purchase_value double"
         )
         .option("maxFilesPerTrigger", "1000")
-        .parquet(f"{work}/r")
+        .parquet(f"{data}/r")
     )
     name = f"out_{os.path.basename(work)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -784,6 +802,7 @@ def q192_stream_klines(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.klines import klines_from_trades
+    from .util import replay_input
 
     ev = load(spark, sf_dir, "events").select(
         F.col("event_type").alias("symbol"),
@@ -796,16 +815,22 @@ def q192_stream_klines(spark: SparkSession, sf_dir: str) -> DataFrame:
         " unix_millis(to_timestamp('2031-01-01 00:00:00')) trade_time,"
         " CAST(0.0 AS DOUBLE) price, CAST(0.0 AS DOUBLE) quantity"
     )
-    work = tempfile.mkdtemp(prefix="q192_")
-    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
-        f"{work}/in"
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q192",
+        lambda w: ev.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
     )
+    work = tempfile.mkdtemp(prefix="q192_")
     stream = (
         spark.readStream.schema(
             "symbol string, trade_time long, price double, quantity double"
         )
         .option("maxFilesPerTrigger", "1000")
-        .parquet(f"{work}/in")
+        .parquet(f"{data}/in")
     )
     name = f"out_{os.path.basename(work)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

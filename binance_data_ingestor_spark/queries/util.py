@@ -100,3 +100,30 @@ def copurchase_pairs(
     _COPURCHASE_CACHE.clear()
     _COPURCHASE_CACHE[key] = (baskets, pairs)
     return baskets, pairs
+
+
+# ---------------------------------------------------------------------------
+# Shared replay-input artifact for the streaming certification queries
+# (q26 / q187 / q191 / q192). Each replays a fixture-derived dataset as
+# a file stream; the INPUT parquet is a pure function of (sf_dir,
+# query), so within one session it is written once and reused across
+# invocations (bench's min-of-2, repeated certification runs). The
+# CHECKPOINT is deliberately NOT shared — reusing a checkpoint would
+# RESUME from stored offsets instead of replaying. Dirs are removed at
+# process exit (atexit), mirroring the rmtree the per-invocation path
+# used to do inline.
+# ---------------------------------------------------------------------------
+def replay_input(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Memoized work dir whose contents ``build(work_dir)`` wrote —
+    keyed per (session, sf_dir, query name). Returns the dir path."""
+    import atexit
+    import shutil
+    import tempfile
+
+    def _build() -> str:
+        work = tempfile.mkdtemp(prefix=f"replay_{name}_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        build(work)
+        return work
+
+    return session_artifact(spark, ("replay_input", sf_dir, name), _build)
