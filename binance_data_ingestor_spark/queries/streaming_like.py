@@ -908,6 +908,92 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+# --------------------------------------------------------------------------
+# q193 — REAL Structured Streaming execution of the 24 h ROLLING
+# analytics (A2, the exchange-computed sliding ticker aggregate the
+# reference consumes, /root/reference/binance-di.py:35-41): the events
+# stream replays through streaming/stateful.rolling_window_stream —
+# per-event trailing RANGE-frame sum/count/max emitted exactly once
+# when the watermark proves the frame complete — and the emitted rows
+# are certified DIRECTLY against q22's DuckDB oracle (no batch twin
+# needed: the hash gate compares the streaming computation itself to
+# an independent engine). This completes the A1/A2 pair: both exchange-
+# outsourced aggregates now run natively in streaming with driver-hash
+# certification (q192 = tumbling, q193 = rolling). Display rounding is
+# F.round on the raw emitted sums — the exact expression q22 certifies.
+# --------------------------------------------------------------------------
+def q193_stream_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import rolling_window_stream
+    from .util import replay_input
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    sentinel = spark.sql(
+        "SELECT '__wm__' event_type, to_timestamp('2031-01-01') ts,"
+        " CAST(-1 AS BIGINT) event_id, CAST(0.0 AS DOUBLE) value"
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q193",
+        lambda w: ev.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q193_")
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rolling_window_stream(
+                stream,
+                key_col="event_type",
+                window_sec=86_400,
+                watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q193 streaming replay timed out after 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("key") != "__wm__")
+        .select(
+            "event_id",
+            F.col("key").alias("event_type"),
+            F.round("rolling_sum", 2).alias("rolling_sum_24h"),
+            F.col("rolling_n").alias("rolling_n_24h"),
+            F.round("rolling_max", 2).alias("rolling_max_24h"),
+        )
+    )
+
+
+# q193's oracle IS q22's: the streaming emission is hash-compared
+# directly against the independent batch SQL.
+Q193_SQL = Q22_SQL
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -919,6 +1005,7 @@ QUERIES = {
     "q26_stream_sessions": q26_stream_sessions,
     "q191_stream_asof_enrich": q191_stream_asof_enrich,
     "q192_stream_klines": q192_stream_klines,
+    "q193_stream_rolling_24h": q193_stream_rolling_24h,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
     "q29_multires_rollup": q29_multires_rollup,
@@ -934,6 +1021,7 @@ ORACLES = {
     "q26_stream_sessions": Q26_SQL,
     "q191_stream_asof_enrich": Q191_SQL,
     "q192_stream_klines": Q192_SQL,
+    "q193_stream_rolling_24h": Q193_SQL,
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,

@@ -563,3 +563,203 @@ def transition_counts_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ROLLING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("rolling_sum", DoubleType()),
+        StructField("rolling_n", LongType()),
+        StructField("rolling_max", DoubleType()),
+    ]
+)
+
+# state: (last emission watermark in sec, buffered sec[], event_id[],
+# value[]) — the buffer holds every event still inside the trailing
+# window of any not-yet-finalized event, i.e. [wm - window, ∞)
+ROLLING_STATE_SCHEMA = StructType(
+    [
+        StructField("last_wm_sec", LongType()),
+        StructField("buf_sec", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _rolling_fn(window_sec: int, idle_state_ttl_ms: int):
+    import numpy as np
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        last_wm = 0
+        buf_sec: list[int] = []
+        buf_id: list[int] = []
+        buf_val: list[float] = []
+        if state.exists:
+            lw, bs, bi, bv = state.get
+            last_wm = int(lw)
+            buf_sec, buf_id, buf_val = list(bs), list(bi), list(bv)
+
+        if state.hasTimedOut and not buf_sec:
+            state.remove()
+            return
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                secs = (
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                    // 1_000_000
+                )
+                buf_sec.extend(secs.tolist())
+                buf_id.extend(pdf["event_id"].astype("int64").tolist())
+                buf_val.extend(pdf["value"].astype("float64").tolist())
+
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        # sort once by (sec, event_id) — the frame is RANGE-based so
+        # intra-second order doesn't change any window's CONTENT; the
+        # id tie-break just makes the fold order deterministic
+        order = sorted(range(len(buf_sec)), key=lambda i: (buf_sec[i], buf_id[i]))
+        secs = np.array([buf_sec[i] for i in order], dtype=np.int64)
+        ids = np.array([buf_id[i] for i in order], dtype=np.int64)
+        vals = np.array([buf_val[i] for i in order], dtype=np.float64)
+
+        # finalize events with last_wm <= sec < wm (RANGE frame
+        # [sec - window, sec] is complete once the watermark passes sec)
+        emit_mask = (secs >= last_wm) & (secs < wm_sec)
+        out = None
+        if emit_mask.any():
+            starts = np.searchsorted(secs, secs - window_sec, side="left")
+            csum = np.concatenate(([0.0], np.cumsum(vals)))
+            # ends: frame includes ALL rows with the same sec (RANGE,
+            # not ROWS) — right boundary is the last index with sec<=s
+            ends = np.searchsorted(secs, secs, side="right")
+            sums = csum[ends] - csum[starts]
+            ns = ends - starts
+            # sliding max over variable-width windows: monotonic deque
+            maxs = np.empty(len(secs), dtype=np.float64)
+            from collections import deque
+
+            dq: deque = deque()  # indices, values decreasing
+            j = 0
+            for k in range(len(secs)):
+                while j < ends[k]:
+                    while dq and vals[dq[-1]] <= vals[j]:
+                        dq.pop()
+                    dq.append(j)
+                    j += 1
+                while dq and dq[0] < starts[k]:
+                    dq.popleft()
+                maxs[k] = vals[dq[0]]
+            m = emit_mask
+            out = pd.DataFrame(
+                {
+                    "key": [str(grp)] * int(m.sum()),
+                    "event_id": ids[m],
+                    # raw, unrounded — display rounding belongs to
+                    # the consumer (q193 applies F.round, the exact
+                    # expression q22's oracle certifies)
+                    "rolling_sum": sums[m],
+                    "rolling_n": ns[m].astype(np.int64),
+                    "rolling_max": maxs[m],
+                }
+            )
+
+        # retain: context for future events = everything with
+        # sec >= wm - window (an event at u is inside the frame of
+        # events up to u + window)
+        keep = secs >= (wm_sec - window_sec)
+        n_keep = int(keep.sum())
+        # last_wm is the re-emission guard for CONTEXT rows (already
+        # emitted but still inside a future event's frame) — needed
+        # exactly while the buffer is non-empty; an empty buffer can
+        # drop state entirely (a later event starts fresh with
+        # last_wm=0 and no old rows to re-emit)
+        if n_keep:
+            state.update(
+                (
+                    max(last_wm, wm_sec),
+                    secs[keep].tolist(),
+                    ids[keep].tolist(),
+                    vals[keep].tolist(),
+                )
+            )
+            held_future = secs[secs >= wm_sec]
+            if len(held_future):
+                state.setTimeoutTimestamp(
+                    max(
+                        int(held_future.min()) * 1000 + 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            else:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + idle_state_ttl_ms
+                )
+        else:
+            state.remove()
+
+        if out is not None and len(out):
+            yield out
+
+    return fn
+
+
+def rolling_window_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_sec: int = 86_400,
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming per-event trailing-window analytics — the streaming
+    twin of the 24 h rolling ticker stats (SURVEY §2.4 A2, the
+    exchange-computed sliding aggregate the reference consumes,
+    `/root/reference/binance-di.py:35-41`): for every event, the sum /
+    count / max over the RANGE frame ``[t - window_sec, t]`` within its
+    key, emitted exactly once when the watermark proves the frame
+    complete (no event ≤ t can still arrive).
+
+    Mechanics: events buffer in keyed state; each batch sorts the
+    buffer once and finalizes rows with ``last_wm ≤ sec < wm`` via
+    vectorized prefix sums (searchsorted window bounds) and a monotonic
+    deque for the sliding max — O(n log n) per batch, never O(n·w).
+    State holds only ``[wm − window, ∞)`` — the trailing-context bound,
+    O(rate × (window + delay)) per key, the inherent floor for an exact
+    trailing window. Keys idle past the TTL are dropped.
+
+    Precision note: window sums come from float64 prefix-sum
+    differences — exact to ~1e-10 relative at fixture magnitudes and
+    covered by the 2-dp output rounding; at 100 TB magnitudes chunk the
+    prefix (or sum integer cents) before trusting the last ulp.
+
+    RANGE semantics match q22's batch window exactly: the frame is
+    second-granular and includes every row sharing the boundary second.
+    Output: (key, event_id, rolling_sum, rolling_n, rolling_max).
+    """
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("grp"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).cast("long").alias("event_id"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _rolling_fn(window_sec, idle_state_ttl_ms),
+            ROLLING_OUTPUT_SCHEMA,
+            ROLLING_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from binance_data_ingestor_spark.queries.util import load
 from binance_data_ingestor_spark.streaming.stateful import (
     dedup_stream,
+    rolling_window_stream,
     sessionize_stream,
     sessionize_stream_tws,
 )
@@ -260,3 +261,73 @@ def test_transition_stream_matches_batch_lag(spark, replay_dir_full, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_rolling_window_stream_matches_batch_multibatch(spark, tmp_path):
+    """Streaming trailing-24h sum/count/max ≡ the batch RANGE window,
+    under a 2-file replay split mid-range so most frames straddle the
+    batch boundary (the context-retention path: rows already emitted
+    must stay in state while future events still need them)."""
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    lo, hi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    path = str(tmp_path / "in")
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(path)
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    sent = spark.createDataFrame([("__wm__",)], "event_type string").select(
+        "event_type",
+        F.to_timestamp(F.lit("2031-01-01")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(0.0).alias("value"),
+    )
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = rolling_window_stream(
+        stream, key_col="event_type", window_sec=86_400, watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rolling_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["event_id"]: (
+            round(r["rolling_sum"], 2),
+            r["rolling_n"],
+            round(r["rolling_max"], 2),
+        )
+        for r in spark.table("rolling_out")
+        .filter(F.col("key") != "__wm__")
+        .collect()
+    }
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86_400, 0)
+    )
+    expected = {
+        r["event_id"]: (r["s"], r["n"], r["m"])
+        for r in ev.select(
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("s"),
+            F.count("*").over(w).alias("n"),
+            F.round(F.max("value").over(w), 2).alias("m"),
+        ).collect()
+    }
+    assert len(got) == len(expected) > 0
+    assert got == expected
