@@ -994,6 +994,81 @@ def q193_stream_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q193_SQL = Q22_SQL
 
 
+# --------------------------------------------------------------------------
+# q194 — REAL Structured Streaming execution of the watermarked exact
+# dedup (T5, streaming/stateful.dedup_stream =
+# dropDuplicatesWithinWatermark): the events stream is replayed with
+# every row DUPLICATED 2× (and the copies shuffled into the replay
+# files), deduped on event_id inside the engine's watermark-bounded
+# state, and the emission is hash-certified directly against
+# SELECT DISTINCT on the base table. Survivor identity is the one
+# nondeterminism of first-arrival dedup — duplicates here carry
+# IDENTICAL payloads, so the certified claim is exactly the operator's
+# contract: every key exactly once, payload intact, state freed past
+# the watermark. Completes the streaming-certification family
+# (sessionize q26, MG q187, as-of q191, tumbling q192, rolling q193).
+# --------------------------------------------------------------------------
+def q194_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import dedup_stream
+    from .util import replay_input
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    doubled = ev.unionAll(ev)
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) event_id,"
+        " to_timestamp('2031-01-01') ts, CAST(0.0 AS DOUBLE) value"
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q194",
+        # repartition (not coalesce) so the two copies of a row land in
+        # DIFFERENT files — the dedup must work across the replay, not
+        # within one writer partition
+        lambda w: doubled.unionByName(sentinel)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q194_")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dedup_stream(stream, ["event_id"], watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q194 streaming replay timed out after 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("event_id") >= 0)
+        .select("event_id", "ts", F.round("value", 2).alias("value_r"))
+    )
+
+
+Q194_SQL = """
+SELECT DISTINCT event_id, ts, round(value, 2) AS value_r FROM events
+"""
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -1006,6 +1081,7 @@ QUERIES = {
     "q191_stream_asof_enrich": q191_stream_asof_enrich,
     "q192_stream_klines": q192_stream_klines,
     "q193_stream_rolling_24h": q193_stream_rolling_24h,
+    "q194_stream_dedup": q194_stream_dedup,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
     "q29_multires_rollup": q29_multires_rollup,
@@ -1022,6 +1098,7 @@ ORACLES = {
     "q191_stream_asof_enrich": Q191_SQL,
     "q192_stream_klines": Q192_SQL,
     "q193_stream_rolling_24h": Q193_SQL,
+    "q194_stream_dedup": Q194_SQL,
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,
