@@ -1069,6 +1069,91 @@ SELECT DISTINCT event_id, ts, round(value, 2) AS value_r FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# q195 — REAL Structured Streaming execution of the per-key event-time
+# SEQUENCE RECONSTRUCTION (T5, streaming/stateful.transition_counts_
+# stream): events replay as a file stream, each user's events buffer in
+# keyed state until the watermark releases them in (ts, event_id)
+# order, every adjacent pair emits one transition row, and the
+# downstream matrix (counts + per-prev-row probabilities) hash-matches
+# q120's batch lag-window oracle DIRECTLY. The certified claim is the
+# hard part of streaming sequence analytics — correct ordered
+# reconstruction under out-of-order arrival with bounded state (the
+# out-of-watermark tail + one boundary type per key). Closes the
+# stateful-operator certification set.
+# --------------------------------------------------------------------------
+def q195_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import transition_counts_stream
+    from .util import replay_input
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) user_id, to_timestamp('2031-01-01') ts,"
+        " CAST(-1 AS BIGINT) event_id, 'x' event_type"
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q195",
+        lambda w: ev.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q195_")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            transition_counts_stream(stream, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q195 streaming replay timed out after 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(work, ignore_errors=True)
+    trans = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p_r"),
+    )
+
+
+# q195's oracle IS q120's: the streamed transition pairs aggregate to
+# the same matrix the batch lag-window computes.
+def _q195_sql() -> str:
+    from .analytics_ops import Q120_SQL
+
+    return Q120_SQL
+
+
 QUERIES = {
     "q20_json_decode_filter": q20_json_decode_filter,
     "q21_tumbling_ohlcv": q21_tumbling_ohlcv,
@@ -1082,6 +1167,7 @@ QUERIES = {
     "q192_stream_klines": q192_stream_klines,
     "q193_stream_rolling_24h": q193_stream_rolling_24h,
     "q194_stream_dedup": q194_stream_dedup,
+    "q195_stream_transitions": q195_stream_transitions,
     "q27_series_topk": q27_series_topk,
     "q28_range_join": q28_range_join,
     "q29_multires_rollup": q29_multires_rollup,
@@ -1099,6 +1185,7 @@ ORACLES = {
     "q192_stream_klines": Q192_SQL,
     "q193_stream_rolling_24h": Q193_SQL,
     "q194_stream_dedup": Q194_SQL,
+    "q195_stream_transitions": _q195_sql(),
     "q157_asof_tolerance": Q157_SQL,
     "q27_series_topk": Q27_SQL,
     "q28_range_join": Q28_SQL,
