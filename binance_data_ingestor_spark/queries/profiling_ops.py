@@ -754,6 +754,134 @@ FROM cl, total GROUP BY key, n_docs
 """
 
 
+# --------------------------------------------------------------------------
+# q196 — KMV (k-minimum-values) distinct sketch with SET-OPERATION
+# estimates + exact audit: the capability HLL (q16/q171) lacks. Two key
+# sets over orders (A = urgent/high priority, B = totalprice > 120k)
+# each get a k=256 KMV sketch (ORDER BY hash LIMIT k — physically
+# TakeOrderedAndProject: per-partition top-k + one k·p merge, never a
+# global sort); the union sketch's retained membership flags give the
+# Jaccard estimate x/k and the theta-sketch intersection estimate
+# Ĵ·n̂(A∪B). Every estimator is a single IEEE division of exact
+# integers (operators/kmv.py), so estimates are bit-identical across
+# engines/partitionings/runs; the exact audit recounts all four
+# cardinalities in the same scan pass and flags each estimate inside
+# its 3σ band (RSE = 1/√(k-2) ≈ 6.3% ⇒ 0.2; intersection compounds
+# Jaccard + union noise ⇒ 0.4). The filtered base feeds 3 sketches +
+# the audit → localCheckpoint. At 100 TB the audit pass is the
+# optional certificate; the sketches themselves are k-row artifacts,
+# mergeable and broadcastable.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_PRI = ("1-URGENT", "2-HIGH")
+_KMV_PRICE = 120000.0
+_KMV_B_SINGLE, _KMV_B_INTER = 0.2, 0.4
+
+
+def q196_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import kmv_estimate_expr, u60
+
+    k = _KMV_K
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").isin(*_KMV_PRI).alias("in_a"),
+            (F.col("o_totalprice") > _KMV_PRICE).alias("in_b"),
+        )
+        .filter(F.col("in_a") | F.col("in_b"))
+        .withColumn("__h", u60("o_orderkey"))
+        .localCheckpoint(eager=True)  # feeds 3 sketches + the exact audit
+    )
+    ska = base.filter("in_a").orderBy("__h", "o_orderkey").limit(k)
+    skb = base.filter("in_b").orderBy("__h", "o_orderkey").limit(k)
+    sku = base.orderBy("__h", "o_orderkey").limit(k)
+    sa = ska.agg(F.max("__h").alias("ha"))
+    sb = skb.agg(F.max("__h").alias("hb"))
+    su = sku.agg(
+        F.max("__h").alias("hu"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("x"),
+    )
+    ex = base.agg(
+        F.count_if(F.col("in_a")).alias("n_a"),
+        F.count_if(F.col("in_b")).alias("n_b"),
+        F.count("*").alias("n_union"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("n_inter"),
+    )
+    row = (
+        ex.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+    )
+    est_a = kmv_estimate_expr(k, F.col("ha"))
+    est_b = kmv_estimate_expr(k, F.col("hb"))
+    est_u = kmv_estimate_expr(k, F.col("hu"))
+    est_i = (F.col("x").cast("double") * est_u) / F.lit(float(k))
+    return row.select(
+        F.lit(k).alias("k"),
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        F.round(est_a, 4).alias("est_a_r"),
+        F.round(est_b, 4).alias("est_b_r"),
+        F.round(est_u, 4).alias("est_union_r"),
+        F.round(est_i, 4).alias("est_inter_r"),
+        F.round(F.col("x").cast("double") / F.lit(float(k)), 6).alias("jaccard_est_r"),
+        (F.abs(est_a - F.col("n_a").cast("double")) <= F.lit(_KMV_B_SINGLE) * F.col("n_a").cast("double")).alias("ok_a"),
+        (F.abs(est_b - F.col("n_b").cast("double")) <= F.lit(_KMV_B_SINGLE) * F.col("n_b").cast("double")).alias("ok_b"),
+        (F.abs(est_u - F.col("n_union").cast("double")) <= F.lit(_KMV_B_SINGLE) * F.col("n_union").cast("double")).alias("ok_union"),
+        (F.abs(est_i - F.col("n_inter").cast("double")) <= F.lit(_KMV_B_INTER) * F.col("n_inter").cast("double")).alias("ok_inter"),
+    )
+
+
+def _q196_sql() -> str:
+    from ..operators.kmv import kmv_estimate_sql, u60_sql
+
+    k = _KMV_K
+    pri = ", ".join(f"'{p}'" for p in _KMV_PRI)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         o_orderpriority IN ({pri}) AS in_a,
+         o_totalprice > {_KMV_PRICE!r} AS in_b,
+         {u60_sql("duckdb", "o_orderkey")} AS h
+  FROM orders
+  WHERE o_orderpriority IN ({pri}) OR o_totalprice > {_KMV_PRICE!r}),
+ska AS (SELECT h FROM base WHERE in_a ORDER BY h, o_orderkey LIMIT {k}),
+skb AS (SELECT h FROM base WHERE in_b ORDER BY h, o_orderkey LIMIT {k}),
+sku AS (SELECT h, in_a, in_b FROM base ORDER BY h, o_orderkey LIMIT {k}),
+sa AS (SELECT max(h) AS ha FROM ska),
+sb AS (SELECT max(h) AS hb FROM skb),
+su AS (SELECT max(h) AS hu, count(*) FILTER (in_a AND in_b) AS x FROM sku),
+ex AS (SELECT count(*) FILTER (in_a) AS n_a,
+              count(*) FILTER (in_b) AS n_b,
+              count(*) AS n_union,
+              count(*) FILTER (in_a AND in_b) AS n_inter
+       FROM base),
+est AS (SELECT *,
+               {kmv_estimate_sql(k, "ha")} AS est_a,
+               {kmv_estimate_sql(k, "hb")} AS est_b,
+               {kmv_estimate_sql(k, "hu")} AS est_u
+        FROM ex, sa, sb, su)
+SELECT {k} AS k, n_a, n_b, n_union, n_inter,
+       round(est_a, 4) AS est_a_r,
+       round(est_b, 4) AS est_b_r,
+       round(est_u, 4) AS est_union_r,
+       round((CAST(x AS DOUBLE) * est_u) / {float(k)!r}, 4) AS est_inter_r,
+       round(CAST(x AS DOUBLE) / {float(k)!r}, 6) AS jaccard_est_r,
+       abs(est_a - CAST(n_a AS DOUBLE)) <= {_KMV_B_SINGLE!r} * CAST(n_a AS DOUBLE) AS ok_a,
+       abs(est_b - CAST(n_b AS DOUBLE)) <= {_KMV_B_SINGLE!r} * CAST(n_b AS DOUBLE) AS ok_b,
+       abs(est_u - CAST(n_union AS DOUBLE)) <= {_KMV_B_SINGLE!r} * CAST(n_union AS DOUBLE) AS ok_union,
+       abs((CAST(x AS DOUBLE) * est_u) / {float(k)!r} - CAST(n_inter AS DOUBLE))
+         <= {_KMV_B_INTER!r} * CAST(n_inter AS DOUBLE) AS ok_inter
+FROM est
+"""
+
+
+Q196_SQL = _q196_sql()
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -765,6 +893,7 @@ QUERIES = {
     "q134_skew_report": q134_skew_report,
     "q166_exact_median": q166_exact_median,
     "q180_json_schema_profile": q180_json_schema_profile,
+    "q196_kmv_set_sketch": q196_kmv_set_sketch,
 }
 
 ORACLES = {
@@ -778,4 +907,5 @@ ORACLES = {
     "q134_skew_report": Q134_SQL,
     "q166_exact_median": Q166_SQL,
     "q180_json_schema_profile": Q180_SQL,
+    "q196_kmv_set_sketch": Q196_SQL,
 }
