@@ -1378,6 +1378,103 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# q197 — interpolated KNESER-NEY bigram perplexity per document: the
+# industry-standard LM smoothing (KenLM's default; the CCNet-style
+# quality filter), one rung above q117's Jelinek-Mercer interpolation.
+#   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + (D·N1+(w1·)/c(w1·)) · Pcont(w2)
+#   Pcont(w2) = N1+(·w2) / |distinct bigram types|
+# with absolute discount D = 0.75. The continuation counts N1+ are the
+# KN novelty: they count distinct CONTEXTS, not tokens — both are one
+# extra vocab-sized aggregate over the bigram-type table (count(*) per
+# w1 / per w2 of c2), so the plan is exactly q117's partial-agg +
+# model-join shape plus two cheap type-table rollups. Scoring the
+# training corpus itself means every scored bigram has c ≥ 1 > D, so
+# the discounted term never clips and no OOV backoff path is needed.
+# Float parity: exact-integer counts everywhere, the P expression is
+# written in the identical operation order on both engines, and the
+# ln()-derived document average rounds to 6 dp (the q117-proven
+# convention). Vocabulary-sized model tables shuffle, never broadcast.
+# --------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+def q197_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id", F.lag("w").over(wd).alias("w1"), F.col("w").alias("w2")
+        )
+        .filter(F.col("w1").isNotNull())
+        .localCheckpoint(eager=True)  # feeds the model AND the scoring join
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lft = c2.groupBy("w1").agg(
+        F.sum("c2").alias("ctx"), F.count("*").alias("n1f")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("cont"))
+    tt = c2.agg(F.count("*").alias("tt"))
+    model = (
+        c2.join(lft, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c2") - F.lit(_KN_D)) / F.col("ctx")
+                + (F.lit(_KN_D) * F.col("n1f") / F.col("ctx"))
+                * (F.col("cont") / F.col("tt"))
+            ).alias("p"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("kn_surprisal_r"),
+        )
+    )
+
+
+Q197_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         w AS w2
+  FROM toks QUALIFY w1 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx, count(*) AS n1f
+        FROM c2 GROUP BY 1),
+cont AS (SELECT w2, count(*) AS cont FROM c2 GROUP BY 1),
+tt AS (SELECT count(*) AS tt FROM c2),
+model AS (
+  SELECT w1, w2,
+         (c2 - {_KN_D}) / CAST(ctx AS DOUBLE)
+         + ({_KN_D} * n1f / CAST(ctx AS DOUBLE))
+           * (CAST(cont AS DOUBLE) / CAST(tt AS DOUBLE)) AS p
+  FROM c2 JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tt)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(p)), 6) AS kn_surprisal_r
+FROM big JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q130 — ranking-quality evaluation (NDCG@10): score each of 5 query
 # tokens against every document with a length-normalized tf score
 # (BM25-lite), rank top-10, and compare against the ideal ordering of
@@ -2466,6 +2563,7 @@ QUERIES = {
     "q101_token_entropy": q101_token_entropy,
     "q102_weighted_sample": q102_weighted_sample,
     "q117_bigram_surprisal": q117_bigram_surprisal,
+    "q197_kn_surprisal": q197_kn_surprisal,
     "q130_ndcg_eval": q130_ndcg_eval,
     "q138_skipgram_pmi": q138_skipgram_pmi,
     "q143_dsir_weights": q143_dsir_weights,
@@ -2512,6 +2610,7 @@ ORACLES = {
     "q101_token_entropy": Q101_SQL,
     "q102_weighted_sample": Q102_SQL,
     "q117_bigram_surprisal": Q117_SQL,
+    "q197_kn_surprisal": Q197_SQL,
     "q130_ndcg_eval": Q130_SQL,
     "q138_skipgram_pmi": Q138_SQL,
     "q143_dsir_weights": Q143_SQL,

@@ -748,3 +748,54 @@ def test_closest_pairs_exact_tiny_inputs(spark):
     )
     assert one.collect() == []
     assert [f.name for f in one.schema.fields] == ["id_a", "id_b", "dist2"]
+
+
+def test_kn_surprisal_matches_bruteforce(spark):
+    """q197's interpolated Kneser-Ney bigram model vs a pure-Python
+    reference over the sf0.001 fixture — independent of both engines'
+    SQL semantics (catches same-way-wrong oracle bugs)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from binance_data_ingestor_spark.queries.text_ops import _KN_D, q197_kn_surprisal
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pydict()
+    c2: dict[tuple[str, str], int] = {}
+    doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    for did, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        doc_bigrams[did] = bgs
+        for bg in bgs:
+            c2[bg] = c2.get(bg, 0) + 1
+    ctx: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    cont: dict[str, int] = {}
+    for (w1, w2), c in c2.items():
+        ctx[w1] = ctx.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    tt = len(c2)
+
+    def p(w1: str, w2: str) -> float:
+        return (c2[(w1, w2)] - _KN_D) / ctx[w1] + (
+            _KN_D * n1f[w1] / ctx[w1]
+        ) * (cont[w2] / tt)
+
+    expected = {
+        did: round(sum(-math.log(p(*bg)) for bg in bgs) / len(bgs), 6)
+        for did, bgs in doc_bigrams.items()
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_surprisal_r)
+        for r in q197_kn_surprisal(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(expected)
+    for did, score in expected.items():
+        assert got[did][0] == len(doc_bigrams[did]), did
+        assert abs(got[did][1] - score) < 2e-6, did
+    # every probability is a proper one: model rows in (0, 1]
+    assert all(0.0 < p(*bg) <= 1.0 for bg in c2)
