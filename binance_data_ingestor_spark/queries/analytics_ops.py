@@ -1310,6 +1310,86 @@ FROM o GROUP BY grp
 """
 
 
+# --------------------------------------------------------------------------
+# q198 — multi-touch conversion attribution: every purchase is joined
+# to the user's touchpoints (click/view/signup) inside a 7-day
+# lookback, and each CHANNEL is credited two ways — last-touch (the
+# standard single-credit model: latest touch before the conversion,
+# ties broken by event_id) and linear (1/n to each of the n in-window
+# touches; a touchless conversion credits 1.0 to 'none' via a left
+# join). The marketing-analytics workload missing from the funnel
+# family (q121/q137/q156 measure progression, not credit).
+#
+# Scale shape: the purchase⨝touch join is an equi-join on user_id with
+# the time band as a post-filter — per-user fan-out is bounded by 7
+# days of activity; a pathologically hot user is the q184 salting /
+# q147 time-binning case. Both credit windows share ONE shuffle keyed
+# by the conversion id. The linear credit is a float sum of exact
+# divisions → round 6 (q117 convention, ulp headroom ~7 orders).
+# --------------------------------------------------------------------------
+_ATTR_DAYS = 7
+_ATTR_TOUCH = ("click", "view", "signup")
+
+
+def q198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin(*_ATTR_TOUCH)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("t_id"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    cond = (
+        (conv["user_id"] == touches["t_user"])
+        & (touches["t_ts"] >= conv["c_ts"] - F.expr(f"INTERVAL {_ATTR_DAYS} DAYS"))
+        & (touches["t_ts"] < conv["c_ts"])
+    )
+    j = conv.join(touches, cond, "left")
+    wc = W.partitionBy("c_id")
+    wr = W.partitionBy("c_id").orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    scored = j.select(
+        F.coalesce("channel", F.lit("none")).alias("channel"),
+        F.count("t_id").over(wc).alias("n_touch"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return scored.groupBy("channel").agg(
+        F.count_if(F.col("rn") == 1).alias("last_touch_conversions"),
+        F.round(
+            F.sum(F.lit(1.0) / F.greatest(F.col("n_touch"), F.lit(1)).cast("double")),
+            6,
+        ).alias("linear_credit_r"),
+        F.count_if(F.col("n_touch") > 0).alias("n_touch_rows"),
+    )
+
+
+Q198_SQL = f"""
+WITH t AS (SELECT user_id AS t_user, ts AS t_ts, event_type AS channel,
+                  event_id AS t_id
+           FROM events
+           WHERE event_type IN ({", ".join(f"'{c}'" for c in _ATTR_TOUCH)})),
+c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.c_id, t.channel, t.t_ts, t.t_id
+      FROM c LEFT JOIN t ON c.user_id = t.t_user
+        AND t.t_ts >= c.c_ts - INTERVAL {_ATTR_DAYS} DAY
+        AND t.t_ts < c.c_ts),
+s AS (SELECT c_id, coalesce(channel, 'none') AS channel,
+             count(t_id) OVER (PARTITION BY c_id) AS n_touch,
+             row_number() OVER (PARTITION BY c_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rn
+      FROM j)
+SELECT channel,
+       count(*) FILTER (rn = 1) AS last_touch_conversions,
+       round(sum(1.0 / CAST(greatest(n_touch, 1) AS DOUBLE)), 6)
+         AS linear_credit_r,
+       count(*) FILTER (n_touch > 0) AS n_touch_rows
+FROM s GROUP BY channel
+"""
+
+
 QUERIES = {
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
@@ -1331,6 +1411,7 @@ QUERIES = {
     "q170_gini_revenue": q170_gini_revenue,
     "q190_quantile_sketch_certificate": q190_quantile_sketch_certificate,
     "q171_rolling_hll": q171_rolling_hll,
+    "q198_touch_attribution": q198_touch_attribution,
 }
 
 ORACLES = {
@@ -1354,4 +1435,5 @@ ORACLES = {
     "q170_gini_revenue": Q170_SQL,
     "q190_quantile_sketch_certificate": Q190_SQL,
     "q171_rolling_hll": Q171_SQL,
+    "q198_touch_attribution": Q198_SQL,
 }

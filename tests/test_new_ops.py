@@ -799,3 +799,56 @@ def test_kn_surprisal_matches_bruteforce(spark):
         assert abs(got[did][1] - score) < 2e-6, did
     # every probability is a proper one: model rows in (0, 1]
     assert all(0.0 < p(*bg) <= 1.0 for bg in c2)
+
+
+def test_touch_attribution_matches_bruteforce(spark):
+    """q198's last-touch + linear credit vs a pure-Python reference
+    over the sf0.001 events fixture."""
+    import pyarrow.parquet as pq
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        _ATTR_DAYS,
+        _ATTR_TOUCH,
+        q198_touch_attribution,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pydict()
+    rows = list(zip(tbl["event_id"], tbl["ts"], tbl["user_id"], tbl["event_type"]))
+    touches = [(u, ts, et, eid) for eid, ts, u, et in rows if et in _ATTR_TOUCH]
+    convs = [(u, ts, eid) for eid, ts, u, et in rows if et == "purchase"]
+    lookback_ns = _ATTR_DAYS * 24 * 3600 * 10**9
+
+    def ns(ts):
+        return ts.value if hasattr(ts, "value") else int(ts.timestamp() * 1e9)
+
+    last: dict[str, int] = {}
+    linear: dict[str, float] = {}
+    touch_rows: dict[str, int] = {}
+    for u, cts, _cid in convs:
+        inwin = [
+            (ts, eid, ch)
+            for (tu, ts, ch, eid) in touches
+            if tu == u and ns(cts) - lookback_ns <= ns(ts) < ns(cts)
+        ]
+        if not inwin:
+            last["none"] = last.get("none", 0) + 1
+            linear["none"] = linear.get("none", 0.0) + 1.0
+            continue
+        inwin.sort(key=lambda x: (ns(x[0]), x[1]), reverse=True)
+        last[inwin[0][2]] = last.get(inwin[0][2], 0) + 1
+        for _, _, ch in inwin:
+            linear[ch] = linear.get(ch, 0.0) + 1.0 / len(inwin)
+            touch_rows[ch] = touch_rows.get(ch, 0) + 1
+
+    got = {
+        r.channel: (r.last_touch_conversions, r.linear_credit_r, r.n_touch_rows)
+        for r in q198_touch_attribution(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(linear)
+    for ch in linear:
+        assert got[ch][0] == last.get(ch, 0), ch
+        assert abs(got[ch][1] - linear[ch]) < 2e-6, ch
+        assert got[ch][2] == touch_rows.get(ch, 0), ch
+    # conservation: every conversion distributes exactly 1.0 total credit
+    assert abs(sum(linear.values()) - len(convs)) < 1e-9
+    assert sum(last.values()) == len(convs)
