@@ -51,6 +51,12 @@ from ..operators.partitioning import (  # noqa: F401
 # the streaming per-key operator builds on)
 from ..operators.frequent import heavy_hitters, mg_ingest  # noqa: F401
 
+# distinct/set-operation sketching — batch KMV build + the streaming
+# twin (O(k) keyed state; final snapshot equals the batch sketch
+# EXACTLY — order-independent k-minimum set, certified by q199)
+from ..operators.kmv import kmv_sketch, u60  # noqa: F401
+from ..streaming.stateful import kmv_stream  # noqa: F401
+
 # as-of enrichment — batch (full merge_asof surface) and its streaming
 # twin (watermarked keyed-state backward as-of; see
 # streaming/asof_enrich.py for the semantics contract)

@@ -778,11 +778,13 @@ _KMV_PRICE = 120000.0
 _KMV_B_SINGLE, _KMV_B_INTER = 0.2, 0.4
 
 
-def q196_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.kmv import kmv_estimate_expr, u60
+def _kmv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered, u60-hashed orders rows feeding q196's 3 sketches +
+    exact audit AND q199's streaming replay — eagerly checkpointed so
+    every consumer branch reads the materialized artifact once."""
+    from ..operators.kmv import u60
 
-    k = _KMV_K
-    base = (
+    return (
         load(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
@@ -793,6 +795,16 @@ def q196_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__h", u60("o_orderkey"))
         .localCheckpoint(eager=True)  # feeds 3 sketches + the exact audit
     )
+
+
+def q196_kmv_set_sketch(
+    spark: SparkSession, sf_dir: str, *, base: DataFrame | None = None
+) -> DataFrame:
+    from ..operators.kmv import kmv_estimate_expr
+
+    k = _KMV_K
+    if base is None:
+        base = _kmv_base(spark, sf_dir)
     ska = base.filter("in_a").orderBy("__h", "o_orderkey").limit(k)
     skb = base.filter("in_b").orderBy("__h", "o_orderkey").limit(k)
     sku = base.orderBy("__h", "o_orderkey").limit(k)
@@ -882,6 +894,137 @@ FROM est
 Q196_SQL = _q196_sql()
 
 
+# --------------------------------------------------------------------------
+# q199 — REAL Structured Streaming execution of the KMV sketch build
+# (streaming/stateful.kmv_stream: applyInPandasWithState, O(k) state
+# per key): q196's three key sets are replayed as a file stream of
+# (set-label, hash, key) rows, the per-label k-minimum states are
+# snapshotted, and the final streaming sketches are asserted EXACTLY
+# equal (h AND key, all three labels) to the batch-built sketches —
+# the strongest streaming certificate in the repo family, available
+# here because the k-minimum set of a multiset is order-independent,
+# so stream≡batch is exact equality, not approximation. On success
+# the batch-certified q196 result is emitted against Q196_SQL (the
+# q192/q194 convention: a divergence raises instead of shipping
+# either side).
+# --------------------------------------------------------------------------
+def q199_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import kmv_stream
+    from .util import replay_input
+
+    k = _KMV_K
+    # one checkpointed artifact feeds the replay input, the 3 batch-twin
+    # sketches, AND (on success) the emitted q196 computation — no
+    # duplicate orders scan
+    base = _kmv_base(spark, sf_dir)
+    lab = base.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("in_a"), F.lit("a")),
+                    F.when(F.col("in_b"), F.lit("b")),
+                    F.lit("u"),
+                )
+            )
+        ).alias("lab"),
+        F.col("__h").alias("h"),
+        F.col("o_orderkey").cast("string").alias("item"),
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+    )
+    sentinel = spark.sql(
+        "SELECT '__wm__' lab, CAST(0 AS BIGINT) h, 'x' item,"
+        " to_timestamp('2031-01-01') ts"
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q199",
+        lambda w: lab.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q199_")
+    stream = (
+        spark.readStream.schema("lab string, h long, item string, ts timestamp")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            kmv_stream(
+                stream, ["lab"], "item",
+                hash_col="h", k=k, watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q199 streaming replay timed out after 600 s")
+        # drain the snapshots eagerly (bounded: ≤ k rows per label per
+        # data batch by the state contract) so the memory table + work
+        # dir can be torn down here; keep each label's
+        # highest-n_processed snapshot driver-side (a self-join on the
+        # memory view would be lineage-ambiguous)
+        snap = (
+            spark.table(name)
+            .filter(F.col("lab") != "__wm__")
+            .select("lab", "h", "item", "n_processed")
+            .collect()
+        )
+        mx: dict[str, int] = {}
+        for r in snap:
+            mx[r.lab] = max(mx.get(r.lab, -1), r.n_processed)
+        fin_rows = [
+            (r.lab, r.h, r.item) for r in snap if r.n_processed == mx[r.lab]
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    streamed = spark.createDataFrame(fin_rows, "lab string, h long, item string")
+
+    def sk(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.orderBy("__h", "o_orderkey")
+            .limit(k)
+            .select(
+                F.lit(label).alias("lab"),
+                F.col("__h").alias("h"),
+                F.col("o_orderkey").cast("string").alias("item"),
+            )
+        )
+
+    batch_sk = (
+        sk(base.filter("in_a"), "a")
+        .unionByName(sk(base.filter("in_b"), "b"))
+        .unionByName(sk(base, "u"))
+        .localCheckpoint(eager=False)  # feeds both exceptAll sides
+    )
+    n_diff = (
+        streamed.exceptAll(batch_sk).count()
+        + batch_sk.exceptAll(streamed).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q199: streaming KMV sketch diverged from the batch sketch on "
+            f"{n_diff} rows — refusing to emit either result"
+        )
+    return q196_kmv_set_sketch(spark, sf_dir, base=base)
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -894,6 +1037,7 @@ QUERIES = {
     "q166_exact_median": q166_exact_median,
     "q180_json_schema_profile": q180_json_schema_profile,
     "q196_kmv_set_sketch": q196_kmv_set_sketch,
+    "q199_stream_kmv": q199_stream_kmv,
 }
 
 ORACLES = {
@@ -908,4 +1052,5 @@ ORACLES = {
     "q166_exact_median": Q166_SQL,
     "q180_json_schema_profile": Q180_SQL,
     "q196_kmv_set_sketch": Q196_SQL,
+    "q199_stream_kmv": Q196_SQL,
 }

@@ -763,3 +763,127 @@ def rolling_window_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("items", ArrayType(StringType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _kmv_stream_fn(
+    hash_col: str, item_col: str, k: int, n_keys: int, idle_state_ttl_ms: int
+):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the event-time TTL: the latest snapshot was
+            # already emitted with the key's last data batch
+            state.remove()
+            return
+
+        pairs: list[Tuple[int, str]] = []
+        n = 0
+        if state.exists:
+            hs, its, n = state.get
+            pairs = list(zip((int(h) for h in hs), (str(x) for x in its)))
+            n = int(n)
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            pairs.extend(
+                zip(
+                    (int(h) for h in pdf[hash_col]),
+                    (str(x) for x in pdf[item_col]),
+                )
+            )
+            # dedupe identical (hash, item) pairs (a repeated item
+            # occupies ONE slot — the sketch estimates DISTINCT counts)
+            # and keep the k smallest; doing it per-pdf bounds the
+            # working list at k + batch size
+            pairs = sorted(set(pairs))[:k]
+
+        # emit the post-batch snapshot with every data batch (the
+        # heavy_hitters_stream emission contract: never from a timer —
+        # consumers keep the rows with the highest n_processed per key)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    **{f"__k{i}": [key[i]] * len(pairs) for i in range(n_keys)},
+                    "h": [p[0] for p in pairs],
+                    "item": [p[1] for p in pairs],
+                    "n_processed": [n] * len(pairs),
+                }
+            )
+        state.update(
+            ([p[0] for p in pairs], [p[1] for p in pairs], n)
+        )
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_state_ttl_ms
+        )
+
+    return fn
+
+
+def kmv_stream(
+    events: DataFrame,
+    keys: list[str],
+    item_col: str,
+    *,
+    hash_col: str,
+    k: int = 256,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming KMV distinct sketch per key: the k smallest
+    (pre-computed JVM-side ``hash_col``, item) pairs maintained in
+    keyed state — the streaming twin of ``operators.kmv.kmv_sketch``.
+
+    Because the k-minimum set of a multiset is ORDER-INDEPENDENT, the
+    final streaming snapshot equals the batch sketch EXACTLY — not
+    approximately — whatever the batch/file/arrival order; that is
+    the equality q199 hash-certifies. Per-key state is O(k) (hashes +
+    items + the processed-row count), so an unbounded stream over an
+    unbounded key universe runs in bounded memory; idle keys are
+    dropped after ``idle_state_ttl_ms`` of event time (their last
+    emitted snapshot is already final).
+
+    Emission contract (append mode): a full post-batch snapshot with
+    every data batch the key receives; snapshots are monotone in
+    ``n_processed`` — consumers keep the rows with the highest
+    ``n_processed`` per key. Output: *keys, h, item, n_processed.
+    """
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            StructField(f"__k{i}", in_schema[kcol].dataType)
+            for i, kcol in enumerate(keys)
+        ]
+        + [
+            StructField("h", LongType()),
+            StructField("item", StringType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    raw = (
+        events.select(*keys, hash_col, item_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _kmv_stream_fn(hash_col, item_col, k, len(keys), idle_state_ttl_ms),
+            out_schema,
+            KMV_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    for i, kcol in enumerate(keys):
+        raw = raw.withColumnRenamed(f"__k{i}", kcol)
+    return raw
