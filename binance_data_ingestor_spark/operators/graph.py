@@ -219,3 +219,67 @@ def k_core(
         .groupBy("n")
         .agg(F.count("*").alias("core_deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    u: str = "u",
+    v: str = "v",
+    partitions: int | None = None,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic): every node starts as its own label;
+    each round every node adopts the MAJORITY label among its
+    neighbors, ties broken by the SMALLEST label. Returns
+    (node, community) after exactly ``rounds`` synchronized rounds.
+
+    The deterministic tie-break + fixed round count make the result
+    oracle-checkable by unrolling the rounds as chained CTEs (the
+    q99-PageRank / q158-k-core pattern); classic async LPA with random
+    tie-breaks is not reproducible across engines, which is why this
+    variant exists. ``edges`` holds each undirected edge once
+    (canonical u < v); symmetrization happens here.
+
+    Scale design: the symmetrized edge list is partitioned by ``src``
+    ONCE and localCheckpoint'ed — each round shuffles only the
+    O(nodes) label vector (join on src, then a (dst, label)-keyed
+    count with map-side partial aggregation, then the per-dst argmax
+    as a lexicographic struct-min, also partially aggregable). Labels
+    checkpoint every ``checkpoint_interval`` rounds to bound lineage,
+    not every round (the pagerank lesson: eager per-round checkpoints
+    serialize the job chain).
+    """
+    n_part = partitions or edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    fwd = edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+    sym = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(int(n_part), "src")
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for i in range(1, rounds + 1):
+        cnt = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst", "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax(count) with min-label tie-break == lexicographic min
+        # of (-count, label): one partially-aggregable struct-min
+        labels = (
+            cnt.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lab").alias("lab"))
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("node"), F.col("s.lab").alias("lab"))
+        )
+        if i % checkpoint_interval == 0 and i < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lab").alias("community"))

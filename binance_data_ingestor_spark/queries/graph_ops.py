@@ -168,14 +168,71 @@ GROUP BY n"""
 Q158_SQL = _kcore_sql(KCORE_K, _KCORE_ORACLE_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# q200 — deterministic synchronous label-propagation communities on the
+# co-purchase graph (the 4th iterative-graph pattern: PageRank = fixed
+# damped rounds, k-core = monotone peel, connected components = min
+# fixpoint, LPA = majority fixpoint). Each node adopts its neighbors'
+# MAJORITY label per round, ties to the smallest label — that
+# determinism is what lets the DuckDB oracle unroll the same rounds as
+# chained CTEs and hash-compare every final assignment. Edge list
+# shared with q105/q106/q158 via the session artifact; per round the
+# only shuffles are the O(nodes) label vector join + two partially
+# aggregable group-bys.
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+def q200_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    return label_propagation(pairs.select("u", "v"), _LPA_ROUNDS).select(
+        F.col("node").alias("part"), "community"
+    )
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = [
+        """WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM pr a JOIN pr b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+      UNION ALL SELECT v AS src, u AS dst FROM p),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst, l.lab, count(*) AS cnt
+       FROM e JOIN l{i - 1} l ON e.src = l.node GROUP BY 1, 2),
+m{i} AS (SELECT dst, max(cnt) AS mc FROM c{i} GROUP BY dst),
+l{i} AS MATERIALIZED (SELECT c.dst AS node, min(c.lab) AS lab
+       FROM c{i} c JOIN m{i} m ON c.dst = m.dst AND c.cnt = m.mc
+       GROUP BY 1)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, lab AS community FROM l{rounds}"""
+    )
+    return "".join(parts)
+
+
+Q200_SQL = _lpa_sql(_LPA_ROUNDS)
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
     "q105_triangle_count": q105_triangle_count,
     "q158_kcore": q158_kcore,
+    "q200_label_propagation": q200_label_propagation,
 }
 
 ORACLES = {
     "q99_pagerank": Q99_SQL,
     "q105_triangle_count": Q105_SQL,
     "q158_kcore": Q158_SQL,
+    "q200_label_propagation": Q200_SQL,
 }

@@ -140,3 +140,60 @@ def test_kcore_matches_python_peel(spark):
         df = spark.createDataFrame(edges, "u long, v long")
         got = {r.n: r.core_deg for r in k_core(df, k).collect()}
         assert got == want_deg, f"seed={seed} k={k}"
+
+
+# --------------------------------------------------------------------------
+# Label propagation: deterministic majority/min-tie-break semantics vs a
+# pure-Python synchronous reference, plus the canonical two-cliques case.
+# --------------------------------------------------------------------------
+def _python_lpa(edges, rounds):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge collapse to exactly two
+    communities, each labeled by its smallest member."""
+    from binance_data_ingestor_spark.operators.graph import label_propagation
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.community for r in label_propagation(df, 4).collect()}
+    assert got == _python_lpa(edges, 4)
+    assert {got[n] for n in (0, 1, 2)} == {0}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+
+def test_label_propagation_matches_python_reference_randomized(spark):
+    from binance_data_ingestor_spark.operators.graph import label_propagation
+
+    for seed, rounds in [(7, 1), (13, 3), (42, 4)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(40), rng.randrange(40)) for _ in range(90)
+                )
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r.node: r.community for r in label_propagation(df, rounds).collect()
+        }
+        assert got == _python_lpa(edges, rounds), f"seed={seed} rounds={rounds}"
