@@ -72,8 +72,12 @@ def _modules():
 #     de-windowed onto with_global_runmax — and has never been
 #     re-scored since). q06_rollup is the one r01 name deferred to
 #     round 6 (its A4 family stays covered in-window by q01/q05/q13).
-# Round 5's new surface (q191 streaming as-of enrichment) follows the
-# "certify the round after it lands" convention → round-6 window.
+# Round 5's new surface (q191-q200: the five streaming certifications,
+# KMV sketch + its streaming twin, KN perplexity, touch attribution,
+# label-propagation communities) follows the "certify the round after
+# it lands" convention → round-6 window, together with q06_rollup (the
+# one deferred r01 re-cert); after that every name will have been
+# driver-scored at least once.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
