@@ -57,6 +57,17 @@ from ..operators.frequent import heavy_hitters, mg_ingest  # noqa: F401
 from ..operators.kmv import kmv_sketch, u60  # noqa: F401
 from ..streaming.stateful import kmv_stream  # noqa: F401
 
+# iterative graph propagation (DataFrame → DataFrame; each round
+# shuffles only the O(nodes) state vector against a once-checkpointed
+# src-partitioned edge list — see operators/graph.py)
+from ..operators.graph import (  # noqa: F401
+    bfs_hops,
+    k_core,
+    label_propagation,
+    pagerank,
+    triangle_stats,
+)
+
 # as-of enrichment — batch (full merge_asof surface) and its streaming
 # twin (watermarked keyed-state backward as-of; see
 # streaming/asof_enrich.py for the semantics contract)

@@ -634,3 +634,75 @@ summed AS (
 )
 SELECT {id_col}, CAST({sim_terms} AS BIGINT) AS simhash FROM summed
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 24,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995)
+    with distinct-token Jaccard scores — the third blocking strategy in
+    this engine next to hash buckets (LSH) and posting-list prefixes.
+
+    Records sort by a cheap blocking key (first ``key_len`` chars of
+    the lowered text, NULLs as ''); each record pairs with the next
+    ``window`` records in that order — O(n·w) candidates, never O(n²).
+
+    Scale shape: the global order comes from
+    :func:`..operators.partitioning.with_global_rank` (two-pass bucket
+    offsets, bucket = the key's first character — bounded domain,
+    monotone in the sort) instead of a single-partition window, and the
+    rank band becomes an EQUI-join after a bounded explode of the
+    ``window`` offsets — no range-join BNLJ. Token arrays ride through
+    the one 5×-expanded join; Jaccard is array_intersect arithmetic,
+    fully JVM-side.
+
+    Returns (id_a, id_b, jaccard) for every candidate pair with a
+    non-empty token union; jaccard is rounded to 6 dp. Thresholding is
+    the caller's policy.
+    """
+    from .partitioning import with_global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        F.substring(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), 1, key_len
+        ).alias("__bk"),
+        F.array_distinct(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("__toks"),
+    )
+    ranked = with_global_rank(
+        keyed,
+        [],
+        [F.asc("__bk"), F.asc(id_col)],
+        bucket=F.substring("__bk", 1, 1),
+        rank_col="__rnk",
+        # two consumers below (left/right of the band join)
+    ).localCheckpoint(eager=True)
+    left = (
+        ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__toks").alias("__ta"),
+            F.col("__rnk").alias("__ra"),
+        )
+        .withColumn("__dr", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .withColumn("__rnk", F.col("__ra") + F.col("__dr"))
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"), "__rnk"
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    uni = F.size("__ta") + F.size("__tb") - inter
+    return (
+        left.join(right, "__rnk")
+        .filter(uni > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+    )

@@ -283,3 +283,70 @@ def label_propagation(
         if i % checkpoint_interval == 0 and i < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from any
+    source node, over a directed edge list (symmetrize outside for
+    undirected graphs). Returns (node, hop) for every node reachable
+    within ``max_hops``; sources themselves carry hop 0. The 5th
+    iterative-graph pattern in this engine (PageRank = damped rounds,
+    k-core = monotone peel, CC = min fixpoint, LPA = majority fixpoint,
+    BFS = frontier expansion).
+
+    Min-hop distance is iteration-order independent, so the result is
+    deterministic and oracle-checkable: a full-relaxation unroll
+    (each round re-relaxes EVERY settled node) computes the same set —
+    the frontier optimization here is pure work avoidance.
+
+    Scale design: the edge list is hash-partitioned by ``src`` once and
+    localCheckpoint'ed; each round joins only the FRONTIER (nodes first
+    reached last round — O(frontier), not O(visited)) against it, so
+    per-round shuffle volume tracks the BFS wave, and the anti-join
+    that drops already-settled nodes is frontier × visited on node
+    keys. Each round's frontier feeds two consumers (next round's join
+    + the running union), so it is checkpointed eagerly — the same
+    two-consumer rule the CC/pagerank operators follow.
+
+    ``sources`` must expose a ``node`` column (deduplicated here).
+    """
+    n_part = partitions or edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    relations = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(int(n_part), "src")
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select("node")
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    settled = [frontier]
+    visited = frontier.select("node")
+    for i in range(1, max_hops + 1):
+        frontier = (
+            relations.join(
+                frontier, relations["src"] == frontier["node"], "inner"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        settled.append(frontier)
+        visited = visited.unionAll(frontier.select("node"))
+    out = settled[0]
+    for part in settled[1:]:
+        out = out.unionAll(part)
+    return out

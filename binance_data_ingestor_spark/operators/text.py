@@ -245,6 +245,21 @@ def hash_bucket_sql(dialect: str, col: str = "doc_id", mod: int = 100) -> str:
     return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) % {mod}"
 
 
+def hash_sign_sql(dialect: str, col: str) -> str:
+    """±1 sign hash from the parity of md5's FIFTH hex digit — the
+    feature-hashing sign function (Weinberger et al. 2009), kept
+    independent of :func:`hash_bucket_sql`'s bucket fold (which reads
+    digits 1-4) so bucket and sign are decorrelated. Same per-digit
+    position-lookup trick: one generator emits both the Spark
+    expression ('spark') and the DuckDB oracle ('duckdb')."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    stype = "STRING" if dialect == "spark" else "VARCHAR"
+    digit = (
+        f"({pos}('{HEX_DIGITS}', substring(md5(CAST({col} AS {stype})), 5, 1)) - 1)"
+    )
+    return f"(1 - 2 * ({digit} % 2))"
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

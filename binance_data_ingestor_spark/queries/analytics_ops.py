@@ -1390,7 +1390,207 @@ FROM s GROUP BY channel
 """
 
 
+# --------------------------------------------------------------------------
+# q206 — Markov removal-effect attribution (Anderl et al. 2014): the
+# model-based sibling of q162/q198's heuristic (last-touch/linear)
+# credit. Per-user journeys (channel events up to the FIRST purchase)
+# become a first-order Markov chain over {START, channels, CONV,
+# LOST}; a channel's credit is its REMOVAL EFFECT — how much the
+# 12-step START→CONV probability drops when every transition into the
+# channel is redirected to LOST. The fixed step count makes the
+# propagation deterministic, so the DuckDB oracle unrolls the SAME 12
+# rounds as chained CTEs over ALL removal variants at once and
+# hash-compares every channel's effect (the q99/q200 pattern applied
+# to an absorbing chain).
+#
+# Scale shape: journeys need one per-user window (the q120 transition
+# shape); everything after is CHAIN-sized — |states|² transition rows
+# crossed with |channels|+1 variants (≤ ~200 rows), so the 12
+# propagation rounds shuffle O(states·variants), never event-scale
+# data. Probabilities are exact-integer-count ratios; per-round sums
+# add ≤|states| doubles (ulp noise ~1e-15, absorbed by the final 6-dp
+# round — the pagerank argument).
+# --------------------------------------------------------------------------
+_MRK_STEPS = 12
+
+
+def q206_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
+    )
+    j = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(
+            F.col("fts").isNull()
+            | (F.col("ts") < F.col("fts"))
+            | ((F.col("ts") == F.col("fts")) & (F.col("event_id") < F.col("fid")))
+        )
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("fts").isNotNull().alias("conv"),
+        )
+    )
+    seq = j.select(
+        "event_type",
+        "conv",
+        F.lag("event_type").over(pw).alias("prev"),
+        F.lead("event_type").over(pw).alias("nxt"),
+    )
+    tr1 = seq.select(
+        F.coalesce("prev", F.lit("START")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    tr2 = seq.filter(F.col("nxt").isNull()).select(
+        F.col("event_type").alias("s"),
+        F.when(F.col("conv"), "CONV").otherwise("LOST").alias("t"),
+    )
+    # converted users whose journey is empty (purchase was their first event)
+    tr3 = fp.join(
+        j.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit("START").alias("s"), F.lit("CONV").alias("t"))
+    cnt = (
+        tr1.unionAll(tr2).unionAll(tr3).groupBy("s", "t").agg(F.count("*").alias("n"))
+    )
+    prob = cnt.select(
+        "s",
+        "t",
+        (F.col("n") * F.lit(1.0) / F.sum("n").over(W.partitionBy("s"))).alias("w"),
+    )
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("rm"))
+        .distinct()
+    )
+    variants = channels.unionAll(
+        channels.sparkSession.range(1).select(F.lit("FULL").alias("rm"))
+    ).localCheckpoint(eager=True)  # three consumers: redirect, absorb, p0
+    vt = (
+        prob.crossJoin(F.broadcast(variants))
+        .filter((F.col("rm") == "FULL") | (F.col("s") != F.col("rm")))
+        .select(
+            "rm",
+            "s",
+            F.when(
+                (F.col("rm") != "FULL") & (F.col("t") == F.col("rm")), "LOST"
+            )
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "w",
+        )
+        .groupBy("rm", "s", "t")
+        .agg(F.sum("w").alias("w"))  # merges ≤2 terms (orig LOST + redirect)
+    )
+    absorb = variants.select("rm").crossJoin(
+        variants.sparkSession.createDataFrame(
+            [("CONV", "CONV", 1.0), ("LOST", "LOST", 1.0)], "s string, t string, w double"
+        )
+    )
+    trans = vt.unionAll(absorb).localCheckpoint(eager=True)  # reused every round
+    p = variants.select(
+        "rm", F.lit("CONV").alias("state"), F.lit(1.0).alias("p")
+    )
+    for i in range(1, _MRK_STEPS + 1):
+        p = (
+            trans.join(
+                p,
+                (trans["rm"] == p["rm"]) & (trans["t"] == p["state"]),
+            )
+            .groupBy(trans["rm"].alias("rm"), trans["s"].alias("state"))
+            .agg(F.sum(trans["w"] * p["p"]).alias("p"))
+        )
+        if i % 6 == 0 and i < _MRK_STEPS:
+            p = p.localCheckpoint(eager=True)
+    start = p.filter(F.col("state") == "START")
+    full = start.filter(F.col("rm") == "FULL").select(F.col("p").alias("pfull"))
+    return (
+        start.filter(F.col("rm") != "FULL")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("rm").alias("channel"),
+            F.round("p", 6).alias("conv_p_r"),
+            F.round(F.lit(1.0) - F.col("p") / F.col("pfull"), 6).alias(
+                "removal_r"
+            ),
+        )
+    )
+
+
+def _markov_sql(steps: int) -> str:
+    parts = [
+        """WITH pu AS (SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = \'purchase\'),
+fp AS (SELECT user_id, ts AS fts, event_id AS fid FROM pu WHERE rn = 1),
+j AS (SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             fp.fts IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp USING (user_id)
+      WHERE e.event_type <> \'purchase\'
+        AND (fp.fts IS NULL OR e.ts < fp.fts
+             OR (e.ts = fp.fts AND e.event_id < fp.fid))),
+seq AS (SELECT event_type, conv,
+               lag(event_type) OVER w AS prev,
+               lead(event_type) OVER w AS nxt
+        FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tr AS (SELECT coalesce(prev, \'START\') AS s, event_type AS t FROM seq
+       UNION ALL
+       SELECT event_type AS s,
+              CASE WHEN conv THEN \'CONV\' ELSE \'LOST\' END AS t
+       FROM seq WHERE nxt IS NULL
+       UNION ALL
+       SELECT \'START\' AS s, \'CONV\' AS t FROM fp
+       WHERE user_id NOT IN (SELECT user_id FROM j)),
+cnt AS (SELECT s, t, count(*) AS n FROM tr GROUP BY 1, 2),
+prob AS (SELECT s, t,
+                n * 1.0 / sum(n) OVER (PARTITION BY s) AS w
+         FROM cnt),
+ch AS (SELECT DISTINCT event_type AS rm FROM events
+       WHERE event_type <> \'purchase\'),
+v AS (SELECT rm FROM ch UNION ALL SELECT \'FULL\'),
+vt AS (SELECT rm, s, t, sum(w) AS w FROM (
+         SELECT v.rm, p.s,
+                CASE WHEN v.rm <> \'FULL\' AND p.t = v.rm
+                     THEN \'LOST\' ELSE p.t END AS t,
+                p.w
+         FROM prob p CROSS JOIN v
+         WHERE v.rm = \'FULL\' OR p.s <> v.rm)
+       GROUP BY 1, 2, 3),
+tm AS MATERIALIZED (SELECT rm, s, t, w FROM vt
+      UNION ALL SELECT rm, \'CONV\', \'CONV\', 1.0 FROM v
+      UNION ALL SELECT rm, \'LOST\', \'LOST\', 1.0 FROM v),
+p0 AS (SELECT rm, \'CONV\' AS state, 1.0 AS p FROM v)"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f""",
+p{i} AS (SELECT tm.rm, tm.s AS state, sum(tm.w * p.p) AS p
+       FROM tm JOIN p{i - 1} p ON tm.rm = p.rm AND tm.t = p.state
+       GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f"""
+SELECT c.rm AS channel, round(c.p, 6) AS conv_p_r,
+       round(1 - c.p / f.p, 6) AS removal_r
+FROM p{steps} c JOIN p{steps} f
+  ON f.rm = \'FULL\' AND f.state = \'START\'
+WHERE c.state = \'START\' AND c.rm <> \'FULL\'"""
+    )
+    return "".join(parts)
+
+
+Q206_SQL = _markov_sql(_MRK_STEPS)
+
+
 QUERIES = {
+    "q206_markov_attribution": q206_markov_attribution,
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
     "q78_funnel": q78_funnel,
@@ -1415,6 +1615,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q206_markov_attribution": Q206_SQL,
     "q76_dau_new_returning": Q76_SQL,
     "q77_cohort_retention": Q77_SQL,
     "q78_funnel": Q78_SQL,

@@ -223,11 +223,80 @@ SELECT node AS part, lab AS community FROM l{rounds}"""
 Q200_SQL = _lpa_sql(_LPA_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# q201 — multi-source BFS hop distance to the nearest co-purchase HUB
+# (degree ≥ 8 in the symmetrized pc≥2 graph): the curation move of
+# scoring every item by its graph proximity to high-connectivity
+# anchors (hub-distance is the classic crawl-frontier / seed-expansion
+# metric). 5th iterative-graph pattern: frontier expansion. The Spark
+# operator joins only the per-round FRONTIER against the once-
+# checkpointed src-partitioned edge list (O(wave) shuffles); the
+# oracle full-relaxes every settled node per round — a deliberately
+# different evaluation order that provably computes the same min-hop
+# function, so the hash-compare certifies iteration-order independence
+# too. Nodes unreachable from any hub within 3 hops are absent (the
+# operator contract).
+# --------------------------------------------------------------------------
+_BFS_HUB_DEG = 8
+_BFS_HOPS = 3
+
+
+def q201_bfs_hub_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hubs = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= _BFS_HUB_DEG)
+        .select(F.col("src").alias("node"))
+    )
+    return bfs_hops(edges, hubs, _BFS_HOPS).select(
+        F.col("node").alias("part"), "hop"
+    )
+
+
+def _bfs_sql(hub_deg: int, hops: int) -> str:
+    parts = [
+        f"""WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM pr a JOIN pr b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+      UNION ALL SELECT v AS src, u AS dst FROM p),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+d0 AS (SELECT src AS node, 0 AS hop FROM deg WHERE d >= {hub_deg})"""
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT node, min(h) AS hop FROM (
+         SELECT node, hop AS h FROM d{i - 1}
+         UNION ALL
+         SELECT e.dst AS node, p.hop + 1 AS h
+         FROM e JOIN d{i - 1} p ON e.src = p.node) GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, CAST(hop AS INT) AS hop FROM d{hops}"""
+    )
+    return "".join(parts)
+
+
+Q201_SQL = _bfs_sql(_BFS_HUB_DEG, _BFS_HOPS)
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
     "q105_triangle_count": q105_triangle_count,
     "q158_kcore": q158_kcore,
     "q200_label_propagation": q200_label_propagation,
+    "q201_bfs_hub_distance": q201_bfs_hub_distance,
 }
 
 ORACLES = {
@@ -235,4 +304,5 @@ ORACLES = {
     "q105_triangle_count": Q105_SQL,
     "q158_kcore": Q158_SQL,
     "q200_label_propagation": Q200_SQL,
+    "q201_bfs_hub_distance": Q201_SQL,
 }

@@ -448,8 +448,78 @@ FROM roles GROUP BY fold
 """
 
 
+# --------------------------------------------------------------------------
+# q204 — leave-one-out target encoding with additive smoothing (the
+# standard high-cardinality categorical encoder for tabular training
+# data; LOO removes the row's own label so the feature leaks nothing):
+# enc_i = (Σ_cat y − y_i + m·prior) / (n_cat − 1 + m), prior = global
+# mean, m = 20. Scale shape: ONE partially-aggregable groupBy reduces
+# the fact table to |categories| sufficient-statistic rows, which
+# broadcast-join back; the global prior is a 1-row crossJoin-broadcast
+# scalar — no window, no second scan of unreduced data.
+# Float determinism: the target is summed in exact integer CENTS
+# (CAST(round(price·100) AS BIGINT)), so category and global sums are
+# order-independent; the only floating steps (prior division, final
+# blend) are fixed-shape IEEE expressions both engines evaluate
+# identically.
+# --------------------------------------------------------------------------
+_LOO_M = 20
+
+
+def q204_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_c"), F.sum("cents").alias("s_c")
+    )
+    glob = orders.agg(
+        (F.sum("cents") / F.count("*")).alias("prior_cents")
+    )
+    enc = (
+        (
+            F.col("s_c")
+            - F.col("cents")
+            + F.lit(float(_LOO_M)) * F.col("prior_cents")
+        )
+        / (F.col("n_c") - 1 + F.lit(_LOO_M))
+        / 100.0
+    )
+    return (
+        orders.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(enc, 6).alias("loo_enc"),
+        )
+    )
+
+
+Q204_SQL = f"""
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+cat AS (SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_c,
+               CAST(sum(cents) AS BIGINT) AS s_c
+        FROM o GROUP BY o_orderpriority),
+gl AS (SELECT CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS prior_cents
+       FROM o)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round((s_c - cents + {float(_LOO_M)} * prior_cents)
+             / (n_c - 1 + {_LOO_M}) / 100.0, 6) AS loo_enc
+FROM o JOIN cat USING (o_orderpriority) CROSS JOIN gl
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
+    "q204_loo_target_encoding": q204_loo_target_encoding,
     "q90_pit_features": q90_pit_features,
     "q106_copurchase_lift": q106_copurchase_lift,
     "q132_decile_lift": q132_decile_lift,
@@ -459,6 +529,7 @@ QUERIES = {
 
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
+    "q204_loo_target_encoding": Q204_SQL,
     "q90_pit_features": Q90_SQL,
     "q106_copurchase_lift": Q106_SQL,
     "q132_decile_lift": Q132_SQL,

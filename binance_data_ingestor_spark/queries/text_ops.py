@@ -2533,8 +2533,124 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# q202 — sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+# the third blocking strategy in the dedup family, complementing
+# content-hash buckets (q43/q45 LSH) and posting-list prefixes
+# (q44/q159). Records sort by a cheap blocking key (first 24 chars of
+# the lowered text); each record is compared only against the next
+# _SNM_W records in that order — O(n·w) candidate pairs instead of
+# O(n²). Scale shape: the global rank comes from with_global_rank
+# (bucket-offset two-pass, bucket = first key char — bounded domain,
+# monotone in the sort), and the "within w ranks" window becomes an
+# EQUI-join on rank after a bounded explode of the w offsets — no
+# range-join BNLJ, no single-partition window. The pair score is
+# distinct-token Jaccard computed on arrays carried through the join.
+# Oracle replays the identical sort (binary collation both engines),
+# a row_number window, a rank-band self-join, and list_intersect
+# arithmetic.
+# --------------------------------------------------------------------------
+_SNM_W = 5
+_SNM_KEYLEN = 24
+_SNM_THRESH = 0.5
+
+
+def q202_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        load(spark, sf_dir, "documents"),
+        key_len=_SNM_KEYLEN,
+        window=_SNM_W,
+    )
+    return pairs.filter(F.col("jaccard") >= _SNM_THRESH).select(
+        "id_a", "id_b", F.col("jaccard").alias("jaccard_r")
+    )
+
+
+Q202_SQL = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+k AS (SELECT doc_id,
+             substr(lower(text), 1, {_SNM_KEYLEN}) AS bk,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM d),
+r AS (SELECT doc_id, toks,
+             row_number() OVER (ORDER BY bk, doc_id) AS rnk
+      FROM k),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.toks, b.toks)) AS inter,
+                 len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS uni
+          FROM r a JOIN r b
+            ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SNM_W})
+SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard_r
+FROM pairs
+WHERE uni > 0 AND round(inter * 1.0 / uni, 6) >= {_SNM_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------
+# q205 — feature hashing (the "hashing trick", Weinberger et al. 2009):
+# vectorize a token stream into a FIXED K-dim space with a bucket hash
+# and a ±1 sign hash — the vectorizer that needs no vocabulary build,
+# no broadcast dictionary, and no second pass, which is why it is the
+# default at 100 TB (vocab-free ⇒ embarrassingly parallel, output
+# bounded at |docs|·K). Emits the sparse matrix as (doc_id, bucket,
+# weight = Σ signs over the doc's distinct tokens); sign-summing makes
+# collisions cancel in expectation (the unbiasedness argument from the
+# paper). Bucket = the engine's portable 4-hex md5 fold, sign = the
+# independent 5th-digit parity — one generator emits both dialects, so
+# Spark and the DuckDB oracle provably run the same hash family.
+# --------------------------------------------------------------------------
+_FH_K = 64
+
+
+def q205_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hash_sign_sql
+
+    docs = fanout(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        )
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return (
+        tok.withColumn(
+            "bucket",
+            F.expr(hash_bucket_sql("spark", "tok", _FH_K)).cast("int"),
+        )
+        .withColumn("sign", F.expr(hash_sign_sql("spark", "tok")))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("w"))
+    )
+
+
+def _q205_sql() -> str:
+    from ..operators.text import hash_sign_sql
+
+    return f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS tok
+             FROM documents),
+h AS (SELECT doc_id,
+             CAST({hash_bucket_sql("duckdb", "tok", _FH_K)} AS INT) AS bucket,
+             {hash_sign_sql("duckdb", "tok")} AS sign
+      FROM tok)
+SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+FROM h GROUP BY 1, 2
+"""
+
+
+Q205_SQL = _q205_sql()
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
+    "q202_sorted_neighborhood": q202_sorted_neighborhood,
+    "q205_feature_hashing": q205_feature_hashing,
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
     "q42_fingerprint": q42_fingerprint,
@@ -2582,6 +2698,8 @@ QUERIES = {
 
 ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
+    "q202_sorted_neighborhood": Q202_SQL,
+    "q205_feature_hashing": Q205_SQL,
     "q40_text_quality": Q40_SQL,
     "q41_lang_id": Q41_SQL,
     "q42_fingerprint": Q42_SQL,

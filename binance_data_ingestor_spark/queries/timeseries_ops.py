@@ -570,8 +570,113 @@ def q177_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q177_SQL = _q177_sql("//", "events")
 
 
+# --------------------------------------------------------------------------
+# q203 — SAX symbolization + motif census (Lin/Keogh symbolic aggregate
+# approXimation — the standard way to mine motifs/anomalies over
+# massive time series by compressing them into short strings first).
+# Per event_type: values z-normalize against the key's own mean/std,
+# PAA-compress 16 consecutive events into their mean, map each PAA
+# mean onto a 4-symbol alphabet at the N(0,1) quartile breakpoints
+# (±0.6745, 0), and census the 3-symbol motifs. Scale shape: the only
+# per-event steps are a parallel (key,bucket) rank (with_global_rank —
+# no single-partition window) and a partially-aggregable PAA groupBy;
+# the per-key ORDER-dependent window (motif trigrams) runs on the
+# 16×-compressed PAA series, and key count is the parallelism unit
+# (symbols/series ids at production scale). Float determinism: values
+# sum in exact integer cents; mean/std/PAA are fixed-shape IEEE
+# expressions over those exact sums, identical in both engines.
+# --------------------------------------------------------------------------
+_PAA_W = 16
+_SAX_BP = 0.6745
+
+
+def q203_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = with_global_rank(
+        ev,
+        ["event_type"],
+        [F.asc("ts"), F.asc("event_id")],
+        bucket=F.to_date("ts"),
+        rank_col="rnk",
+    )
+    seg = ranked.groupBy(
+        "event_type",
+        F.expr(f"CAST((rnk - 1) DIV {_PAA_W} AS BIGINT)").alias("seg"),
+    ).agg((F.sum("cents") * F.lit(1.0) / F.count("*")).alias("paa"))
+    stats = ev.groupBy("event_type").agg(
+        (F.sum("cents") * F.lit(1.0) / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("cents") * F.col("cents")) * F.lit(1.0) / F.count("*")
+            - (F.sum("cents") * F.lit(1.0) / F.count("*"))
+            * (F.sum("cents") * F.lit(1.0) / F.count("*"))
+        ).alias("sd"),
+    )
+    z = (F.col("paa") - F.col("mu")) / F.col("sd")
+    sym = (
+        seg.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "seg",
+            F.when(z < -_SAX_BP, "a")
+            .when(z < 0, "b")
+            .when(z < _SAX_BP, "c")
+            .otherwise("d")
+            .alias("sym"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("seg")
+    tri = sym.select(
+        "event_type",
+        F.concat("sym", F.lead("sym", 1).over(w), F.lead("sym", 2).over(w)).alias(
+            "motif"
+        ),
+    ).filter(F.col("motif").isNotNull())
+    return tri.groupBy("event_type", "motif").agg(
+        F.count("*").alias("n")
+    )
+
+
+Q203_SQL = f"""
+WITH e AS (SELECT event_type, ts, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rnk
+      FROM e),
+seg AS (SELECT event_type, (rnk - 1) // {_PAA_W} AS seg,
+               CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS paa
+        FROM r GROUP BY 1, 2),
+st AS (SELECT event_type,
+              CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS mu,
+              sqrt(CAST(sum(cents * cents) AS BIGINT) * 1.0 / count(*)
+                   - (CAST(sum(cents) AS BIGINT) * 1.0 / count(*))
+                   * (CAST(sum(cents) AS BIGINT) * 1.0 / count(*))) AS sd
+       FROM e GROUP BY 1),
+sym AS (SELECT s.event_type, s.seg,
+               CASE WHEN (paa - mu) / sd < -{_SAX_BP} THEN 'a'
+                    WHEN (paa - mu) / sd < 0 THEN 'b'
+                    WHEN (paa - mu) / sd < {_SAX_BP} THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM seg s JOIN st USING (event_type)),
+tri AS (SELECT event_type,
+               sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS motif
+        FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY seg))
+SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE motif IS NOT NULL GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
+    "q203_sax_motifs": q203_sax_motifs,
     "q83_rolling_zscore": q83_rolling_zscore,
     "q160_rolling_median": q160_rolling_median,
     "q104_rolling_corr": q104_rolling_corr,
@@ -584,6 +689,7 @@ QUERIES = {
 
 ORACLES = {
     "q82_gapfill_locf": Q82_SQL,
+    "q203_sax_motifs": Q203_SQL,
     "q83_rolling_zscore": Q83_SQL,
     "q160_rolling_median": Q160_SQL,
     "q104_rolling_corr": Q104_SQL,

@@ -197,3 +197,75 @@ def test_label_propagation_matches_python_reference_randomized(spark):
             r.node: r.community for r in label_propagation(df, rounds).collect()
         }
         assert got == _python_lpa(edges, rounds), f"seed={seed} rounds={rounds}"
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _python_bfs(edges, sources, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = h
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+def _run_bfs(spark, edges, sources, max_hops):
+    from binance_data_ingestor_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        row["node"]: row["hop"]
+        for row in bfs_hops(df, src, max_hops).collect()
+    }
+    assert got == _python_bfs(edges, sources, max_hops)
+
+
+def test_bfs_hops_path_graph(spark):
+    # 0-1-2-3-4 chain (symmetrized): hops from {0} are the indices,
+    # truncated at max_hops
+    chain = [(i, i + 1) for i in range(4)]
+    edges = chain + [(d, s) for s, d in chain]
+    _run_bfs(spark, edges, [0], max_hops=3)
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    chain = [(i, i + 1) for i in range(6)]
+    edges = chain + [(d, s) for s, d in chain]
+    # node 3 is 3 hops from 0 but 1 hop from 4 — min wins
+    _run_bfs(spark, edges, [0, 4], max_hops=2)
+
+
+def test_bfs_hops_random_graph_matches_python(spark):
+    rng = random.Random(7)
+    base = {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
+    edges = sorted({(s, d) for s, d in base if s != d})
+    edges = sorted(set(edges) | {(d, s) for s, d in edges})
+    sources = [0, 7, 13]
+    _run_bfs(spark, edges, sources, max_hops=3)
+
+
+def test_bfs_hops_duplicate_sources_dedup(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    from binance_data_ingestor_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(0,), (0,)], "node long")
+    rows = bfs_hops(df, src, 2).collect()
+    assert sorted((r["node"], r["hop"]) for r in rows) == [
+        (0, 0),
+        (1, 1),
+        (2, 2),
+    ]

@@ -852,3 +852,207 @@ def test_touch_attribution_matches_bruteforce(spark):
     # conservation: every conversion distributes exactly 1.0 total credit
     assert abs(sum(linear.values()) - len(convs)) < 1e-9
     assert sum(last.values()) == len(convs)
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs (q202)
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from binance_data_ingestor_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = []
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 8))]
+        docs.append((i, " ".join(words)))
+    docs.append((100, None))  # NULL text must behave as ''
+    docs.append((101, ""))
+
+    w, key_len = 4, 10
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in sorted_neighborhood_pairs(
+            df, key_len=key_len, window=w
+        ).collect()
+    }
+
+    # brute-force reference
+    keyed = sorted(
+        ((d[1] or "").lower()[:key_len], d[0], set((d[1] or "").split(" ")))
+        for d in docs
+    )
+    want = {}
+    for i, (_, id_a, ta) in enumerate(keyed):
+        for j in range(i + 1, min(i + 1 + w, len(keyed))):
+            _, id_b, tb = keyed[j]
+            uni = len(ta | tb)
+            if uni:
+                want[(id_a, id_b)] = round(len(ta & tb) / uni, 6)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1.5e-6), k
+
+
+# ---------------------------------------------------------------------------
+# q203 SAX motifs — Python reference of the full symbolization
+# ---------------------------------------------------------------------------
+
+
+def test_sax_motifs_matches_python_reference(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import (
+        _PAA_W,
+        _SAX_BP,
+        q203_sax_motifs,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    base = 1_700_000_000_000_000  # µs epoch
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                pd.Timestamp(base + rng.randrange(10**9), unit="us"),
+                rng.randrange(50),
+                rng.choice(["a_type", "b_type"]),
+                round(rng.uniform(0.01, 400.0), 2),
+                "{}",
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    sf_dir = tmp_path / "sax_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+
+    got = {
+        (r["event_type"], r["motif"]): r["n"]
+        for r in q203_sax_motifs(spark, str(sf_dir)).collect()
+    }
+
+    want = {}
+    for key in ("a_type", "b_type"):
+        series = sorted(
+            (r[1], r[0], int(round(r[4] * 100)))
+            for r in rows
+            if r[3] == key
+        )
+        cents = [c for _, _, c in series]
+        n = len(cents)
+        mu = sum(cents) / n
+        sd = math.sqrt(sum(c * c for c in cents) / n - mu * mu)
+        paa = [
+            sum(cents[s : s + _PAA_W]) / len(cents[s : s + _PAA_W])
+            for s in range(0, n, _PAA_W)
+        ]
+        syms = []
+        for p in paa:
+            z = (p - mu) / sd
+            syms.append(
+                "a" if z < -_SAX_BP else "b" if z < 0 else "c" if z < _SAX_BP else "d"
+            )
+        for i in range(len(syms) - 2):
+            m = "".join(syms[i : i + 3])
+            want[(key, m)] = want.get((key, m), 0) + 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q206 Markov removal-effect attribution — Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_markov_attribution_matches_python(spark, tmp_path):
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        _MRK_STEPS,
+        q206_markov_attribution,
+    )
+
+    rng = random.Random(23)
+    channels = ["click", "view", "signup", "error"]
+    rows, eid = [], 0
+    base = 1_700_000_000_000_000
+    for user in range(60):
+        n = rng.randrange(1, 12)
+        converted = rng.random() < 0.5
+        for k in range(n):
+            et = rng.choice(channels)
+            if converted and k == n - 1:
+                et = "purchase"
+            rows.append((eid, pd.Timestamp(base + eid * 1000, unit="us"), user, et, 1.0, "{}"))
+            eid += 1
+        # some users keep browsing after converting — must be ignored
+        if converted and rng.random() < 0.3:
+            rows.append((eid, pd.Timestamp(base + eid * 1000, unit="us"), user, rng.choice(channels), 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = tmp_path / "mrk_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+
+    got = {
+        r["channel"]: (r["conv_p_r"], r["removal_r"])
+        for r in q206_markov_attribution(spark, str(sf_dir)).collect()
+    }
+
+    # reference: journeys -> transition counts -> N-step absorption
+    trans = {}
+    journeys = {}
+    for _, row in pdf.sort_values(["user_id", "ts", "event_id"]).iterrows():
+        u = row["user_id"]
+        if u in journeys and journeys[u][1]:
+            continue  # already converted — ignore the tail
+        path, _ = journeys.setdefault(u, ([], False))
+        if row["event_type"] == "purchase":
+            journeys[u] = (path, True)
+        else:
+            path.append(row["event_type"])
+    for path, conv in journeys.values():
+        states = ["START", *path, "CONV" if conv else "LOST"]
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    outsum = {}
+    for (a, _), n in trans.items():
+        outsum[a] = outsum.get(a, 0) + n
+    prob = {k: n / outsum[k[0]] for k, n in trans.items()}
+
+    def nstep_conv(removed):
+        t = {}
+        for (a, b), w in prob.items():
+            if a == removed:
+                continue
+            b2 = "LOST" if b == removed else b
+            t[(a, b2)] = t.get((a, b2), 0.0) + w
+        t[("CONV", "CONV")] = 1.0
+        t[("LOST", "LOST")] = 1.0
+        p = {"CONV": 1.0}
+        for _ in range(_MRK_STEPS):
+            nxt = {}
+            for (a, b), w in t.items():
+                if b in p:
+                    nxt[a] = nxt.get(a, 0.0) + w * p[b]
+            p = nxt
+        return p.get("START", 0.0)
+
+    pfull = nstep_conv(None)
+    assert set(got) == set(channels)
+    for c in channels:
+        pc = nstep_conv(c)
+        assert got[c][0] == pytest.approx(round(pc, 6), abs=2e-6), c
+        assert got[c][1] == pytest.approx(round(1 - pc / pfull, 6), abs=2e-6), c
