@@ -443,7 +443,56 @@ GROUP BY v.user_id, version_id
 """
 
 
+# --------------------------------------------------------------------------
+# q209 — per-source snapshot content digest for incremental-ingest
+# change detection: digest = bit_xor of a 60-bit row-identity hash
+# (u60 of doc_id:text — the SAME portable md5 fold the KMV sketch
+# certifies cross-engine in q196/q199). XOR-folding is commutative,
+# associative, and self-inverse, so (a) the digest is partition- and
+# order-independent — one partially-aggregable pass, O(1) state per
+# source at any scale — and (b) ingesting row r then re-ingesting an
+# unchanged snapshot XORs to the same value, while ANY insert, delete,
+# or text edit flips it: the cheap "did anything change since the last
+# epoch" gate an incremental pipeline (q153's shape) runs before
+# recomputing. Row identity (not bare text) keys the fold so two
+# identical texts cannot cancel each other out of the digest.
+# --------------------------------------------------------------------------
+def q209_source_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import u60_sql
+
+    key = "concat(CAST(doc_id AS STRING), ':', coalesce(text, ''))"
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__h", F.expr(u60_sql("spark", key))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("bit_xor(__h)").alias("digest"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q209_sql() -> str:
+    from ..operators.kmv import u60_sql
+
+    key = "(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''))"
+    return f"""
+WITH h AS (SELECT source, doc_id, {u60_sql("duckdb", key)} AS hh
+           FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(hh) AS BIGINT) AS digest,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM h GROUP BY source
+"""
+
+
+Q209_SQL = _q209_sql()
+
+
 QUERIES = {
+    "q209_source_digest": q209_source_digest,
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
     "q75_upsert_audit": q75_upsert_audit,
@@ -454,6 +503,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q209_source_digest": Q209_SQL,
     "q73_latest_snapshot": Q73_SQL,
     "q74_scd2": Q74_SQL,
     "q75_upsert_audit": Q75_SQL,

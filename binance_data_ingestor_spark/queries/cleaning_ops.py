@@ -228,7 +228,76 @@ GROUP BY event_type, lo_cap, hi_cap
 """
 
 
+# --------------------------------------------------------------------------
+# q207 — quantile normalization of a per-source covariate onto the
+# pooled corpus distribution (the batch-effect correction used when
+# sources report the same measurement on different scales; the
+# bioinformatics standard, here applied to document length). Each
+# doc's within-source midpoint percentile p = (2r-1)/(2n_s) maps to
+# the pooled empirical quantile: the pooled value at global rank
+# ceil(p * N). EVERYTHING is integer arithmetic — ranks from
+# with_global_rank (bucket-offset two-pass, bucket = the value itself:
+# bounded domain, monotone in the order), the ceil as
+# (a + b - 1) DIV b — so the cross-engine compare is exact, no float
+# rounding anywhere. Scale shape: two parallel rank passes (keyed +
+# pooled) and one equi-join on the computed rank index; no
+# single-partition window, no range join.
+# --------------------------------------------------------------------------
+def q207_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    per_src = with_global_rank(
+        d,
+        ["source"],
+        [F.asc("n_chars"), F.asc("doc_id")],
+        bucket=F.col("n_chars"),
+        rank_col="r",
+    )
+    n_s = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    pooled = with_global_rank(
+        d.select(F.col("n_chars").alias("pooled_val"), "doc_id"),
+        [],
+        [F.asc("pooled_val"), F.asc("doc_id")],
+        bucket=F.col("pooled_val"),
+        rank_col="g",
+    ).select("g", "pooled_val")
+    n_tot = d.agg(F.count("*").alias("n_tot"))
+    # ceil(((2r-1) * N) / (2 n_s)) in exact integer arithmetic
+    return (
+        per_src.join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("g", F.expr("CAST(((2*r - 1) * n_tot + 2*n_s - 1) DIV (2*n_s) AS BIGINT)"))
+        .join(pooled, "g")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("pooled_val").alias("qnorm_chars"),
+        )
+    )
+
+
+Q207_SQL = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r
+      FROM d),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+pooled AS (SELECT n_chars AS pooled_val,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS g
+           FROM d),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM d)
+SELECT r.doc_id, r.source, r.n_chars, p.pooled_val AS qnorm_chars
+FROM r JOIN ns USING (source) CROSS JOIN nt
+JOIN pooled p
+  ON p.g = ((2 * r.r - 1) * n_tot + 2 * n_s - 1) // (2 * n_s)
+"""
+
+
 QUERIES = {
+    "q207_quantile_normalize": q207_quantile_normalize,
     "q80_text_scrub": q80_text_scrub,
     "q81_pii_mask": q81_pii_mask,
     "q84_block_dedup_reconstruct": q84_block_dedup_reconstruct,
@@ -236,6 +305,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q207_quantile_normalize": Q207_SQL,
     "q80_text_scrub": Q80_SQL,
     "q81_pii_mask": Q81_SQL,
     "q84_block_dedup_reconstruct": Q84_SQL,

@@ -1004,7 +1004,114 @@ FROM pred GROUP BY 1
 Q186_SQL = _knn_eval_sql()
 
 
+# --------------------------------------------------------------------------
+# q208 — Johnson–Lindenstrauss random projection with a
+# distance-preservation certificate: embeddings project 64-d → 16-d
+# through a deterministic ±1 Achlioptas matrix (sign = parity of the
+# 5th md5 hex digit of "d:j" — the engine's feature-hashing sign
+# family, materialized ONCE in Python and embedded as the same literal
+# matrix in both the Spark plan and the DuckDB oracle). For every
+# (even, odd) vec_id pair the query emits ‖Δx‖², ‖Δy‖², and their
+# ratio — the per-pair distortion JL bounds in expectation
+# (E‖Δy‖² = ‖Δx‖², σ ≈ √(2/k)) — the audit run before swapping the
+# full vectors for projected ones in an ANN index. Float determinism
+# is TOTAL here: every inner product is the sequential left-fold
+# (operators/similarity.dot ≡ list_inner_product), the projection is
+# 16 such folds against literal rows, and ‖Δx‖² composes three folds
+# with a fixed formula — both engines produce bit-identical doubles
+# before the 6-dp round. Scale: per-row expressions only (no shuffle
+# past the pair join); the matrix is a plan literal, never a join.
+# --------------------------------------------------------------------------
+_JL_D = 64
+_JL_K = 16
+
+
+def _jl_rows() -> list[list[float]]:
+    """R[j][d] ∈ {+1,-1} from md5("d:j")'s 5th hex digit parity —
+    one Python generator feeds both dialects (hash_sign_sql family)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[4], 16) % 2 == 0
+            else -1.0
+            for d in range(1, _JL_D + 1)
+        ]
+        for j in range(1, _JL_K + 1)
+    ]
+
+
+def q208_jl_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, "vec_a")
+    rows = [
+        F.array(*[F.lit(x) for x in row]) for row in _jl_rows()
+    ]
+    scale = F.lit(float(_JL_K) ** 0.5)
+    dy = F.array(
+        *[(dot(F.col("va"), r) - dot(F.col("vb"), r)) / scale for r in rows]
+    )
+    d2p = dot(dy, dy)
+    d2o = (
+        dot(F.col("va"), F.col("va"))
+        - 2 * dot(F.col("va"), F.col("vb"))
+        + dot(F.col("vb"), F.col("vb"))
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(d2o, 6).alias("d2_orig_r"),
+        F.round(d2p, 6).alias("d2_proj_r"),
+        F.round(d2p / d2o, 6).alias("ratio_r"),
+    ).filter(F.col("d2_orig_r") > 0)
+
+
+def _q208_sql() -> str:
+    lits = [
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in _jl_rows()
+    ]
+    dy = ", ".join(
+        f"(list_inner_product(va, {r}) - list_inner_product(vb, {r}))"
+        f" / sqrt({float(_JL_K)})"
+        for r in lits
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id AS vec_a, v AS va FROM e WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id - 1 AS vec_a, vec_id AS vec_b, v AS vb FROM e
+      WHERE vec_id % 2 = 1),
+p AS (SELECT vec_a, vec_b, va, vb FROM a JOIN b USING (vec_a)),
+c AS (SELECT vec_a, vec_b,
+             list_inner_product(va, va) - 2 * list_inner_product(va, vb)
+               + list_inner_product(vb, vb) AS d2o,
+             list_inner_product([{dy}], [{dy}]) AS d2p
+      FROM p)
+SELECT vec_a, vec_b,
+       round(d2o, 6) AS d2_orig_r,
+       round(d2p, 6) AS d2_proj_r,
+       round(d2p / d2o, 6) AS ratio_r
+FROM c WHERE round(d2o, 6) > 0
+"""
+
+
+Q208_SQL = _q208_sql()
+
+
 QUERIES = {
+    "q208_jl_certificate": q208_jl_certificate,
     "q185_hard_negatives": q185_hard_negatives,
     "q186_knn_label_eval": q186_knn_label_eval,
     "q50_ann_brute_topk": q50_ann_brute_topk,
@@ -1022,6 +1129,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q208_jl_certificate": Q208_SQL,
     "q185_hard_negatives": Q185_SQL,
     "q186_knn_label_eval": Q186_SQL,
     "q50_ann_brute_topk": Q50_SQL,

@@ -2647,10 +2647,79 @@ FROM h GROUP BY 1, 2
 Q205_SQL = _q205_sql()
 
 
+# --------------------------------------------------------------------------
+# q210 — cross-source contamination matrix: for every pair of sources,
+# the number of distinct 3-gram shingles they share and the
+# containment ratio |A∩B| / min(|A|,|B|) — the train/test-leakage and
+# provenance-overlap audit run before mixing corpora (q68/q149
+# decontaminate a benchmark AGAINST the corpus; this profiles the
+# corpus against ITSELF at source grain). Scale shape: reuses the
+# session shingle artifact (one tokenize+gram pass shared with
+# q44/q45/q54), collapses it to (source, shingle) postings, and
+# intersects via the posting-list equi-join — pair work is bounded by
+# sources-per-shingle, never all-docs². Counts are exact integers; the
+# one ratio is a single IEEE division rounded to 6 dp.
+# --------------------------------------------------------------------------
+def q210_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles3(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        sh.join(src, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # two consumers: sizes + self-join
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias(
+                "containment_r"
+            ),
+        )
+    )
+
+
+Q210_SQL = """
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+sh AS (SELECT DISTINCT source,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared,
+       round(n_shared * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment_r
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
+    "q210_source_contamination": q210_source_contamination,
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
     "q42_fingerprint": q42_fingerprint,
@@ -2700,6 +2769,7 @@ ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
+    "q210_source_contamination": Q210_SQL,
     "q40_text_quality": Q40_SQL,
     "q41_lang_id": Q41_SQL,
     "q42_fingerprint": Q42_SQL,

@@ -1056,3 +1056,111 @@ def test_markov_attribution_matches_python(spark, tmp_path):
         pc = nstep_conv(c)
         assert got[c][0] == pytest.approx(round(pc, 6), abs=2e-6), c
         assert got[c][1] == pytest.approx(round(1 - pc / pfull, 6), abs=2e-6), c
+
+
+# ---------------------------------------------------------------------------
+# q207 quantile normalization — Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_matches_python(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.cleaning_ops import (
+        q207_quantile_normalize,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        rows.append((i, f"text {i}", "en", src, rng.randrange(10, 500)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "qn_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: r["qnorm_chars"]
+        for r in q207_quantile_normalize(spark, str(sf_dir)).collect()
+    }
+
+    pooled = sorted(zip(pdf["n_chars"], pdf["doc_id"]))
+    n_tot = len(pooled)
+    want = {}
+    for src, grp in pdf.groupby("source"):
+        ordered = sorted(zip(grp["n_chars"], grp["doc_id"]))
+        n_s = len(ordered)
+        for r0, (_, doc) in enumerate(ordered, start=1):
+            g = math.ceil((2 * r0 - 1) * n_tot / (2 * n_s))
+            want[doc] = pooled[g - 1][0]
+    assert got == want
+
+
+def test_quantile_normalize_identity_on_single_source(spark, tmp_path):
+    # with one source the mapping must be the identity permutation
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.cleaning_ops import (
+        q207_quantile_normalize,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, "t", "en", "only", 100 + i) for i in range(40)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = tmp_path / "qn1_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+    rows = q207_quantile_normalize(spark, str(sf_dir)).collect()
+    assert all(r["qnorm_chars"] == r["n_chars"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q209 snapshot digest — change detection contract
+# ---------------------------------------------------------------------------
+
+
+def test_source_digest_change_detection(spark, tmp_path):
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.cdc_ops import q209_source_digest
+
+    base = pd.DataFrame(
+        [(i, f"doc text {i}", "en", "srcA", 10) for i in range(30)]
+        + [(100 + i, f"other {i}", "en", "srcB", 8) for i in range(10)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def digest_of(pdf, name):
+        d = tmp_path / name
+        d.mkdir()
+        pdf.to_parquet(d / "documents.parquet", index=False)
+        return {
+            r["source"]: r["digest"]
+            for r in q209_source_digest(spark, str(d)).collect()
+        }
+
+    d1 = digest_of(base, "v1")
+    # identical snapshot, different row order -> identical digests
+    d2 = digest_of(base.iloc[::-1].reset_index(drop=True), "v2")
+    assert d1 == d2
+    # one text edit flips ONLY that source's digest
+    edited = base.copy()
+    edited.loc[edited["doc_id"] == 5, "text"] = "doc text 5 EDITED"
+    d3 = digest_of(edited, "v3")
+    assert d3["srcA"] != d1["srcA"] and d3["srcB"] == d1["srcB"]
+    # identical duplicate rows must NOT cancel: doc 5 and a clone of its
+    # text under a new id both contribute (row identity keys the fold)
+    dup = base.copy()
+    dup = pd.concat(
+        [dup, pd.DataFrame([(999, "doc text 5", "en", "srcA", 10)],
+                           columns=dup.columns)],
+        ignore_index=True,
+    )
+    d4 = digest_of(dup, "v4")
+    assert d4["srcA"] != d1["srcA"]
