@@ -1404,12 +1404,13 @@ FROM s GROUP BY channel
 # to an absorbing chain).
 #
 # Scale shape: journeys need one per-user window (the q120 transition
-# shape); everything after is CHAIN-sized — |states|² transition rows
-# crossed with |channels|+1 variants (≤ ~200 rows), so the 12
-# propagation rounds shuffle O(states·variants), never event-scale
-# data. Probabilities are exact-integer-count ratios; per-round sums
-# add ≤|states| doubles (ulp noise ~1e-15, absorbed by the final 6-dp
-# round — the pagerank argument).
+# shape); everything after is CHAIN-sized — ≤|states|² transition rows
+# regardless of event volume — so the matrix collects to the driver
+# (bounded by contract) and the 12-step propagation over all removal
+# variants runs as scalar arithmetic in deterministic (sorted) fold
+# order. Probabilities are exact-integer-count ratios; the per-step
+# sums add ≤|states| doubles (ulp noise ~1e-15, absorbed by the final
+# 6-dp round — the pagerank argument).
 # --------------------------------------------------------------------------
 _MRK_STEPS = 12
 
@@ -1464,62 +1465,46 @@ def q206_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         (F.col("n") * F.lit(1.0) / F.sum("n").over(W.partitionBy("s"))).alias("w"),
     )
-    channels = (
-        ev.filter(F.col("event_type") != "purchase")
-        .select(F.col("event_type").alias("rm"))
-        .distinct()
+    # The chain is O(1)-sized BY CONTRACT: |states| is the event-type
+    # domain (+START/CONV/LOST), so `prob` holds ≤ |states|² rows no
+    # matter how many events fed it — a bounded driver collect, like
+    # the engine's other chain/codebook-sized artifacts. The 12-step
+    # propagation over all removal variants is then pure scalar
+    # arithmetic; running it as 12 Spark join rounds costs ~0.5 s of
+    # fixed scheduling per round for zero parallelism gain (measured
+    # 6.8 s → ~1.5 s at sf0.1 from this fold).
+    prob_rows = sorted(
+        ((r["s"], r["t"], r["w"]) for r in prob.collect())
+    )  # sorted ⇒ deterministic float accumulation order
+    channels = sorted({s for s, _, _ in prob_rows} - {"START"})
+
+    def _nstep(removed: str | None) -> float:
+        t: dict[tuple[str, str], float] = {}
+        for s, tt, w in prob_rows:
+            if s == removed:
+                continue
+            tt2 = "LOST" if tt == removed else tt
+            t[(s, tt2)] = t.get((s, tt2), 0.0) + w
+        t[("CONV", "CONV")] = 1.0
+        t[("LOST", "LOST")] = 1.0
+        p = {"CONV": 1.0}
+        for _ in range(_MRK_STEPS):
+            nxt: dict[str, float] = {}
+            for (s, tt2), w in sorted(t.items()):
+                if tt2 in p:
+                    nxt[s] = nxt.get(s, 0.0) + w * p[tt2]
+            p = nxt
+        return p.get("START", 0.0)
+
+    pfull = _nstep(None)
+    out = spark.createDataFrame(
+        [(c, _nstep(c)) for c in channels], "channel string, p double"
     )
-    variants = channels.unionAll(
-        channels.sparkSession.range(1).select(F.lit("FULL").alias("rm"))
-    ).localCheckpoint(eager=True)  # three consumers: redirect, absorb, p0
-    vt = (
-        prob.crossJoin(F.broadcast(variants))
-        .filter((F.col("rm") == "FULL") | (F.col("s") != F.col("rm")))
-        .select(
-            "rm",
-            "s",
-            F.when(
-                (F.col("rm") != "FULL") & (F.col("t") == F.col("rm")), "LOST"
-            )
-            .otherwise(F.col("t"))
-            .alias("t"),
-            "w",
-        )
-        .groupBy("rm", "s", "t")
-        .agg(F.sum("w").alias("w"))  # merges ≤2 terms (orig LOST + redirect)
-    )
-    absorb = variants.select("rm").crossJoin(
-        variants.sparkSession.createDataFrame(
-            [("CONV", "CONV", 1.0), ("LOST", "LOST", 1.0)], "s string, t string, w double"
-        )
-    )
-    trans = vt.unionAll(absorb).localCheckpoint(eager=True)  # reused every round
-    p = variants.select(
-        "rm", F.lit("CONV").alias("state"), F.lit(1.0).alias("p")
-    )
-    for i in range(1, _MRK_STEPS + 1):
-        p = (
-            trans.join(
-                p,
-                (trans["rm"] == p["rm"]) & (trans["t"] == p["state"]),
-            )
-            .groupBy(trans["rm"].alias("rm"), trans["s"].alias("state"))
-            .agg(F.sum(trans["w"] * p["p"]).alias("p"))
-        )
-        if i % 6 == 0 and i < _MRK_STEPS:
-            p = p.localCheckpoint(eager=True)
-    start = p.filter(F.col("state") == "START")
-    full = start.filter(F.col("rm") == "FULL").select(F.col("p").alias("pfull"))
-    return (
-        start.filter(F.col("rm") != "FULL")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("rm").alias("channel"),
-            F.round("p", 6).alias("conv_p_r"),
-            F.round(F.lit(1.0) - F.col("p") / F.col("pfull"), 6).alias(
-                "removal_r"
-            ),
-        )
+    # round in Spark (HALF_UP), matching every other query's convention
+    return out.select(
+        "channel",
+        F.round("p", 6).alias("conv_p_r"),
+        F.round(F.lit(1.0) - F.col("p") / F.lit(pfull), 6).alias("removal_r"),
     )
 
 
