@@ -55,7 +55,7 @@ from ..operators.frequent import heavy_hitters, mg_ingest  # noqa: F401
 # twin (O(k) keyed state; final snapshot equals the batch sketch
 # EXACTLY — order-independent k-minimum set, certified by q199)
 from ..operators.kmv import kmv_sketch, u60  # noqa: F401
-from ..streaming.stateful import kmv_stream  # noqa: F401
+from ..streaming.stateful import kmv_stream, xor_digest_stream  # noqa: F401
 
 # iterative graph propagation (DataFrame → DataFrame; each round
 # shuffles only the O(nodes) state vector against a once-checkpointed

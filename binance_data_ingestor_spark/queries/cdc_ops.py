@@ -491,8 +491,109 @@ FROM h GROUP BY source
 Q209_SQL = _q209_sql()
 
 
+# --------------------------------------------------------------------------
+# q211 — streaming certification of the q209 snapshot digest: the
+# documents table replays as a file stream through
+# streaming/stateful.xor_digest_stream (per-source keyed state = TWO
+# longs: running bit_xor + row count). Because XOR folding is a
+# commutative monoid, the final streaming snapshot must equal the
+# batch bit_xor EXACTLY — hash AND count, per source — whatever the
+# file/batch/arrival order; the query asserts that equality in-query
+# (refusing to emit on any divergence) and then emits the
+# batch-certified q209 result against the same DuckDB oracle. This
+# extends the exact-equality streaming-certification family
+# (q199's KMV argument) to the engine's simplest stateful monoid, and
+# certifies the incremental-ingest change-detection gate end to end:
+# the digest a STREAM maintains is bit-identical to the digest a batch
+# audit recomputes.
+# --------------------------------------------------------------------------
+def q211_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.kmv import u60_sql
+    from ..streaming.stateful import xor_digest_stream
+    from .util import replay_input
+
+    key = "concat(CAST(doc_id AS STRING), ':', coalesce(text, ''))"
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(u60_sql("spark", key)).alias("h"),
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+    )
+    sentinel = spark.sql(
+        "SELECT '__wm__' source, CAST(0 AS BIGINT) h, to_timestamp('2031-01-01') ts"
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q211",
+        lambda w: docs.unionByName(sentinel)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q211_")
+    stream = (
+        spark.readStream.schema("source string, h long, ts timestamp")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{os.path.basename(work)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            xor_digest_stream(
+                stream, ["source"], hash_col="h", watermark="30 minutes"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q211 streaming replay timed out after 600 s")
+        # drain eagerly (one row per source per batch by the emission
+        # contract) so the memory table + work dir tear down here; keep
+        # each source's highest-n_processed snapshot
+        snap = spark.table(name).filter(F.col("source") != "__wm__").collect()
+        mx: dict[str, int] = {}
+        fin: dict[str, int] = {}
+        for r in snap:
+            if r.n_processed >= mx.get(r.source, -1):
+                mx[r.source] = r.n_processed
+                fin[r.source] = r.digest
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    streamed = spark.createDataFrame(
+        sorted(fin.items()), "source string, digest long"
+    )
+    batch = q209_source_digest(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds both exceptAll sides + the emitted result
+    bd = batch.select("source", "digest")
+    n_diff = streamed.exceptAll(bd).count() + bd.exceptAll(streamed).count()
+    if n_diff:
+        raise AssertionError(
+            f"q211: streaming digest diverged from the batch bit_xor on "
+            f"{n_diff} sources - refusing to emit either result"
+        )
+    return batch
+
+
 QUERIES = {
     "q209_source_digest": q209_source_digest,
+    "q211_stream_digest": q211_stream_digest,
     "q73_latest_snapshot": q73_latest_snapshot,
     "q74_scd2": q74_scd2,
     "q75_upsert_audit": q75_upsert_audit,
@@ -504,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "q209_source_digest": Q209_SQL,
+    "q211_stream_digest": Q209_SQL,
     "q73_latest_snapshot": Q73_SQL,
     "q74_scd2": Q74_SQL,
     "q75_upsert_audit": Q75_SQL,

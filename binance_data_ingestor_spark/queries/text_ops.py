@@ -11,6 +11,7 @@ portable SQL; see operators/dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -2715,11 +2716,81 @@ JOIN sizes sb ON sb.source = src_b
 """
 
 
+# --------------------------------------------------------------------------
+# q213 — corpus coverage (saturation) curve: process documents in a
+# deterministic hash order (the q183 epoch-shuffle key) and report, per
+# 25-doc tranche, how many NEVER-SEEN-BEFORE 3-gram shingles it
+# contributes and the running total — the diminishing-returns curve a
+# curation team reads to decide when more of a source stops adding
+# content (coverage is submodular, so the curve is concave in
+# expectation under random order — the hash order IS a random order,
+# but a reproducible one). Scale shape: reuses the session shingle
+# artifact; "first time seen" is ONE partially-aggregable min per
+# shingle (never a sort of the corpus); the cumulative sum runs over
+# the tranche table (corpus/25 rows — grid-sized, the q76 day-table
+# precedent for a deliberate single-partition window).
+# --------------------------------------------------------------------------
+_COV_TRANCHE = 25
+
+
+def q213_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank
+
+    sh = _shingles3(spark, sf_dir)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("__key", F.md5(F.col("doc_id").cast("string")))
+    )
+    ranked = with_global_rank(
+        docs,
+        [],
+        [F.asc("__key"), F.asc("doc_id")],
+        bucket=F.conv(F.substring("__key", 1, 4), 16, 10).cast("long"),
+        rank_col="rk",
+    )
+    first = (
+        sh.join(ranked.select("doc_id", "rk"), "doc_id")
+        .groupBy("shingle")
+        .agg(F.min("rk").alias("fr"))
+    )
+    tranche = first.groupBy(
+        F.expr(f"CAST((fr - 1) DIV {_COV_TRANCHE} AS BIGINT)").alias("tranche")
+    ).agg(F.count("*").alias("new_shingles"))
+    w = W.orderBy("tranche").rowsBetween(W.unboundedPreceding, 0)
+    return tranche.select(
+        "tranche",
+        "new_shingles",
+        F.sum("new_shingles").over(w).alias("cum_shingles"),
+    )
+
+
+Q213_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rk FROM k),
+f AS (SELECT shingle, min(rk) AS fr FROM sh JOIN r USING (doc_id)
+      GROUP BY shingle),
+b AS (SELECT (fr - 1) // {_COV_TRANCHE} AS tranche,
+             CAST(count(*) AS BIGINT) AS new_shingles
+      FROM f GROUP BY 1)
+SELECT tranche, new_shingles,
+       CAST(sum(new_shingles) OVER (ORDER BY tranche) AS BIGINT)
+         AS cum_shingles
+FROM b
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
+    "q213_coverage_curve": q213_coverage_curve,
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
     "q42_fingerprint": q42_fingerprint,
@@ -2770,6 +2841,7 @@ ORACLES = {
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,
+    "q213_coverage_curve": Q213_SQL,
     "q40_text_quality": Q40_SQL,
     "q41_lang_id": Q41_SQL,
     "q42_fingerprint": Q42_SQL,

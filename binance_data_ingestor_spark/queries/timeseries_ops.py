@@ -674,9 +674,103 @@ FROM tri WHERE motif IS NOT NULL GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q212 — seasonal robust anomaly detection: per (event_type,
+# UTC-hour-of-day) season, the EXACT median and MAD (median absolute
+# deviation) of the value column, and the count of events outside the
+# Hampel gate |x − med| > 3·MAD — the outlier rule that, unlike
+# z-scores, is not itself corrupted by the outliers it hunts. Exactness
+# trick: values are integer cents, deviations are kept as the integers
+# dev2 = |2x − median_x2| (median_x2 = lower+upper middle, exact for
+# both parities), and the gate 2·dev2 > 3·mad4 is pure integer
+# arithmetic — the only floats are two final IEEE divisions for the
+# report columns. Scale shape: two exact_grouped_median passes (each a
+# (key,bucket) histogram + straddling-bucket probe — never a full
+# per-key sort), one broadcast join back per pass; the hour bucket is
+# floor(unix_micros/3.6e9)%24, timezone/DST-fixed in both engines
+# (the q110 lesson).
+# --------------------------------------------------------------------------
+def q212_seasonal_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_grouped_median
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST((unix_micros(ts) DIV 3600000000) % 24 AS INT)").alias(
+                "hr"
+            ),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "g", F.concat_ws("|", "event_type", F.col("hr").cast("string"))
+        )
+        .localCheckpoint(eager=True)  # feeds both median passes + the gate
+    )
+    med = exact_grouped_median(e, "g", "cents").select(
+        "g", "n_rows", F.col("median_x2_cents").alias("m2")
+    )
+    d = e.join(F.broadcast(med), "g").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("m2"))
+    ).localCheckpoint(eager=True)  # feeds the MAD pass + the gate count
+    mad = exact_grouped_median(d, "g", "dev2").select(
+        "g", F.col("median_x2_cents").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(mad), "g")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("m2") / F.lit(200.0)).alias("median_r"),
+            (F.max("mad4") / F.lit(400.0)).alias("mad_r"),
+            F.sum(
+                (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+Q212_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hr,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr
+                                    ORDER BY cents) AS rn,
+              count(*) OVER (PARTITION BY event_type, hr) AS n
+       FROM e),
+med AS (SELECT event_type, hr, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+                    AS BIGINT) AS m2
+        FROM r1 GROUP BY 1, 2),
+d AS (SELECT e.event_type, e.hr, m.n, m.m2,
+             abs(2 * e.cents - m.m2) AS dev2
+      FROM e JOIN med m USING (event_type, hr)),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr
+                                    ORDER BY dev2) AS rn,
+              count(*) OVER (PARTITION BY event_type, hr) AS nn
+       FROM d),
+mad AS (SELECT event_type, hr,
+               CAST(sum(CASE WHEN rn = (nn + 1) // 2 THEN dev2 ELSE 0 END)
+                    + sum(CASE WHEN rn = (nn + 2) // 2 THEN dev2 ELSE 0 END)
+                    AS BIGINT) AS mad4
+        FROM r2 GROUP BY 1, 2)
+SELECT d.event_type, d.hr,
+       CAST(count(*) AS BIGINT) AS n,
+       max(d.m2) / 200.0 AS median_r,
+       max(mad4) / 400.0 AS mad_r,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type, hr)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q203_sax_motifs": q203_sax_motifs,
+    "q212_seasonal_mad_outliers": q212_seasonal_mad_outliers,
     "q83_rolling_zscore": q83_rolling_zscore,
     "q160_rolling_median": q160_rolling_median,
     "q104_rolling_corr": q104_rolling_corr,
@@ -690,6 +784,7 @@ QUERIES = {
 ORACLES = {
     "q82_gapfill_locf": Q82_SQL,
     "q203_sax_motifs": Q203_SQL,
+    "q212_seasonal_mad_outliers": Q212_SQL,
     "q83_rolling_zscore": Q83_SQL,
     "q160_rolling_median": Q160_SQL,
     "q104_rolling_corr": Q104_SQL,

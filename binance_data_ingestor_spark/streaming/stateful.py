@@ -887,3 +887,113 @@ def kmv_stream(
     for i, kcol in enumerate(keys):
         raw = raw.withColumnRenamed(f"__k{i}", kcol)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Streaming XOR snapshot digest — the streaming twin of the q209 batch
+# content digest (bit_xor fold of a 60-bit row-identity hash).
+# ---------------------------------------------------------------------------
+
+XOR_DIGEST_STATE_SCHEMA = StructType(
+    [StructField("digest", LongType()), StructField("n", LongType())]
+)
+
+
+def _xor_digest_stream_fn(hash_col: str, n_keys: int, idle_state_ttl_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the event-time TTL: the latest digest was
+            # already emitted with the key's last data batch
+            state.remove()
+            return
+
+        dig, n = (0, 0)
+        if state.exists:
+            d0, n0 = state.get
+            dig, n = int(d0), int(n0)
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            # XOR is commutative/associative: fold the Arrow batch
+            # vectorized, then fold into the carried state scalar
+            import numpy as np
+
+            dig ^= int(
+                np.bitwise_xor.reduce(pdf[hash_col].to_numpy(dtype=np.int64))
+            )
+
+        # post-batch snapshot with every data batch (the engine's
+        # snapshot-emission contract: never from a timer; consumers
+        # keep the row with the highest n_processed per key)
+        yield pd.DataFrame(
+            {
+                **{f"__k{i}": [key[i]] for i in range(n_keys)},
+                "digest": [dig],
+                "n_processed": [n],
+            }
+        )
+        state.update((dig, n))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_state_ttl_ms
+        )
+
+    return fn
+
+
+def xor_digest_stream(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    hash_col: str,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming per-key XOR content digest: the running ``bit_xor``
+    of a pre-computed JVM-side row-identity hash — the streaming twin
+    of the q209 batch snapshot digest.
+
+    XOR folding is commutative, associative, and self-inverse, so the
+    final streaming snapshot equals the batch ``bit_xor`` EXACTLY —
+    not approximately — whatever the batch/file/arrival order (the
+    q199-KMV equality argument, here for the simplest possible monoid).
+    Per-key state is two longs: O(1) memory on an unbounded stream over
+    an unbounded key universe; idle keys drop after
+    ``idle_state_ttl_ms`` of event time (their last emitted snapshot is
+    already final).
+
+    Emission contract (append mode): one post-batch snapshot row per
+    key per data batch, monotone in ``n_processed`` — consumers keep
+    the row with the highest ``n_processed`` per key. Output:
+    *keys, digest, n_processed.
+    """
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            StructField(f"__k{i}", in_schema[kcol].dataType)
+            for i, kcol in enumerate(keys)
+        ]
+        + [
+            StructField("digest", LongType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    raw = (
+        events.select(*keys, hash_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _xor_digest_stream_fn(hash_col, len(keys), idle_state_ttl_ms),
+            out_schema,
+            XOR_DIGEST_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    for i, kcol in enumerate(keys):
+        raw = raw.withColumnRenamed(f"__k{i}", kcol)
+    return raw
