@@ -1574,8 +1574,67 @@ WHERE c.state = \'START\' AND c.rm <> \'FULL\'"""
 Q206_SQL = _markov_sql(_MRK_STEPS)
 
 
+# --------------------------------------------------------------------------
+# q214 — sequential-pattern support mining: for every ordered pair of
+# event types (a → b), how often b follows a WITHIN A 10-MINUTE GAP in
+# the same user's stream, and how many distinct users exhibit the
+# pattern — the gap-constrained generalization of q120's ADJACENT
+# transitions / q139's adjacent trigrams (a classic frequent-sequence
+# support count). Scale shape: the inequality join that would plan as
+# a BNLJ goes through operators/rangejoin.point_in_interval_join —
+# each "a" event becomes the interval (ts_a, ts_a + 10 min], points
+# bin to fixed windows, and the match is a plain shuffled equi-join on
+# (user_id, bin) with the exact predicate re-applied; support
+# aggregation is partially aggregable on (etype_a, etype_b).
+# --------------------------------------------------------------------------
+_SEQ_GAP_S = 600
+
+
+def q214_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.select(
+        "user_id",
+        F.col("event_type").alias("etype_a"),
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {_SEQ_GAP_S} SECONDS")).alias("hi"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_type").alias("etype_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    pairs = point_in_interval_join(
+        b,
+        a,
+        point_ts="ts_b",
+        lo="lo",
+        hi="hi",
+        bin_seconds=_SEQ_GAP_S,
+        keys=["user_id"],
+    )
+    return pairs.groupBy("etype_a", "etype_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q214_SQL = f"""
+SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {_SEQ_GAP_S} SECONDS
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q206_markov_attribution": q206_markov_attribution,
+    "q214_sequence_support": q214_sequence_support,
     "q76_dau_new_returning": q76_dau_new_returning,
     "q77_cohort_retention": q77_cohort_retention,
     "q78_funnel": q78_funnel,
@@ -1601,6 +1660,7 @@ QUERIES = {
 
 ORACLES = {
     "q206_markov_attribution": Q206_SQL,
+    "q214_sequence_support": Q214_SQL,
     "q76_dau_new_returning": Q76_SQL,
     "q77_cohort_retention": Q77_SQL,
     "q78_funnel": Q78_SQL,

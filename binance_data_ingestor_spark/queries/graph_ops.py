@@ -291,12 +291,85 @@ SELECT node AS part, CAST(hop AS INT) AS hop FROM d{hops}"""
 Q201_SQL = _bfs_sql(_BFS_HUB_DEG, _BFS_HOPS)
 
 
+# --------------------------------------------------------------------------
+# q215 — link prediction on the co-purchase graph via Adamic–Adar: for
+# every non-adjacent part pair at distance 2, score
+# Σ_w 1/ln(deg(w)) over common neighbors w, and emit the top-50
+# predicted links — the classic "products likely to be co-bought next"
+# recommender readout, and the 6th graph pattern in the engine
+# (propagation/peel/fixpoint/majority/frontier/now WEDGE SCORING).
+# Scale shape: wedges enumerate at their CENTER w, so per-center work
+# is deg(w)² — the deliberate _AA_MAX_DEG hub cap bounds it (the same
+# move production link predictors make: sample or drop mega-hub
+# neighborhoods, which only suppresses scores every candidate pair
+# shares); existing edges drop via one anti-join; the top-50 is a
+# TakeOrderedAndProject on (rounded score, u, v) — fully tie-broken,
+# never a global sort. ln() parity: scores round to 6 dp AFTER the
+# sum (the engine's ln-sum rule).
+# --------------------------------------------------------------------------
+_AA_MAX_DEG = 64
+_AA_TOPK = 50
+
+
+def q215_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    sym = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # feeds degrees + both wedge legs
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _AA_MAX_DEG)
+    ).withColumn(
+        "w_inv", F.lit(1.0) / F.log(F.col("deg").cast("double"))
+    )
+    e = sym.join(F.broadcast(centers), "src").select(
+        F.col("src").alias("w"), F.col("dst").alias("n"), "w_inv"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.round(F.sum(F.col("a.w_inv")), 6).alias("aa_score_r"))
+    )
+    preds = cand.join(pairs.select("u", "v"), ["u", "v"], "left_anti")
+    return preds.orderBy(
+        F.desc("aa_score_r"), F.asc("u"), F.asc("v")
+    ).limit(_AA_TOPK)
+
+
+Q215_SQL = f"""
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM pr a JOIN pr b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+      UNION ALL SELECT v AS src, u AS dst FROM p),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+c AS (SELECT src AS w, dst AS n, 1.0 / ln(CAST(deg AS DOUBLE)) AS w_inv
+      FROM e JOIN deg USING (src)
+      WHERE deg >= 2 AND deg <= {_AA_MAX_DEG}),
+cand AS (SELECT a.n AS u, b.n AS v, round(sum(a.w_inv), 6) AS aa_score_r
+         FROM c a JOIN c b ON a.w = b.w AND a.n < b.n
+         GROUP BY 1, 2),
+preds AS (SELECT cand.* FROM cand
+          LEFT JOIN p ON cand.u = p.u AND cand.v = p.v
+          WHERE p.u IS NULL)
+SELECT u, v, aa_score_r FROM preds
+ORDER BY aa_score_r DESC, u ASC, v ASC
+LIMIT {_AA_TOPK}
+"""
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
     "q105_triangle_count": q105_triangle_count,
     "q158_kcore": q158_kcore,
     "q200_label_propagation": q200_label_propagation,
     "q201_bfs_hub_distance": q201_bfs_hub_distance,
+    "q215_link_prediction": q215_link_prediction,
 }
 
 ORACLES = {
@@ -305,4 +378,5 @@ ORACLES = {
     "q158_kcore": Q158_SQL,
     "q200_label_propagation": Q200_SQL,
     "q201_bfs_hub_distance": Q201_SQL,
+    "q215_link_prediction": Q215_SQL,
 }

@@ -517,9 +517,113 @@ FROM o JOIN cat USING (o_orderpriority) CROSS JOIN gl
 """
 
 
+# --------------------------------------------------------------------------
+# q217 — one-pass best-split finder (the inner loop of decision-tree /
+# GBDT training, and a standard feature-importance screen for tabular
+# training data): for each candidate feature, the threshold whose
+# binary split maximizes Gini gain against the return-flag label.
+# Scale shape: the ONLY data-sized stage is one partially-aggregable
+# groupBy collapsing the fact table to (feature, value) histograms
+# (bounded by each feature's value domain); prefix sums, gains, and
+# the per-feature argmax all run on those histogram rows. Every input
+# to the gain formula is an exact integer (counts + positives), so the
+# fixed-shape double expression is identical across engines; the
+# argmax is a row_number over (rounded gain DESC, threshold ASC) —
+# fully tie-broken.
+# --------------------------------------------------------------------------
+def q217_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("discount_c"),
+        F.round(F.col("l_tax") * 100, 0).cast("int").alias("tax_c"),
+    )
+    melted = li.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"), F.col(c).alias("v")
+                    )
+                    for c in ("quantity", "discount_c", "tax_c")
+                ]
+            )
+        ).alias("fv"),
+    ).select("y", "fv.feature", "fv.v")
+    hist = melted.groupBy("feature", "v").agg(
+        F.count("*").alias("n"), F.sum("y").alias("p")
+    )
+    wf = W.partitionBy("feature").orderBy("v")
+    wt = W.partitionBy("feature")
+    pre = hist.select(
+        "feature",
+        "v",
+        F.sum("n").over(wf.rowsBetween(W.unboundedPreceding, 0)).alias("nl"),
+        F.sum("p").over(wf.rowsBetween(W.unboundedPreceding, 0)).alias("pl"),
+        F.sum("n").over(wt).alias("nn"),
+        F.sum("p").over(wt).alias("pp"),
+    ).filter(F.col("nl") < F.col("nn"))
+    gain = (
+        2.0 * F.col("pp") * (F.col("nn") - F.col("pp"))
+        / (F.col("nn") * F.col("nn"))
+        - 2.0 * F.col("pl") * (F.col("nl") - F.col("pl"))
+        / (F.col("nl") * F.col("nn"))
+        - 2.0 * (F.col("pp") - F.col("pl"))
+        * ((F.col("nn") - F.col("nl")) - (F.col("pp") - F.col("pl")))
+        / ((F.col("nn") - F.col("nl")) * F.col("nn"))
+    )
+    scored = pre.select(
+        "feature",
+        F.col("v").alias("thr"),
+        F.round(gain, 6).alias("gain_r"),
+        F.col("nl").alias("n_left"),
+        (F.col("nn") - F.col("nl")).alias("n_right"),
+    )
+    wr = W.partitionBy("feature").orderBy(F.desc("gain_r"), F.asc("thr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+Q217_SQL = """
+WITH base AS (SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+                     CAST(l_quantity AS INT) AS quantity,
+                     CAST(round(l_discount * 100, 0) AS INT) AS discount_c,
+                     CAST(round(l_tax * 100, 0) AS INT) AS tax_c
+              FROM lineitem),
+melted AS (SELECT y, 'quantity' AS feature, quantity AS v FROM base
+           UNION ALL SELECT y, 'discount_c', discount_c FROM base
+           UNION ALL SELECT y, 'tax_c', tax_c FROM base),
+hist AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(y) AS BIGINT) AS p
+         FROM melted GROUP BY 1, 2),
+pre AS (SELECT feature, v,
+               CAST(sum(n) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS nl,
+               CAST(sum(p) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS pl,
+               CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+               CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pp
+        FROM hist),
+scored AS (SELECT feature, v AS thr,
+                  round(2.0 * pp * (nn - pp) / (nn * nn)
+                        - 2.0 * pl * (nl - pl) / (nl * nn)
+                        - 2.0 * (pp - pl) * ((nn - nl) - (pp - pl))
+                          / ((nn - nl) * nn), 6) AS gain_r,
+                  nl AS n_left, (nn - nl) AS n_right
+           FROM pre WHERE nl < nn),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY feature
+                                        ORDER BY gain_r DESC, thr ASC) AS rn
+           FROM scored)
+SELECT feature, thr, gain_r, n_left, n_right FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q204_loo_target_encoding": q204_loo_target_encoding,
+    "q217_best_split": q217_best_split,
     "q90_pit_features": q90_pit_features,
     "q106_copurchase_lift": q106_copurchase_lift,
     "q132_decile_lift": q132_decile_lift,
@@ -530,6 +634,7 @@ QUERIES = {
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
     "q204_loo_target_encoding": Q204_SQL,
+    "q217_best_split": Q217_SQL,
     "q90_pit_features": Q90_SQL,
     "q106_copurchase_lift": Q106_SQL,
     "q132_decile_lift": Q132_SQL,

@@ -1025,6 +1025,84 @@ def q199_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q196_kmv_set_sketch(spark, sf_dir, base=base)
 
 
+# --------------------------------------------------------------------------
+# q216 — hash-sampled join-cardinality estimate with exact audit: the
+# optimizer statistic |lineitem ⋈ lineitem on l_partkey| = Σ_p cnt(p)²
+# (the self-join size that predicts shuffle blowup and skew), estimated
+# from the 1/16 of part keys whose portable u60 hash falls under
+# 2⁶⁰/16, scaled ×16 — end-biased key sampling: sampling KEYS (not
+# rows) keeps each sampled key's cnt² exact, so the estimator is
+# unbiased for any skew. The audit computes the exact value in the
+# same pass (one groupBy, two conditional sums) and reports the signed
+# relative error — at 100 TB only the sampled branch would run, with
+# the audit as the certification pass. All counts are exact integers;
+# the relative error is one IEEE division rounded to 6 dp.
+# --------------------------------------------------------------------------
+_JSE_INV_RATE = 16
+
+
+def q216_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import u60_sql
+
+    thr = (1 << 60) // _JSE_INV_RATE
+    cnt = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "sampled",
+            F.expr(u60_sql("spark", "l_partkey")) < F.lit(thr),
+        )
+    )
+    return cnt.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        F.sum(F.col("c") * F.col("c")).alias("exact_size"),
+        (
+            F.lit(_JSE_INV_RATE)
+            * F.sum(
+                F.when(F.col("sampled"), F.col("c") * F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+        ).alias("est_size"),
+    ).select(
+        "n_keys",
+        "n_sampled",
+        "exact_size",
+        "est_size",
+        F.round(
+            (F.col("est_size") - F.col("exact_size"))
+            / F.col("exact_size"),
+            6,
+        ).alias("rel_err_r"),
+    )
+
+
+def _q216_sql() -> str:
+    from ..operators.kmv import u60_sql
+
+    thr = (1 << 60) // _JSE_INV_RATE
+    return f"""
+WITH cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+             FROM lineitem GROUP BY l_partkey),
+s AS (SELECT c, {u60_sql("duckdb", "l_partkey")} < {thr} AS sampled
+      FROM cnt)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(c * c) AS BIGINT) AS exact_size,
+       CAST({_JSE_INV_RATE} * sum(CASE WHEN sampled THEN c * c ELSE 0 END)
+            AS BIGINT) AS est_size,
+       round((CAST({_JSE_INV_RATE} * sum(CASE WHEN sampled THEN c * c ELSE 0 END)
+                   AS BIGINT) - CAST(sum(c * c) AS BIGINT))
+             * 1.0 / CAST(sum(c * c) AS BIGINT), 6) AS rel_err_r
+FROM s
+"""
+
+
+Q216_SQL = _q216_sql()
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q86_column_profile": q86_column_profile,
@@ -1037,6 +1115,7 @@ QUERIES = {
     "q166_exact_median": q166_exact_median,
     "q180_json_schema_profile": q180_json_schema_profile,
     "q196_kmv_set_sketch": q196_kmv_set_sketch,
+    "q216_join_size_estimate": q216_join_size_estimate,
     "q199_stream_kmv": q199_stream_kmv,
 }
 
@@ -1052,5 +1131,6 @@ ORACLES = {
     "q166_exact_median": Q166_SQL,
     "q180_json_schema_profile": Q180_SQL,
     "q196_kmv_set_sketch": Q196_SQL,
+    "q216_join_size_estimate": Q216_SQL,
     "q199_stream_kmv": Q196_SQL,
 }
