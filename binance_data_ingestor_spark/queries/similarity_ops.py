@@ -1110,8 +1110,66 @@ FROM c WHERE round(d2o, 6) > 0
 Q208_SQL = _q208_sql()
 
 
+# --------------------------------------------------------------------------
+# q219 — ANN index build audit: the per-cell occupancy report an IVF
+# index build emits before serving (the partition-balance check that
+# predicts probe latency — a hot cell makes every probe touching it a
+# straggler, exactly like a skewed shuffle key). Reuses q53's
+# deterministic centroid family and 6-dp-rounded argmax assignment;
+# per cell: occupancy, corpus share, and load factor (occupancy ×
+# n_cells / corpus — 1.0 = perfectly balanced). Counts are exact
+# integers; the two ratios are single IEEE divisions. One Arrow GEMM
+# pass + one tiny groupBy — the audit costs one scan of the vectors.
+# --------------------------------------------------------------------------
+def q219_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_cells, centroids
+
+    emb = _emb(spark, sf_dir)
+    cells = assign_cells(emb, centroids(DIM, N_CENTROIDS, seed=7))
+    occ = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("n_total"), 6).alias("share_r"),
+        F.round(
+            F.col("n_vecs") * F.lit(N_CENTROIDS) / F.col("n_total"), 6
+        ).alias("load_factor_r"),
+    )
+
+
+def _q219_sql() -> str:
+    cents = centroids(DIM, N_CENTROIDS, seed=7)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT vec_id,
+         list_transform(cl, c -> round(list_inner_product(v, c) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c))), 6)) AS s
+  FROM e CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cell
+             FROM sims),
+occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assigned GROUP BY cell),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM occ)
+SELECT cell, n_vecs,
+       round(n_vecs * 1.0 / n_total, 6) AS share_r,
+       round(n_vecs * {N_CENTROIDS} * 1.0 / n_total, 6) AS load_factor_r
+FROM occ CROSS JOIN tot
+"""
+
+
+Q219_SQL = _q219_sql()
+
+
 QUERIES = {
     "q208_jl_certificate": q208_jl_certificate,
+    "q219_ivf_cell_audit": q219_ivf_cell_audit,
     "q185_hard_negatives": q185_hard_negatives,
     "q186_knn_label_eval": q186_knn_label_eval,
     "q50_ann_brute_topk": q50_ann_brute_topk,
@@ -1130,6 +1188,7 @@ QUERIES = {
 
 ORACLES = {
     "q208_jl_certificate": Q208_SQL,
+    "q219_ivf_cell_audit": Q219_SQL,
     "q185_hard_negatives": Q185_SQL,
     "q186_knn_label_eval": Q186_SQL,
     "q50_ann_brute_topk": Q50_SQL,

@@ -2785,12 +2785,72 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# q218 — dedup yield report: the readout a curation team looks at
+# AFTER near-dup clustering — the cluster-size distribution and the
+# token yield of keeping one representative per cluster (docs in no
+# near-dup pair count as singletons, so the report covers the WHOLE
+# corpus). kept_tokens / total_tokens is the "effective dataset size"
+# number that decides whether another dedup round pays for itself.
+# Composition of proven operators: q54's connected components feed a
+# left join back onto the corpus (missing doc ⇒ its own cluster id —
+# collision-free because component ids are member doc ids); every
+# output quantity is an exact integer (token counts, sizes,
+# arg_min-by-doc_id representative), so the cross-engine compare has
+# no float anywhere.
+# --------------------------------------------------------------------------
+def q218_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = q54_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("tok"),
+    )
+    j = docs.join(cl, "doc_id", "left").select(
+        "doc_id", "tok", F.coalesce("cluster_id", "doc_id").alias("cid")
+    )
+    per = j.groupBy("cid").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("tok").alias("ctok"),
+        F.min_by("tok", "doc_id").alias("rep_tok"),
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum("ctok").alias("total_tokens"),
+        F.sum("rep_tok").alias("kept_tokens"),
+    )
+
+
+Q218_SQL = f"""
+WITH RECURSIVE
+{_PAIR_CTES.format(source="documents")},
+tk AS (SELECT doc_id,
+              CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok
+       FROM documents),
+cl AS (SELECT t.doc_id, t.tok, coalesce(c.cluster_id, t.doc_id) AS cid
+       FROM tk t LEFT JOIN cc c ON t.doc_id = c.node),
+per AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(sum(tok) AS BIGINT) AS ctok,
+               arg_min(tok, doc_id) AS rep_tok
+        FROM cl GROUP BY cid)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(ctok) AS BIGINT) AS total_tokens,
+       CAST(sum(rep_tok) AS BIGINT) AS kept_tokens
+FROM per GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
     "q213_coverage_curve": q213_coverage_curve,
+    "q218_dedup_yield": q218_dedup_yield,
     "q40_text_quality": q40_text_quality,
     "q41_lang_id": q41_lang_id,
     "q42_fingerprint": q42_fingerprint,
@@ -2842,6 +2902,7 @@ ORACLES = {
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,
     "q213_coverage_curve": Q213_SQL,
+    "q218_dedup_yield": Q218_SQL,
     "q40_text_quality": Q40_SQL,
     "q41_lang_id": Q41_SQL,
     "q42_fingerprint": Q42_SQL,
