@@ -72,12 +72,22 @@ def _modules():
 #     de-windowed onto with_global_runmax — and has never been
 #     re-scored since). q06_rollup is the one r01 name deferred to
 #     round 6 (its A4 family stays covered in-window by q01/q05/q13).
-# Round 5's new surface (q191-q200: the five streaming certifications,
-# KMV sketch + its streaming twin, KN perplexity, touch attribution,
-# label-propagation communities) follows the "certify the round after
-# it lands" convention → round-6 window, together with q06_rollup (the
-# one deferred r01 re-cert); after that every name will have been
-# driver-scored at least once.
+# Round 5's new surface follows the "certify the round after it lands"
+# convention → round-6 window, together with q06_rollup (the one
+# deferred r01 re-cert); after that every name will have been
+# driver-scored at least once. The round-6 slate is 30 names:
+#   q191-q200 (the five streaming certifications, KMV sketch + its
+#   streaming twin, KN perplexity, touch attribution, label-propagation
+#   communities) and q201-q219 (BFS hub distance, sorted-neighborhood
+#   linkage, SAX motifs, LOO target encoding, feature hashing, Markov
+#   removal-effect attribution, quantile normalization, JL-projection
+#   certificate, snapshot XOR digest + its streaming twin q211,
+#   cross-source contamination, seasonal MAD outliers, coverage curve,
+#   sequence support mining, Adamic-Adar link prediction, join-size
+#   estimate, best-split finder, dedup yield, IVF cell audit) — all 29
+#   new names pre-verified strict+stability+7-partition+vanilla green
+#   this round. With the 3 sentinels that fills 33 of ~50 slots; spend
+#   the rest on r02-vintage re-certification, oldest first.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",

@@ -900,6 +900,8 @@ XOR_DIGEST_STATE_SCHEMA = StructType(
 
 
 def _xor_digest_stream_fn(hash_col: str, n_keys: int, idle_state_ttl_ms: int):
+    import numpy as np
+
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -920,8 +922,6 @@ def _xor_digest_stream_fn(hash_col: str, n_keys: int, idle_state_ttl_ms: int):
             n += len(pdf)
             # XOR is commutative/associative: fold the Arrow batch
             # vectorized, then fold into the carried state scalar
-            import numpy as np
-
             dig ^= int(
                 np.bitwise_xor.reduce(pdf[hash_col].to_numpy(dtype=np.int64))
             )
