@@ -21,6 +21,7 @@ Usage: python bench.py [--all] [--repeat N] [name_filter ...]
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -96,6 +97,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+            # release this query's localCheckpoint RDD references NOW:
+            # without driver-side GC pressure they pile up across a
+            # 218-query sweep and the executor storage bloat inflates
+            # later queries 5-20x (measured: q178 1.4 s isolated vs
+            # 12-27 s late in a no-gc sweep). Outside the timed span —
+            # this is sweep hygiene, not query cost.
+            gc.collect()
 
     best = {name: min(ts) for name, ts in samples.items()}
     # the driver-facing line reports the headline set only, 2 dp — keeps
