@@ -86,6 +86,33 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # Structured-Streaming warmup: state-store provider init + the
+    # stateful Python worker path cost several seconds ONCE per session
+    # and would otherwise land inside whichever streaming-certification
+    # query runs first (measured: q187 5-14 s first vs ~3 s warm).
+    # A two-row replay through the watermarked dedup touches both.
+    import shutil
+    import tempfile
+
+    wm = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        spark.sql(
+            "SELECT * FROM VALUES (1, timestamp'2030-01-01'),"
+            " (1, timestamp'2030-01-01') AS t(k, ts)"
+        ).write.parquet(f"{wm}/in")
+        (
+            spark.readStream.schema("k int, ts timestamp")
+            .parquet(f"{wm}/in")
+            .withWatermark("ts", "1 minute")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{wm}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    finally:
+        shutil.rmtree(wm, ignore_errors=True)
 
     samples: dict[str, list[float]] = {}
     for _ in range(max(1, repeat)):
