@@ -1164,3 +1164,152 @@ def test_source_digest_change_detection(spark, tmp_path):
     )
     d4 = digest_of(dup, "v4")
     assert d4["srcA"] != d1["srcA"]
+
+
+# ---------------------------------------------------------------------------
+# q215 Adamic-Adar link prediction — Python reference on the fixture
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    import math
+
+    import pandas as pd
+
+    from conftest import SF_SMOKE
+
+    from binance_data_ingestor_spark.queries.graph_ops import (
+        _AA_MAX_DEG,
+        _AA_TOPK,
+        q215_link_prediction,
+    )
+
+    got = [
+        (r["u"], r["v"], r["aa_score_r"])
+        for r in q215_link_prediction(spark, SF_SMOKE).collect()
+    ]
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter, defaultdict
+
+    pc = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"])
+        for i in range(len(parts)):
+            for j2 in range(i + 1, len(parts)):
+                pc[(parts[i], parts[j2])] += 1
+    edges = {p for p, n in pc.items() if n >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scores = defaultdict(float)
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > _AA_MAX_DEG:
+            continue
+        for a in nbrs:
+            for b in nbrs:
+                if a < b:
+                    scores[(a, b)] += 1.0 / math.log(d)
+    cand = [
+        (round(s, 6), u, v)
+        for (u, v), s in scores.items()
+        if (u, v) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(u, v, s) for s, u, v in cand[:_AA_TOPK]]
+    assert len(got) == len(want)
+    for (gu, gv, gs), (wu, wv, ws) in zip(got, want):
+        assert (gu, gv) == (wu, wv)
+        assert gs == pytest.approx(ws, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# q216 join-size estimate — Python reference incl. the u60 sampling hash
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_estimate_matches_bruteforce(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from conftest import SF_SMOKE
+
+    from binance_data_ingestor_spark.queries.profiling_ops import (
+        _JSE_INV_RATE,
+        q216_join_size_estimate,
+    )
+
+    row = q216_join_size_estimate(spark, SF_SMOKE).collect()[0]
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")["l_partkey"]
+    cnt = li.value_counts()
+    thr = (1 << 60) // _JSE_INV_RATE
+
+    def u60(key) -> int:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    exact = int((cnt * cnt).sum())
+    est = _JSE_INV_RATE * sum(
+        int(c) * int(c) for k, c in cnt.items() if u60(k) < thr
+    )
+    assert row["n_keys"] == len(cnt)
+    assert row["exact_size"] == exact
+    assert row["est_size"] == est
+    assert row["rel_err_r"] == pytest.approx(
+        round((est - exact) / exact, 6), abs=2e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 best-split finder — Python reference over exact histograms
+# ---------------------------------------------------------------------------
+
+
+def test_best_split_matches_bruteforce(spark):
+    import pandas as pd
+
+    from conftest import SF_SMOKE
+
+    from binance_data_ingestor_spark.queries.ml_ops import q217_best_split
+
+    got = {
+        r["feature"]: (r["thr"], r["gain_r"], r["n_left"], r["n_right"])
+        for r in q217_best_split(spark, SF_SMOKE).collect()
+    }
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    y = (li["l_returnflag"] == "R").astype(int)
+    feats = {
+        "quantity": li["l_quantity"].astype(int),
+        "discount_c": (li["l_discount"] * 100).round(0).astype(int),
+        "tax_c": (li["l_tax"] * 100).round(0).astype(int),
+    }
+    for name, col in feats.items():
+        df = pd.DataFrame({"v": col, "y": y})
+        hist = df.groupby("v").agg(n=("y", "size"), p=("y", "sum")).sort_index()
+        nn, pp = int(hist["n"].sum()), int(hist["p"].sum())
+        best = None
+        nl = pl = 0
+        for v, r in hist.iterrows():
+            nl += int(r["n"])
+            pl += int(r["p"])
+            if nl >= nn:
+                continue
+            nr, pr = nn - nl, pp - pl
+            gain = (
+                2.0 * pp * (nn - pp) / (nn * nn)
+                - 2.0 * pl * (nl - pl) / (nl * nn)
+                - 2.0 * pr * (nr - pr) / (nr * nn)
+            )
+            key = (round(gain, 6), -v)
+            if best is None or key > best[0]:
+                best = (key, (v, round(gain, 6), nl, nr))
+        want = best[1]
+        assert got[name][0] == want[0], name
+        assert got[name][1] == pytest.approx(want[1], abs=2e-6), name
+        assert got[name][2:] == want[2:], name
