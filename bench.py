@@ -141,9 +141,29 @@ def main() -> None:
     total = round(sum(best[n] for n in line_queries), 3)
 
     if not only and run_all:  # only full-registry sweeps own the detail file
+        # box/date stamp (round-6 verdict item): the r04→r05 comparison
+        # showed ~+4% uniform box drift, so cross-round deltas are only
+        # meaningful against a SAME-BOX baseline — the stamp makes
+        # "which box produced this file" checkable instead of guessed.
+        import datetime
+        import platform
+
         with open(DETAIL_PATH, "w") as f:
             json.dump(
-                {"sf": sf, "repeat": repeat, "samples": samples, "min": best},
+                {
+                    "sf": sf,
+                    "repeat": repeat,
+                    "box": {
+                        "node": platform.node(),
+                        "release": platform.release(),
+                        "cpus": os.cpu_count(),
+                        "date_utc": datetime.datetime.now(
+                            datetime.timezone.utc
+                        ).isoformat(timespec="seconds"),
+                    },
+                    "samples": samples,
+                    "min": best,
+                },
                 f,
                 indent=1,
             )

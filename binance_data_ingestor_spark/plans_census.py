@@ -1,0 +1,52 @@
+"""Adjudicated BNLJ/Cartesian allowlist — the scale-safety tripwire.
+
+Every BroadcastNestedLoopJoin / CartesianProduct node in the registry's
+physical plans must cross a **1-ROW aggregate** (global min/max/count/
+total, quantile-boundary row, kth-smallest hash, model normalizer) or a
+**marginal table** (class priors, digit table, chain states) into a
+scan — i.e. the broadcast side is O(1) at ANY scale factor, so the
+"nested loop" is really a scalar/constant broadcast the planner cannot
+express as an equi-join.
+
+A BNLJ in any query NOT listed here is a data-sized nested loop — a
+100 TB regression someone must rewrite as an equi-join. Two automated
+guards enforce that:
+
+- ``scripts/dump_plans.py`` fails if a regenerated plan outside this
+  list contains a BNLJ/Cartesian node, and writes the census paragraph
+  in PLANS.md **from the plans themselves** (never by hand);
+- ``tests/test_plan_quality.py::test_bnlj_census_matches_allowlist``
+  parses the committed PLANS.md and asserts actual-BNLJ-set ⊆ this
+  allowlist on every pytest run.
+
+Adjudication notes (what each query's 1-row/marginal crossing is):
+q51/q70/q79/q82/q85/q88/q93/q94/q96-q98/q100/q105/q106/q114/q117/q129/
+q138/q139/q143/q152/q155/q168/q169/q173-q177/q180/q181 — round-1..3
+vintage scalar-total / marginal-table broadcasts (global counts, digit
+tables, class priors, horizon rows), adjudicated in rounds 2-3.
+q187 — the same 1-row total broadcast as q88 (the exact-recount tail
+the streaming MG candidates feed into).
+q196/q199 — the KMV estimate table crosses three 1-ROW scalars (each
+sketch's kth-smallest hash via TakeOrderedAndProject(k) → 1-row agg,
+plus the exact-audit counts); q199 inherits q196's emission.
+q197 — the 1-row distinct-bigram total broadcast into the vocab-sized
+model build (the q98/q117 shape).
+q204 — the 1-ROW global-prior aggregate crossJoin-broadcast into the
+orders scan. q207 — the 1-ROW pooled-count aggregate crossed into the
+ranked corpus. q219 — the 1-ROW occupancy total crossed into the
+cells-sized (≤ N_CENTROIDS rows) audit table.
+(q167 LEFT the census in round 4: its curve fold moved driver-side.)
+"""
+
+from __future__ import annotations
+
+BNLJ_ALLOWLIST: frozenset[str] = frozenset(
+    {
+        "q51", "q70", "q79", "q82", "q85", "q88", "q93", "q94",
+        "q96", "q97", "q98", "q100", "q105", "q106", "q114", "q117",
+        "q129", "q138", "q139", "q143", "q152", "q155", "q168",
+        "q169", "q173", "q174", "q175", "q176", "q177", "q180",
+        "q181", "q187", "q196", "q197", "q199", "q204", "q207",
+        "q219",
+    }
+)

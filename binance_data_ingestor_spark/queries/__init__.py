@@ -54,91 +54,76 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-5 rotation (after round 4's 50/50-green window brought
-# cumulative certification to 174/189):
+# Round-6 rotation (after round 5's 50/50-green window brought cumulative
+# certification to 189/189 of the round-4 registry):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 15 names never driver-scored in any round (q48/q55/q57/q59/
-#     q61/q62/q99/q104/q113/q129/q144 deferred from earlier windows +
-#     round 4's new q187-q190) — green here ⇒ cumulative 100%; they sit
-#     directly after the sentinels, cheapest first, so a
-#     runtime-budgeted cut cannot cost the round its goal (the
-#     expensive streaming/iterative four — q99/q187/q188/q189 — close
-#     the group). q129 enters with its new 4-digest weight derivation
-#     (new weights ⇒ new oracle — it was never certified, so no
-#     regression baseline moves);
-#   - the remaining 32 slots are AGING RE-CERTIFICATION: the round-1
-#     vintage names whose last green driver row is four rounds old,
-#     oldest certificates first (q103 was also rewritten in round 4 —
-#     de-windowed onto with_global_runmax — and has never been
-#     re-scored since). q06_rollup is the one r01 name deferred to
-#     round 6 (its A4 family stays covered in-window by q01/q05/q13).
-# Round 5's new surface follows the "certify the round after it lands"
-# convention → round-6 window, together with q06_rollup (the one
-# deferred r01 re-cert); after that every name will have been
-# driver-scored at least once. The round-6 slate is 30 names:
-#   q191-q200 (the five streaming certifications, KMV sketch + its
-#   streaming twin, KN perplexity, touch attribution, label-propagation
-#   communities) and q201-q219 (BFS hub distance, sorted-neighborhood
-#   linkage, SAX motifs, LOO target encoding, feature hashing, Markov
-#   removal-effect attribution, quantile normalization, JL-projection
-#   certificate, snapshot XOR digest + its streaming twin q211,
-#   cross-source contamination, seasonal MAD outliers, coverage curve,
-#   sequence support mining, Adamic-Adar link prediction, join-size
-#   estimate, best-split finder, dedup yield, IVF cell audit) — all 29
-#   new names pre-verified strict+stability+7-partition+vanilla green
-#   this round. With the 3 sentinels that fills 33 of ~50 slots; spend
-#   the rest on r02-vintage re-certification, oldest first.
+#   - the 30-name GOAL BLOCK: q06_rollup (the one r01 name whose last
+#     green driver row is round 1, deferred here by design) plus the 29
+#     round-5 names never driver-scored (q191-q219, following the
+#     "certify the round after it lands" convention). Green here ⇒
+#     cumulative 218/218 — every registry name driver-scored at least
+#     once. Ordered cheapest-first so a runtime-budgeted cut cannot
+#     cost the round its goal; the five expensive streaming replays
+#     (q193/q211/q195/q192/q199/q191) close the block. Three of the 30
+#     enter with round-6 fixes certified fresh: q206 (channel domain =
+#     oracle's ch CTE), q211 (digest AND count equality), q213 (fixed
+#     tranche COUNT — bounded window; new tranche axis ⇒ new oracle,
+#     fine because q213 was never driver-certified);
+#   - the remaining 17 slots are r02-VINTAGE RE-CERTIFICATION: names
+#     whose last green driver row is round 2 (three rounds old),
+#     cheapest first to fit the budget. 29 r02-vintage names remain
+#     for the round-7 window.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q48_rolling_fingerprint",
-    "q55_curation_pipeline",
-    "q57_tfidf_retrieval",
-    "q59_token_budget_mix",
-    "q61_frame_sample",
-    "q62_byte_histogram",
-    "q104_rolling_corr",
-    "q113_seasonal_backtest",
-    "q129_poisson_bootstrap",
-    "q144_dup_spans",
-    "q190_quantile_sketch_certificate",
-    "q99_pagerank",
-    "q187_stream_heavy_hitters",
-    "q188_bpe_train",
-    "q189_bpe_encode",
-    "q02_shipping_priority",
-    "q03_regional_revenue",
-    "q05_pivot_status",
-    "q07_semi_anti",
-    "q08_set_ops",
-    "q09_distinct_agg",
-    "q10_enrich_scalar",
-    "q11_global_topk",
-    "q12_percentiles",
-    "q13_cube",
-    "q14_salted_agg",
-    "q15_local_supplier_revenue",
-    "q16_approx_distinct",
-    "q17_small_qty_revenue",
-    "q18_big_orders",
-    "q19_disjunctive_revenue",
-    "q22_rolling_24h",
-    "q23_lag_lead",
-    "q28_range_join",
-    "q29_multires_rollup",
-    "q32_trades_normalize",
-    "q33_klines_normalize",
-    "q34_envelope_filter",
-    "q37_realized_vol",
-    "q103_skyline",
-    "q109_recursive_hierarchy",
-    "q122_nation_volume",
-    "q123_market_share",
-    "q125_grouping_sets",
-    "q126_window_analytics",
-    "q127_array_hof",
-    "q135_depth_weighted_mid",
+    "q06_rollup",
+    "q209_source_digest",
+    "q219_ivf_cell_audit",
+    "q204_loo_target_encoding",
+    "q216_join_size_estimate",
+    "q201_bfs_hub_distance",
+    "q214_sequence_support",
+    "q215_link_prediction",
+    "q217_best_split",
+    "q205_feature_hashing",
+    "q198_touch_attribution",
+    "q207_quantile_normalize",
+    "q202_sorted_neighborhood",
+    "q218_dedup_yield",
+    "q203_sax_motifs",
+    "q196_kmv_set_sketch",
+    "q194_stream_dedup",
+    "q213_coverage_curve",
+    "q206_markov_attribution",
+    "q200_label_propagation",
+    "q197_kn_surprisal",
+    "q210_source_contamination",
+    "q208_jl_certificate",
+    "q212_seasonal_mad_outliers",
+    "q193_stream_rolling_24h",
+    "q211_stream_digest",
+    "q195_stream_transitions",
+    "q192_stream_klines",
+    "q199_stream_kmv",
+    "q191_stream_asof_enrich",
+    "q44_ngram_jaccard",
+    "q42_fingerprint",
+    "q41_lang_id",
+    "q20_json_decode_filter",
+    "q80_text_scrub",
+    "q47_bpe_token_count",
+    "q165_int8_quantize",
+    "q40_text_quality",
+    "q43_dedup_exact",
+    "q164_bpe_merge_step",
+    "q77_cohort_retention",
+    "q50_ann_brute_topk",
+    "q73_latest_snapshot",
+    "q147_error_window_attribution",
+    "q04_topk_per_group",
+    "q76_dau_new_returning",
+    "q78_funnel",
 ]
 
 

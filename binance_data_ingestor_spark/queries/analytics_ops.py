@@ -1476,7 +1476,18 @@ def q206_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob_rows = sorted(
         ((r["s"], r["t"], r["w"]) for r in prob.collect())
     )  # sorted ⇒ deterministic float accumulation order
-    channels = sorted({s for s, _, _ in prob_rows} - {"START"})
+    # Channel domain = ALL distinct non-purchase event types (matching the
+    # oracle's `ch` CTE), not just observed transition sources: an event
+    # type that only ever occurs after users' first purchases contributes
+    # no transition but is still a channel (removal_r = 0). Bounded
+    # collect: |event-type domain| rows.
+    channels = sorted(
+        r["event_type"]
+        for r in ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
 
     def _nstep(removed: str | None) -> float:
         t: dict[tuple[str, str], float] = {}

@@ -576,12 +576,13 @@ def q211_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
     streamed = spark.createDataFrame(
-        sorted(fin.items()), "source string, digest long"
+        sorted((s, d, mx[s]) for s, d in fin.items()),
+        "source string, digest long, n long",
     )
     batch = q209_source_digest(spark, sf_dir).localCheckpoint(
         eager=False
     )  # feeds both exceptAll sides + the emitted result
-    bd = batch.select("source", "digest")
+    bd = batch.select("source", "digest", F.col("n_docs").alias("n"))
     n_diff = streamed.exceptAll(bd).count() + bd.exceptAll(streamed).count()
     if n_diff:
         raise AssertionError(

@@ -2719,18 +2719,21 @@ JOIN sizes sb ON sb.source = src_b
 # --------------------------------------------------------------------------
 # q213 — corpus coverage (saturation) curve: process documents in a
 # deterministic hash order (the q183 epoch-shuffle key) and report, per
-# 25-doc tranche, how many NEVER-SEEN-BEFORE 3-gram shingles it
-# contributes and the running total — the diminishing-returns curve a
-# curation team reads to decide when more of a source stops adding
-# content (coverage is submodular, so the curve is concave in
-# expectation under random order — the hash order IS a random order,
-# but a reproducible one). Scale shape: reuses the session shingle
-# artifact; "first time seen" is ONE partially-aggregable min per
-# shingle (never a sort of the corpus); the cumulative sum runs over
-# the tranche table (corpus/25 rows — grid-sized, the q76 day-table
-# precedent for a deliberate single-partition window).
+# tranche, how many NEVER-SEEN-BEFORE 3-gram shingles it contributes
+# and the running total — the diminishing-returns curve a curation team
+# reads to decide when more of a source stops adding content (coverage
+# is submodular, so the curve is concave in expectation under random
+# order — the hash order IS a random order, but a reproducible one).
+# The tranche COUNT is fixed (_COV_TRANCHES = 40) and the tranche WIDTH
+# derives from corpus size, so the cumulative-sum window's input is
+# bounded at 40 rows at ANY scale — unlike a fixed width, whose tranche
+# table would grow linearly with the corpus through one WindowExec
+# partition (the round-5 verdict's one unbounded-window finding).
+# Scale shape: reuses the session shingle artifact; "first time seen"
+# is ONE partially-aggregable min per shingle (never a sort of the
+# corpus); corpus size is a 1-row driver scalar.
 # --------------------------------------------------------------------------
-_COV_TRANCHE = 25
+_COV_TRANCHES = 40  # fixed tranche count — width scales with the corpus
 
 
 def q213_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2742,6 +2745,9 @@ def q213_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__key", F.md5(F.col("doc_id").cast("string")))
     )
+    # 1-row driver scalar by contract: tranche width = ceil(n/40)
+    n_docs = docs.count()
+    width = max(1, -(-n_docs // _COV_TRANCHES))
     ranked = with_global_rank(
         docs,
         [],
@@ -2755,8 +2761,9 @@ def q213_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rk").alias("fr"))
     )
     tranche = first.groupBy(
-        F.expr(f"CAST((fr - 1) DIV {_COV_TRANCHE} AS BIGINT)").alias("tranche")
+        F.expr(f"CAST((fr - 1) DIV {width} AS BIGINT)").alias("tranche")
     ).agg(F.count("*").alias("new_shingles"))
+    # bounded window: ≤ _COV_TRANCHES rows by construction
     w = W.orderBy("tranche").rowsBetween(W.unboundedPreceding, 0)
     return tranche.select(
         "tranche",
@@ -2771,11 +2778,14 @@ sh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
                      i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
        FROM tok WHERE len(t) >= 3),
+wd AS (SELECT greatest(1, CAST(ceil(count(*) * 1.0 / {_COV_TRANCHES}) AS BIGINT))
+              AS width
+       FROM documents),
 k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
 r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rk FROM k),
 f AS (SELECT shingle, min(rk) AS fr FROM sh JOIN r USING (doc_id)
       GROUP BY shingle),
-b AS (SELECT (fr - 1) // {_COV_TRANCHE} AS tranche,
+b AS (SELECT (fr - 1) // (SELECT width FROM wd) AS tranche,
              CAST(count(*) AS BIGINT) AS new_shingles
       FROM f GROUP BY 1)
 SELECT tranche, new_shingles,

@@ -32,6 +32,46 @@ def plans(spark):
     return plan_of
 
 
+def test_bnlj_census_matches_allowlist():
+    """The committed PLANS.md is the plan-of-record artifact; every
+    query whose plan contains a BNLJ/Cartesian node must be in the
+    adjudicated allowlist (`plans_census.BNLJ_ALLOWLIST` — each entry a
+    verified 1-row-scalar or marginal-table crossing). This is the
+    automated form of the census tripwire: a data-sized nested loop
+    sneaking into any plan fails here without anyone re-reading 218
+    plans by hand. Also pins PLANS.md freshness: its section set must
+    equal the registry, so adding a query without regenerating the
+    plans file fails too."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    text = open(path).read()
+    body = text.split("\n## ", 1)[1] if "\n## " in text else ""
+    sections = ("## " + body).split("\n## ")
+    plan_names, bnlj = set(), set()
+    for sec in sections:
+        name = sec.splitlines()[0].lstrip("# ").strip()
+        plan_names.add(name)
+        if "BroadcastNestedLoopJoin" in sec or "CartesianProduct" in sec:
+            bnlj.add(name)
+
+    from binance_data_ingestor_spark.plans_census import BNLJ_ALLOWLIST
+
+    rogue = sorted(n for n in bnlj if n.split("_")[0] not in BNLJ_ALLOWLIST)
+    assert not rogue, (
+        f"un-adjudicated BNLJ/Cartesian in PLANS.md: {rogue} — either a "
+        "data-sized nested loop regression (rewrite as equi-join) or a "
+        "new 1-row-scalar crossing that needs adjudicating in "
+        "plans_census.py"
+    )
+    qs, _ = registry()
+    assert plan_names == set(qs), (
+        "PLANS.md is stale vs the registry — rerun scripts/dump_plans.py; "
+        f"missing={sorted(set(qs) - plan_names)[:5]} "
+        f"extra={sorted(plan_names - set(qs))[:5]}"
+    )
+
+
 def test_dim_joins_broadcast(plans):
     # q02/q03: customer/nation/region dims must broadcast, and the big
     # fact join must remain the only shuffle join
