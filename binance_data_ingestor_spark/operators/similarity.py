@@ -1253,3 +1253,114 @@ def cell_loo_knn(
         lambda _, pdf: cell_knn(pdf),
         "aid long, a_label int, b_label int, rk int",
     )
+
+
+def sign_signature(vec_col: str = "embedding") -> tuple[Column, Column]:
+    """Sign-bit binary signature of a 64-dim embedding, packed into two
+    unsigned 32-bit words carried in BIGINTs (``lo`` = dims 1-32,
+    ``hi`` = dims 33-64).
+
+    Two half-words instead of one 64-bit word so the identical packing
+    is expressible in the DuckDB oracle: ``1::BIGINT << 63`` overflows
+    DuckDB's signed shift, while every value here stays < 2^32. The
+    per-bit adds can never carry (each index sets a distinct bit), so
+    ``+`` is exactly bitwise OR and the whole packing runs inside
+    whole-stage codegen — 16 bytes of signature per vector, computed in
+    one scan, no Python.
+    """
+    def word(lo_bit: int, hi_bit: int) -> Column:
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {hi_bit}), 0L, (acc, i) -> "
+            f"acc + IF(element_at({vec_col}, i + 1) > 0, "
+            f"shiftleft(1L, i - {lo_bit}), 0L))"
+        )
+
+    return word(0, 31), word(32, 63)
+
+
+def hamming_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Hamming top-k over sign-bit signatures — the binary-ANN
+    path (16-byte signatures, XOR+popcount distance) real retrieval
+    stacks use when float GEMM is too expensive.
+
+    Scale shape (contrast with ``brute_force_topk``'s GEMM+mapInPandas):
+    everything stays JVM-side. Probe signatures are collected (|Q| rows,
+    bounded by contract) and EXPLODED as a literal array against each
+    candidate row — a Generate, not a join, so the big side never
+    shuffles and no BNLJ node appears. The top-k prune exploits the
+    65-value distance domain: a partially-aggregable (query, hd)
+    histogram (≤ 65·|Q| rows) yields each query's k-th-distance
+    threshold, and only candidates at or under their query's threshold
+    (≈ k + ties) reach the final exact-rank window. Two cheap passes
+    over the 16-byte/row signature table instead of one pass that
+    buffers per-task top-k state.
+    """
+    lo, hi = sign_signature(vec_col)
+    sig = candidates.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        lo.alias("clo"),
+        hi.alias("chi"),
+    ).localCheckpoint(eager=False)  # 24 B/row; feeds both passes
+
+    probes = (
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            lo.alias("qlo"),
+            hi.alias("qhi"),
+        ).collect()
+    )  # bounded driver collect: |Q| rows by contract
+    parr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.query_id)).cast("long").alias("query_id"),
+                F.lit(int(r.qlo)).cast("long").alias("qlo"),
+                F.lit(int(r.qhi)).cast("long").alias("qhi"),
+            )
+            for r in probes
+        ]
+    )
+    ex = (
+        sig.select("neighbor_id", "clo", "chi", F.explode(parr).alias("p"))
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            "neighbor_id",
+            (
+                F.bit_count(F.col("clo").bitwiseXOR(F.col("p.qlo")))
+                + F.bit_count(F.col("chi").bitwiseXOR(F.col("p.qhi")))
+            ).alias("hd"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # pass 1: distance histogram (map-side combined; ≤ 65·|Q| rows out)
+    hist = ex.groupBy("query_id", "hd").agg(F.count("*").alias("n"))
+    wq = (
+        W.partitionBy("query_id")
+        .orderBy("hd")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("n").over(wq))
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("cum") >= k, F.col("hd"))), F.lit(64)
+            ).alias("thr")
+        )
+    )
+    # pass 2: keep only candidates at/under their query's k-th distance
+    pruned = ex.join(F.broadcast(thr), "query_id").filter(
+        F.col("hd") <= F.col("thr")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("hd"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hd")
+    )

@@ -620,12 +620,92 @@ SELECT feature, thr, gain_r, n_left, n_right FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q223 — frequent 3-itemsets via a-priori pruning: which part TRIPLES
+# co-occur in >= 2 orders. One level up from q106's pairs — the step
+# where naive enumeration explodes (a 40-item basket has 9,880 triples
+# but only 780 pairs) and the a-priori property ("every subset of a
+# frequent set is frequent") becomes the algorithm. Scale shape: pair
+# instances rebuild from the checkpointed basket artifact and are
+# LEFT-SEMI pruned against the frequent-pair table BEFORE the third
+# item joins in, then the (u,w)/(v,w) sub-pairs are semi-pruned too —
+# so the triple shuffle carries only candidates whose every sub-pair
+# is frequent, not the raw basket-cubed blowup. The prune is pure
+# optimization (any tc>=2 triple has all sub-pairs >=2 by a-priori),
+# so the oracle can state the plain triple join. Counts exact ints;
+# support = one rounded division via the 1-row n_orders broadcast
+# (the q106 crossJoin shape — adjudicated in plans_census).
+# --------------------------------------------------------------------------
+def q223_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import COPURCHASE_MIN_ORDERS
+
+    baskets, pairs = copurchase_pairs(spark, sf_dir)
+    fp = pairs.select("u", "v")
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    pi = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("x.l_partkey").alias("u"),
+            F.col("y.l_partkey").alias("v"),
+        )
+        .join(fp, ["u", "v"], "left_semi")
+    )
+    cand = (
+        pi.join(baskets.alias("z"), "l_orderkey")
+        .filter(F.col("z.l_partkey") > F.col("v"))
+        .select("u", "v", F.col("z.l_partkey").alias("w"))
+        .join(
+            fp.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+        )
+        .join(
+            fp.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+    )
+    tri = (
+        cand.groupBy("u", "v", "w")
+        .agg(F.count("*").alias("tc"))
+        .filter(F.col("tc") >= COPURCHASE_MIN_ORDERS)
+    )
+    return tri.crossJoin(F.broadcast(n_orders)).select(
+        "u",
+        "v",
+        "w",
+        "tc",
+        F.round(F.col("tc") / F.col("n_orders"), 9).alias("support_r"),
+    )
+
+
+Q223_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+tr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, c.l_partkey AS w,
+              CAST(count(*) AS BIGINT) AS tc
+       FROM baskets a
+       JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+       JOIN baskets c ON a.l_orderkey = c.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+       GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT u, v, w, tc,
+       round(tc / CAST(n_orders AS DOUBLE), 9) AS support_r
+FROM tr CROSS JOIN n
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q204_loo_target_encoding": q204_loo_target_encoding,
     "q217_best_split": q217_best_split,
     "q90_pit_features": q90_pit_features,
     "q106_copurchase_lift": q106_copurchase_lift,
+    "q223_frequent_triples": q223_frequent_triples,
     "q132_decile_lift": q132_decile_lift,
     "q133_auc_ranksum": q133_auc_ranksum,
     "q174_purged_tscv": q174_purged_tscv,
@@ -637,6 +717,7 @@ ORACLES = {
     "q217_best_split": Q217_SQL,
     "q90_pit_features": Q90_SQL,
     "q106_copurchase_lift": Q106_SQL,
+    "q223_frequent_triples": Q223_SQL,
     "q132_decile_lift": Q132_SQL,
     "q133_auc_ranksum": Q133_SQL,
     "q174_purged_tscv": Q174_SQL,

@@ -1103,8 +1103,100 @@ FROM s
 Q216_SQL = _q216_sql()
 
 
+# --------------------------------------------------------------------------
+# q224 — 2-D equi-depth histogram (the "data heatmap" profile): 16
+# equal-population price tiles × 4 equal-population date tiles WITHIN
+# each price tile, over orders. The joint-density readout a profiling
+# pass uses to spot value/time interactions a pair of 1-D histograms
+# hides (e.g. big orders clustering in one quarter). Scale shape:
+# dimension 1 is with_global_ntile (bucket-offset two-pass — no
+# single-partition sort); dimension 2 does NOT use a partitioned
+# ntile window (16 price tiles = 16 data-sized tasks) — instead the
+# keyed distributed rank (with_global_rank, date-bucketed) plus a
+# 16-row per-tile count broadcast reproduce the SQL-standard ntile
+# formula exactly: with q = N div n, r = N mod n, tile(rank) =
+# (rank-1) div (q+1) + 1 for the first r*(q+1) rows, else
+# r + (rank - r*(q+1) - 1) div q + 1. Prices compare as exact cents;
+# every output is an integer or a date — no float anywhere.
+# --------------------------------------------------------------------------
+N_PRICE_TILES = 16
+N_DATE_TILES = 4
+
+
+def q224_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import (
+        with_global_ntile,
+        with_global_rank,
+        with_range_bucket,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d1 = with_global_ntile(
+        with_range_bucket(o, F.col("cents"), bucket_col="__rb"),
+        [F.asc("cents"), F.asc("o_orderkey")],
+        N_PRICE_TILES,
+        bucket=F.col("__rb"),
+        tile_col="pb",
+    ).drop("__rb")
+    r2 = with_global_rank(
+        d1,
+        ["pb"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        bucket=F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') DIV 60"
+        ),  # 60-day buckets (NTZ-safe)
+        rank_col="rk",
+    )
+    cnt = d1.groupBy("pb").agg(F.count("*").alias("np"))  # 16 rows
+    qq = (F.col("np") / N_DATE_TILES).cast("long")  # q = N div n
+    rr = F.col("np") % N_DATE_TILES  # r = N mod n
+    head = rr * (qq + 1)  # rows living in the ceil-sized leading tiles
+    db = F.when(
+        F.col("rk") <= head, ((F.col("rk") - 1) / (qq + 1)).cast("long") + 1
+    ).otherwise(
+        rr
+        + ((F.col("rk") - head - 1) / F.greatest(qq, F.lit(1))).cast("long")
+        + 1
+    )
+    return (
+        r2.join(F.broadcast(cnt), "pb")
+        .withColumn("db", db)
+        .groupBy("pb", "db")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )
+
+
+Q224_SQL = f"""
+WITH o AS (SELECT o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d1 AS (SELECT *, ntile({N_PRICE_TILES})
+              OVER (ORDER BY cents, o_orderkey) AS pb
+       FROM o),
+d2 AS (SELECT *, ntile({N_DATE_TILES})
+              OVER (PARTITION BY pb ORDER BY o_orderdate, o_orderkey) AS db
+       FROM d1)
+SELECT CAST(pb AS BIGINT) AS pb, CAST(db AS BIGINT) AS db,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+FROM d2 GROUP BY pb, db
+"""
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
+    "q224_hist2d": q224_hist2d,
     "q86_column_profile": q86_column_profile,
     "q87_grouped_split": q87_grouped_split,
     "q88_heavy_hitters": q88_heavy_hitters,
@@ -1121,6 +1213,7 @@ QUERIES = {
 
 ORACLES = {
     "q85_equidepth_bins": Q85_SQL,
+    "q224_hist2d": Q224_SQL,
     "q86_column_profile": Q86_SQL,
     "q87_grouped_split": Q87_SQL,
     "q88_heavy_hitters": Q88_SQL,

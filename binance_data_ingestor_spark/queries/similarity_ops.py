@@ -1167,8 +1167,57 @@ FROM occ CROSS JOIN tot
 Q219_SQL = _q219_sql()
 
 
+# --------------------------------------------------------------------------
+# q220 — binary-signature Hamming top-k: sign-quantize every embedding
+# to a 64-bit signature (two 32-bit words — see operators/similarity.
+# sign_signature for why two words) and rank each probe's nearest
+# neighbors by XOR-popcount distance. This is the binary-ANN path
+# retrieval stacks use when float GEMM is too expensive: 16 bytes per
+# vector, distance = 2 popcounts, everything in whole-stage codegen.
+# Scale shape: probes explode as a literal array (Generate — the big
+# side never joins or shuffles); the top-k prune exploits the 65-value
+# distance domain via a partially-aggregable (query, hd) histogram +
+# per-query k-th-distance threshold, so the final exact-rank window
+# sees ~k+ties rows per probe instead of N. Integer-only output — the
+# cross-engine compare has no float anywhere.
+# --------------------------------------------------------------------------
+def q220_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hamming_topk
+
+    emb = _emb(spark, sf_dir)
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K)
+
+
+_SIG_SQL = """
+WITH s AS (SELECT vec_id,
+  CAST(list_sum(list_transform(range(0, 32), i ->
+       CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+  CAST(list_sum(list_transform(range(32, 64), i ->
+       CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << (i - 32))
+            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+  FROM embeddings)"""
+
+Q220_SQL = f"""
+{_SIG_SQL},
+q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM s
+      WHERE vec_id < {N_QUERIES}),
+d AS (SELECT query_id, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi))
+                  AS BIGINT) AS hd
+      FROM s CROSS JOIN q WHERE s.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, hd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hd, neighbor_id) AS rank
+      FROM d)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hd
+FROM r WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "q208_jl_certificate": q208_jl_certificate,
+    "q220_hamming_topk": q220_hamming_topk,
     "q219_ivf_cell_audit": q219_ivf_cell_audit,
     "q185_hard_negatives": q185_hard_negatives,
     "q186_knn_label_eval": q186_knn_label_eval,
@@ -1188,6 +1237,7 @@ QUERIES = {
 
 ORACLES = {
     "q208_jl_certificate": Q208_SQL,
+    "q220_hamming_topk": Q220_SQL,
     "q219_ivf_cell_audit": Q219_SQL,
     "q185_hard_negatives": Q185_SQL,
     "q186_knn_label_eval": Q186_SQL,

@@ -2854,11 +2854,125 @@ FROM per GROUP BY cluster_size
 """
 
 
+# --------------------------------------------------------------------------
+# q221 — Jensen-Shannon divergence between every pair of sources'
+# unigram distributions: the corpus-drift readout a curation team uses
+# to decide whether two crawls/snapshots are interchangeable or one has
+# shifted (JSD is symmetric, bounded [0, ln 2], and defined even where
+# supports differ — unlike KL). Decomposition that keeps everything
+# exact-int until the last step: for SHARED tokens the contribution is
+# 0.5·pa·ln(2·na·tb/(na·tb+nb·ta)) + (mirror) — every ln() argument is
+# a single IEEE division of double-exact integer products, so both
+# engines feed ln the same double (the q100 convention); the one-sided
+# token mass never needs enumerating, because Σ_{a-only} 0.5·pa·ln 2 =
+# 0.5·ln 2·(ta−sa)/ta with sa = Σ_shared na — two integer sums. Scale
+# shape: ONE explode + (source, token) groupBy; the pair join fans each
+# vocab row out ≤ |sources| ways and partially aggregates straight to
+# the |sources|²-sized pair table; source totals broadcast.
+# ln-derived sum ⇒ round(sum, 6) per the repo convention.
+# --------------------------------------------------------------------------
+def q221_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # feeds totals AND both pair sides
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))  # |sources| rows
+    a = (
+        cnt.join(F.broadcast(tot), "source")
+        .select(
+            F.col("source").alias("src_a"),
+            "token",
+            F.col("n").alias("na"),
+            F.col("t").alias("ta"),
+        )
+    )
+    b = (
+        cnt.join(F.broadcast(tot), "source")
+        .select(
+            F.col("source").alias("src_b"),
+            "token",
+            F.col("n").alias("nb"),
+            F.col("t").alias("tb"),
+        )
+    )
+    # double-exact integer products (na·tb etc. as DOUBLE so both
+    # engines round identically and nothing overflows int64 at scale)
+    xab = F.col("na").cast("double") * F.col("tb").cast("double")
+    xba = F.col("nb").cast("double") * F.col("ta").cast("double")
+    term = (
+        F.lit(0.5) * (F.col("na") / F.col("ta")) * F.log(F.lit(2.0) * xab / (xab + xba))
+        + F.lit(0.5) * (F.col("nb") / F.col("tb")) * F.log(F.lit(2.0) * xba / (xab + xba))
+    )
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum("na").alias("sa"),
+            F.sum("nb").alias("sb"),
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.sum(term).alias("lnsum"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = (
+        F.col("lnsum")
+        + F.lit(0.5)
+        * ln2
+        * (
+            (F.col("ta") - F.col("sa")) / F.col("ta")
+            + (F.col("tb") - F.col("sb")) / F.col("tb")
+        )
+    )
+    return shared.select(
+        "src_a", "src_b", "n_shared", F.round(jsd, 6).alias("jsd_r")
+    )
+
+
+Q221_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY source),
+j AS (SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS na, b.n AS nb, ta.t AS ta, tb.t AS tb
+      FROM cnt a
+      JOIN cnt b ON a.token = b.token AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source),
+shared AS (SELECT src_a, src_b,
+                  CAST(count(*) AS BIGINT) AS n_shared,
+                  CAST(sum(na) AS BIGINT) AS sa,
+                  CAST(sum(nb) AS BIGINT) AS sb,
+                  max(ta) AS ta, max(tb) AS tb,
+                  sum(0.5 * (na * 1.0 / ta)
+                        * ln(2.0 * (CAST(na AS DOUBLE) * tb)
+                             / (CAST(na AS DOUBLE) * tb
+                                + CAST(nb AS DOUBLE) * ta))
+                      + 0.5 * (nb * 1.0 / tb)
+                        * ln(2.0 * (CAST(nb AS DOUBLE) * ta)
+                             / (CAST(na AS DOUBLE) * tb
+                                + CAST(nb AS DOUBLE) * ta))) AS lnsum
+           FROM j GROUP BY src_a, src_b)
+SELECT src_a, src_b, n_shared,
+       round(lnsum + 0.5 * ln(2.0)
+             * ((ta - sa) * 1.0 / ta + (tb - sb) * 1.0 / tb), 6) AS jsd_r
+FROM shared
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
+    "q221_js_divergence": q221_js_divergence,
     "q213_coverage_curve": q213_coverage_curve,
     "q218_dedup_yield": q218_dedup_yield,
     "q40_text_quality": q40_text_quality,
@@ -2911,6 +3025,7 @@ ORACLES = {
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,
+    "q221_js_divergence": Q221_SQL,
     "q213_coverage_curve": Q213_SQL,
     "q218_dedup_yield": Q218_SQL,
     "q40_text_quality": Q40_SQL,

@@ -767,6 +767,85 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q222 — inter-arrival burstiness (Fano factor) per event_type: the
+# dispersion of gaps between consecutive events — Fano = var/mean of
+# the inter-arrival time. ≈1 means Poisson arrivals; >>1 means bursts
+# (bot traffic, batch replays, thundering herds); <1 means pacing. The
+# readout an ingestion team uses to size buffers and spot replayed
+# traffic. Exactness: gaps are INTEGER seconds (µs epoch DIV 1e6, same
+# floor in both engines), so n/Σd/Σd² are exact int64 sums and the
+# final mean/Fano are deterministic IEEE expressions over identical
+# doubles — no rounding needed anywhere. (Fano from sums:
+# var_samp/mean = (n·S2 − S1²)/((n−1)·S1), computed in DOUBLE so the
+# int64 products can't overflow.) Scale shape: the lag window runs per
+# (event_type, day-chunk) with 1-row boundary context — event_type is
+# a handful of values, and without the chunk the sort would serialize
+# into |event_types| tasks (the q37/q38 convention); the final
+# aggregate is map-side combinable.
+# --------------------------------------------------------------------------
+def q222_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_row_context
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("su"),
+    )
+    tc = with_row_context(
+        ev,
+        ["event_type"],
+        ["su", "event_id"],
+        chunk=F.expr("su DIV 86400"),
+        rows_before=1,
+    )
+    w = W.partitionBy("event_type", "chunk").orderBy("su", "event_id")
+    gaps = (
+        tc.select(
+            "event_type",
+            "is_ctx",
+            (F.col("su") - F.lag("su").over(w)).alias("d"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("d").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "s1",
+        (s1 / n).alias("mean_gap_s"),
+        ((n * s2 - s1 * s1) / ((n - F.lit(1.0)) * s1)).alias("fano"),
+    )
+
+
+Q222_SQL = """
+WITH e AS (SELECT event_type, event_id,
+                  epoch_us(ts) // 1000000 AS su
+           FROM events),
+g AS (SELECT event_type,
+             su - lag(su) OVER (PARTITION BY event_type
+                                ORDER BY su, event_id) AS d
+      FROM e),
+a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * d) AS BIGINT) AS s2
+      FROM g WHERE d IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_gaps, s1,
+       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+       (CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+         / ((n_gaps - 1.0) * s1) AS fano
+FROM a
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q203_sax_motifs": q203_sax_motifs,
@@ -774,6 +853,7 @@ QUERIES = {
     "q83_rolling_zscore": q83_rolling_zscore,
     "q160_rolling_median": q160_rolling_median,
     "q104_rolling_corr": q104_rolling_corr,
+    "q222_interarrival_burstiness": q222_interarrival_burstiness,
     "q111_ewma": q111_ewma,
     "q112_max_drawdown": q112_max_drawdown,
     "q113_seasonal_backtest": q113_seasonal_backtest,
@@ -788,6 +868,7 @@ ORACLES = {
     "q83_rolling_zscore": Q83_SQL,
     "q160_rolling_median": Q160_SQL,
     "q104_rolling_corr": Q104_SQL,
+    "q222_interarrival_burstiness": Q222_SQL,
     "q111_ewma": Q111_SQL,
     "q112_max_drawdown": Q112_SQL,
     "q113_seasonal_backtest": Q113_SQL,
