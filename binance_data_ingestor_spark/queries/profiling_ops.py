@@ -1135,13 +1135,20 @@ def q224_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    d1 = with_global_ntile(
-        with_range_bucket(o, F.col("cents"), bucket_col="__rb"),
-        [F.asc("cents"), F.asc("o_orderkey")],
-        N_PRICE_TILES,
-        bucket=F.col("__rb"),
-        tile_col="pb",
-    ).drop("__rb")
+    d1 = (
+        with_global_ntile(
+            with_range_bucket(o, F.col("cents"), bucket_col="__rb"),
+            [F.asc("cents"), F.asc("o_orderkey")],
+            N_PRICE_TILES,
+            bucket=F.col("__rb"),
+            tile_col="pb",
+        )
+        .drop("__rb")
+        # three consumers (keyed-rank main pass, its bucket-offset pass,
+        # and the per-tile counts) — without this each re-runs the whole
+        # ntile lineage (measured 3.4 s → 1.5 s at sf0.1)
+        .localCheckpoint(eager=False)
+    )
     r2 = with_global_rank(
         d1,
         ["pb"],
