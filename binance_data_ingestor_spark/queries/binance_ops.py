@@ -690,6 +690,103 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# q39 — signed order-flow autocorrelation per symbol (lags 1-3): the
+# classic microstructure diagnostic — trade signs are positively
+# autocorrelated under order splitting / herding, near zero under
+# balanced flow. Sign = +1 taker-buy (maker='False'), -1 taker-sell;
+# unknown maker flags ('None', the reference's Python-repr null §1.4)
+# are excluded BEFORE the series forms, so lags run over consecutive
+# signed trades. Exactness: signs are ±1 ints, so every dot product
+# Σ s_i·s_{i+k} and pair count is an exact int64 and each ac_k is one
+# IEEE division of exact integers — no round() anywhere (the q35/q36
+# convention). Scale shape: the lead window runs per (symbol, 3-day
+# chunk) with 3-row boundary context (with_row_context rows_after=3 —
+# the q37/q38 convention), so parallelism grows with the time span;
+# the per-symbol aggregate is map-side combinable on the same shuffle.
+# --------------------------------------------------------------------------
+def q39_flow_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = (
+        _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+        .filter(F.col("is_buyer_maker") != "None")
+        .select(
+            "symbol",
+            "trade_time",
+            "event_id",
+            F.when(F.col("is_buyer_maker") == "False", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_after=3,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    led = tc.select(
+        "symbol",
+        "is_ctx",
+        "s",
+        *[F.lead("s", k).over(w).alias(f"s{k}") for k in (1, 2, 3)],
+    ).filter(F.col("is_ctx") == 0)
+    agg = led.groupBy("symbol").agg(
+        F.count("*").alias("n_trades"),
+        F.sum("s").alias("net_flow"),
+        *[F.sum(F.col("s") * F.col(f"s{k}")).alias(f"dot{k}") for k in (1, 2, 3)],
+        *[F.count(f"s{k}").alias(f"np{k}") for k in (1, 2, 3)],
+    )
+    return agg.select(
+        "symbol",
+        "n_trades",
+        "net_flow",
+        "dot1",
+        "dot2",
+        "dot3",
+        *[
+            (F.col(f"dot{k}") / F.nullif(F.col(f"np{k}"), F.lit(0))).alias(
+                f"ac{k}"
+            )
+            for k in (1, 2, 3)
+        ],
+    )
+
+
+# dot products / counts CAST to BIGINT (hugeint→float64 pandas hazard);
+# each ac_k is one IEEE division of exact integers — no round() (Q35 note).
+Q39_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         CASE WHEN event_id % 7 = 0 THEN 'None'
+              WHEN event_id % 2 = 0 THEN 'True'
+              ELSE 'False' END AS m
+  FROM events
+),
+f AS (SELECT symbol, tt, event_id,
+             CASE WHEN m = 'False' THEN 1 ELSE -1 END AS s
+      FROM t WHERE m <> 'None'),
+l AS (SELECT symbol, s,
+             lead(s, 1) OVER w AS s1,
+             lead(s, 2) OVER w AS s2,
+             lead(s, 3) OVER w AS s3
+      FROM f WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id))
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(s) AS BIGINT) AS net_flow,
+       CAST(sum(s * s1) AS BIGINT) AS dot1,
+       CAST(sum(s * s2) AS BIGINT) AS dot2,
+       CAST(sum(s * s3) AS BIGINT) AS dot3,
+       CAST(sum(s * s1) AS DOUBLE) / nullif(count(s1), 0) AS ac1,
+       CAST(sum(s * s2) AS DOUBLE) / nullif(count(s2), 0) AS ac2,
+       CAST(sum(s * s3) AS DOUBLE) / nullif(count(s3), 0) AS ac3
+FROM l GROUP BY symbol
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -700,6 +797,7 @@ QUERIES = {
     "q36_orderflow_imbalance": q36_orderflow_imbalance,
     "q37_realized_vol": q37_realized_vol,
     "q38_twap": q38_twap,
+    "q39_flow_autocorr": q39_flow_autocorr,
     "q135_depth_weighted_mid": q135_depth_weighted_mid,
 }
 
@@ -713,5 +811,6 @@ ORACLES = {
     "q36_orderflow_imbalance": Q36_SQL,
     "q37_realized_vol": Q37_SQL,
     "q38_twap": Q38_SQL,
+    "q39_flow_autocorr": Q39_SQL,
     "q135_depth_weighted_mid": Q135_SQL,
 }
