@@ -16,6 +16,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_SMOKE
+
 
 def _random_edges(rng: random.Random, n_nodes: int, n_edges: int):
     seen = set()
@@ -1313,3 +1315,154 @@ def test_best_split_matches_bruteforce(spark):
         assert got[name][0] == want[0], name
         assert got[name][1] == pytest.approx(want[1], abs=2e-6), name
         assert got[name][2:] == want[2:], name
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_hamming_topk_matches_bruteforce(spark, seed):
+    """hamming_topk (histogram-threshold prune + exact window) must equal
+    a numpy brute force over random float vectors — including tie
+    handling (hd ties broken by ascending neighbor id) and probes whose
+    k-th distance has many ties at the threshold."""
+    from binance_data_ingestor_spark.operators.similarity import hamming_topk
+
+    rng = np.random.default_rng(seed)
+    n, dim, k = 120, 64, 7
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # force heavy signature collisions: quantize a third of the rows
+    # onto a handful of sign patterns so threshold ties actually occur
+    for i in range(0, n, 3):
+        vecs[i] = np.sign(vecs[i % 5]) * 0.5
+
+    sigs = (vecs > 0).astype(np.uint64)
+    packed = np.zeros(n, dtype=np.uint64)
+    for b in range(dim):
+        packed |= sigs[:, b] << np.uint64(b)
+
+    def hd(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    q_ids = [0, 1, 2]
+    want = {}
+    for q in q_ids:
+        cand = sorted(
+            (hd(packed[q], packed[j]), j) for j in range(n) if j != q
+        )[:k]
+        want[q] = [(j, r + 1, d) for r, (d, j) in enumerate(cand)]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in hamming_topk(
+        df, df.filter(F.col("vec_id").isin(q_ids)), k=k
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.rank, r.hd))
+    for q in q_ids:
+        assert sorted(got[q], key=lambda t: t[1]) == want[q], q
+
+
+def test_hist2d_date_tiles_match_builtin_ntile(spark):
+    """q224's rank-formula date tiles must equal SQL-standard
+    ntile(4) OVER (PARTITION BY pb ...) — exercised on uneven tile
+    populations (N % n != 0) and duplicate order values."""
+    from pyspark.sql import Window as W
+
+    from binance_data_ingestor_spark.queries.profiling_ops import q224_hist2d
+
+    got = {
+        (r.pb, r.db): (r.n_orders, r.min_cents, r.max_cents)
+        for r in q224_hist2d(spark, SF_SMOKE).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d1 = o.withColumn(
+        "pb", F.ntile(16).over(W.orderBy("cents", "o_orderkey"))
+    )
+    d2 = d1.withColumn(
+        "db",
+        F.ntile(4).over(W.partitionBy("pb").orderBy("o_orderdate", "o_orderkey")),
+    )
+    want = {
+        (r.pb, r.db): (r.n, r.mn, r.mx)
+        for r in d2.groupBy("pb", "db")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_js_divergence_matches_direct_python(spark):
+    """q221's shared-token + analytic-tail decomposition must equal the
+    textbook full-support JSD computed directly in Python on the same
+    corpus (checks the one-sided-mass algebra, not just the oracle)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import q221_js_divergence
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    dist: dict[str, Counter] = {}
+    for source, text in docs:
+        if text is None:
+            continue
+        dist.setdefault(source, Counter()).update(text.split(" "))
+
+    def jsd(ca, cb):
+        ta, tb = sum(ca.values()), sum(cb.values())
+        s = 0.0
+        for tok in set(ca) | set(cb):
+            pa, pb = ca.get(tok, 0) / ta, cb.get(tok, 0) / tb
+            m = (pa + pb) / 2
+            if pa:
+                s += 0.5 * pa * math.log(pa / m)
+            if pb:
+                s += 0.5 * pb * math.log(pb / m)
+        return s
+
+    got = {
+        (r.src_a, r.src_b): r.jsd_r
+        for r in q221_js_divergence(spark, SF_SMOKE).collect()
+    }
+    for (a, b), v in got.items():
+        assert abs(v - jsd(dist[a], dist[b])) < 1e-6, (a, b)
+
+
+def test_flow_autocorr_matches_python(spark):
+    """q39's chunked lead-window dot products must equal a direct
+    Python fold over the per-symbol sign series (catches chunk-boundary
+    lead bugs: the last rows of every 3-day chunk need context)."""
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        _trades_cents,
+        q39_flow_autocorr,
+    )
+
+    t = (
+        _trades_cents(spark, SF_SMOKE, keep=("symbol", "event_id"))
+        .filter(F.col("is_buyer_maker") != "None")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(t, key=lambda r: (r.symbol, r.trade_time, r.event_id)):
+        series.setdefault(r.symbol, []).append(
+            1 if r.is_buyer_maker == "False" else -1
+        )
+    got = {r.symbol: r for r in q39_flow_autocorr(spark, SF_SMOKE).collect()}
+    for sym, s in series.items():
+        row = got[sym]
+        assert row.n_trades == len(s)
+        assert row.net_flow == sum(s)
+        for k in (1, 2, 3):
+            dot = sum(s[i] * s[i + k] for i in range(len(s) - k))
+            assert getattr(row, f"dot{k}") == dot, (sym, k)
