@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (  # noqa: F401
     cosine,
     dot,
+    hamming_topk,
     hyperplanes,
     pca_project,
     sign_lsh_bucket,
+    sign_signature,
 )
 
 # text analysis
