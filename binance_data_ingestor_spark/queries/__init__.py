@@ -72,12 +72,12 @@ def _modules():
 #   - the remaining 17 slots are r02-VINTAGE RE-CERTIFICATION: names
 #     whose last green driver row is round 2 (three rounds old),
 #     cheapest first to fit the budget.
-# Round-7 window plan: the 6 round-6-new names (q220-q224, q39 — all
+# Round-7 window plan: the 7 round-6-new names (q220-q225, q39 — all
 # strict+stability+7-partition+vanilla green this round, certify the
 # round after they land) + the 29 remaining r02-vintage names
 # (q105/q106/q118/q124/q149/q152/q153/q166/q167/q169/q170/q178/q24/
 # q30/q31/q35/q36/q38/q45/q52/q53/q54/q65/q74/q82/q83/q88/q89/q91)
-# + the 3 sentinels = 38 of ~50; spend the rest on r03-vintage,
+# + the 3 sentinels = 39 of ~50; spend the rest on r03-vintage,
 # oldest first.
 PRIORITY = [
     "q01_pricing_summary",

@@ -1201,6 +1201,91 @@ FROM d2 GROUP BY pb, db
 """
 
 
+# --------------------------------------------------------------------------
+# q225 — STREAMING count-min twin: the corpus token stream replays as a
+# file stream (4 micro-batches — maxFilesPerTrigger=1 over the 4-file
+# memoized input, so the incremental path is genuinely multi-batch) and
+# Spark's built-in streaming aggregation maintains the (b0..b_{d-1})
+# joint bucket histogram in COMPLETE mode — the CMS property made
+# literal: state is ≤ w^d = 32³ counters NO MATTER how long the stream
+# runs. Counter increments form a commutative monoid, so the final
+# streaming snapshot must equal the batch histogram EXACTLY — the query
+# asserts multiset equality in-query (refusing to emit on any
+# divergence) and then emits the batch-certified q116 result against
+# the same DuckDB oracle. Extends the exact-equality streaming
+# certification family (q199 KMV, q211 XOR digest, q187 MG) to the
+# tenth sketch/stateful kernel, this one with ZERO custom state code —
+# the certificate covers Spark's own incremental HashAggregate state.
+# --------------------------------------------------------------------------
+def q225_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .util import replay_input
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q225",
+        lambda w: toks.coalesce(4).write.mode("overwrite").parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q225_")
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")  # 4 real micro-batches
+        .parquet(f"{data}/in")
+    )
+    bcols = [F.expr(_cm_hash("spark", j)).alias(f"b{j}") for j in range(CM_D)]
+    name = f"out_{os.path.basename(work)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.select(*bcols)
+            .groupBy(*[f"b{j}" for j in range(CM_D)])
+            .agg(F.count("*").alias("c"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")  # final table = the full histogram
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q225 streaming replay timed out after 600 s")
+        # snapshot the terminated sink NOW (≤ w^d rows by construction)
+        streamed = spark.createDataFrame(
+            spark.table(name).collect(),
+            f"{', '.join(f'b{j} int' for j in range(CM_D))}, c long",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch = (
+        toks.select(*bcols)
+        .groupBy(*[f"b{j}" for j in range(CM_D)])
+        .agg(F.count("*").alias("c"))
+        # ≤ w^d rows; feeds both exceptAll sides — without this the
+        # token scan runs twice more
+        .localCheckpoint(eager=False)
+    )
+    n_diff = (
+        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q225: streaming count-min histogram diverged from the batch "
+            f"histogram on {n_diff} buckets - refusing to emit either result"
+        )
+    return q116_countmin(spark, sf_dir)
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q224_hist2d": q224_hist2d,
@@ -1209,6 +1294,7 @@ QUERIES = {
     "q88_heavy_hitters": q88_heavy_hitters,
     "q187_stream_heavy_hitters": q187_stream_heavy_hitters,
     "q116_countmin": q116_countmin,
+    "q225_stream_countmin": q225_stream_countmin,
     "q129_poisson_bootstrap": q129_poisson_bootstrap,
     "q134_skew_report": q134_skew_report,
     "q166_exact_median": q166_exact_median,
@@ -1226,6 +1312,7 @@ ORACLES = {
     "q88_heavy_hitters": Q88_SQL,
     "q187_stream_heavy_hitters": Q88_SQL,
     "q116_countmin": Q116_SQL,
+    "q225_stream_countmin": Q116_SQL,
     "q129_poisson_bootstrap": Q129_SQL,
     "q134_skew_report": Q134_SQL,
     "q166_exact_median": Q166_SQL,
