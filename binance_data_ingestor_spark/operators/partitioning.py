@@ -466,11 +466,18 @@ def with_global_ntile(
     )
     total = df.count()
     q, r = divmod(total, n_tiles)
-    rk = F.col("__gnt_rk")
-    # max(q,1) guards the (never-taken) big-tile branch when N < n
-    tile = F.when(
-        rk <= r * (q + 1), F.ceil(rk / F.lit(q + 1))
-    ).otherwise(F.lit(r) + F.ceil((rk - r * (q + 1)) / F.lit(max(q, 1))))
+    # PURE integer arithmetic (`DIV`, never ceil of a double division:
+    # a/b can round across the integer boundary within half an ulp once
+    # ranks outgrow the double mantissa — a boundary-row hazard at
+    # extreme scale). ceil(a/b) = (a + b - 1) div b for positive ints;
+    # max(q,1) guards the (never-taken) big-tile branch when N < n.
+    tile = F.expr(
+        f"""CASE WHEN __gnt_rk <= {r * (q + 1)}L
+                 THEN (__gnt_rk + {q}L) DIV {q + 1}L
+                 ELSE {r}L + (__gnt_rk - {r * (q + 1)}L + {max(q, 1) - 1}L)
+                             DIV {max(q, 1)}L
+            END"""
+    )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__gnt_rk")
 
 

@@ -1158,16 +1158,20 @@ def q224_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),  # 60-day buckets (NTZ-safe)
         rank_col="rk",
     )
+    # SQL-standard ntile from (rank, per-tile count) in PURE integer
+    # arithmetic (`div`, never double division + cast: a/b rounds UP to
+    # the next integer when within half an ulp — a real boundary-row
+    # hazard once rank magnitudes grow)
     cnt = d1.groupBy("pb").agg(F.count("*").alias("np"))  # 16 rows
-    qq = (F.col("np") / N_DATE_TILES).cast("long")  # q = N div n
-    rr = F.col("np") % N_DATE_TILES  # r = N mod n
-    head = rr * (qq + 1)  # rows living in the ceil-sized leading tiles
-    db = F.when(
-        F.col("rk") <= head, ((F.col("rk") - 1) / (qq + 1)).cast("long") + 1
-    ).otherwise(
-        rr
-        + ((F.col("rk") - head - 1) / F.greatest(qq, F.lit(1))).cast("long")
-        + 1
+    db = F.expr(
+        f"""CASE WHEN rk <= (np % {N_DATE_TILES})
+                         * (np DIV {N_DATE_TILES} + 1)
+                 THEN (rk - 1) DIV (np DIV {N_DATE_TILES} + 1) + 1
+                 ELSE (np % {N_DATE_TILES})
+                      + (rk - (np % {N_DATE_TILES})
+                              * (np DIV {N_DATE_TILES} + 1) - 1)
+                        DIV greatest(np DIV {N_DATE_TILES}, 1L) + 1
+            END"""
     )
     return (
         r2.join(F.broadcast(cnt), "pb")
