@@ -1466,3 +1466,19 @@ def test_flow_autocorr_matches_python(spark):
         for k in (1, 2, 3):
             dot = sum(s[i] * s[i + k] for i in range(len(s) - k))
             assert getattr(row, f"dot{k}") == dot, (sym, k)
+
+
+def test_hamming_topk_fewer_candidates_than_k(spark):
+    """When the corpus holds fewer than k candidates, the histogram
+    threshold falls back to 64 (keep everything) and every non-self
+    candidate is emitted with a dense exact rank."""
+    from binance_data_ingestor_spark.operators.similarity import hamming_topk
+
+    rows = [
+        (i, [float((i >> b) & 1) * 2 - 1 for b in range(64)]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), k=10).collect()
+    assert len(out) == 3  # all non-self candidates, k never reached
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
