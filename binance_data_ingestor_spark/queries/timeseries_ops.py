@@ -816,12 +816,19 @@ def q222_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_gaps").cast("double")
     s1 = F.col("s1").cast("double")
     s2 = F.col("s2").cast("double")
+    # nullif-guard the Fano denominator: a key with exactly ONE gap
+    # (n=1) or all-identical arrival seconds (s1=0) zeroes it — DuckDB
+    # DOUBLE division by zero yields NULL, but this session runs Spark
+    # ANSI mode where it RAISES; the guard makes both engines emit NULL
     return agg.select(
         "event_type",
         "n_gaps",
         "s1",
         (s1 / n).alias("mean_gap_s"),
-        ((n * s2 - s1 * s1) / ((n - F.lit(1.0)) * s1)).alias("fano"),
+        (
+            (n * s2 - s1 * s1)
+            / F.nullif((n - F.lit(1.0)) * s1, F.lit(0.0))
+        ).alias("fano"),
     )
 
 
@@ -841,7 +848,7 @@ a AS (SELECT event_type,
 SELECT event_type, n_gaps, s1,
        CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
        (CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-         / ((n_gaps - 1.0) * s1) AS fano
+         / nullif((n_gaps - 1.0) * s1, 0.0) AS fano
 FROM a
 """
 

@@ -1482,3 +1482,39 @@ def test_hamming_topk_fewer_candidates_than_k(spark):
     assert len(out) == 3  # all non-self candidates, k never reached
     assert sorted(r.rank for r in out) == [1, 2, 3]
     assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+
+
+def test_burstiness_single_gap_key_yields_null_fano(spark, tmp_path):
+    """A key with exactly one gap zeroes the Fano denominator — Spark
+    ANSI mode would raise without the nullif guard; both engines must
+    emit NULL instead (the oracle's DuckDB side already does)."""
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import (
+        q222_interarrival_burstiness,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        # 'solo' has TWO events -> one gap -> (n-1)*s1 == 0
+        (1, pd.Timestamp("2024-01-01 00:00:00"), "solo", 0.0, None),
+        (2, pd.Timestamp("2024-01-01 00:00:05"), "solo", 0.0, None),
+        # 'norm' has four events with varied gaps
+        (3, pd.Timestamp("2024-01-01 00:00:00"), "norm", 0.0, None),
+        (4, pd.Timestamp("2024-01-01 00:00:01"), "norm", 0.0, None),
+        (5, pd.Timestamp("2024-01-01 00:00:04"), "norm", 0.0, None),
+        (6, pd.Timestamp("2024-01-01 00:00:09"), "norm", 0.0, None),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "value", "props"]
+    ).assign(user_id=1)[
+        ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ].to_parquet(sf / "events.parquet")
+    got = {
+        r.event_type: r for r in q222_interarrival_burstiness(spark, str(sf)).collect()
+    }
+    assert got["solo"].n_gaps == 1 and got["solo"].fano is None
+    # norm: gaps 1,3,5 -> s1=9 s2=35; fano=(3*35-81)/(2*9)
+    assert got["norm"].n_gaps == 3
+    assert abs(got["norm"].fano - (3 * 35 - 81) / (2 * 9)) < 1e-12
