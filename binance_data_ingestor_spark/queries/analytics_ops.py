@@ -168,7 +168,13 @@ def q79_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.crossJoin(F.broadcast(mm)).select(
         F.least(
             F.lit(HIST_BINS - 1),
-            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * HIST_BINS),
+            # nullif: all-equal values zero the span — DuckDB divides to
+            # NULL (then least skips it → bin 9); Spark ANSI would RAISE
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                * HIST_BINS
+            ),
         ).alias("bin"),
         "lo",
         "hi",
@@ -377,10 +383,17 @@ def q131_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c1"),
     )
-    p0 = F.col("c0") / F.col("n0")
-    p1 = F.col("c1") / F.col("n1")
-    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
-    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    # nullif on the arm sizes: an empty arm (possible on degenerate
+    # user populations) divides to NULL in DuckDB but RAISES under
+    # Spark ANSI mode without the guard
+    n0 = F.nullif(F.col("n0"), F.lit(0))
+    n1 = F.nullif(F.col("n1"), F.lit(0))
+    p0 = F.col("c0") / n0
+    p1 = F.col("c1") / n1
+    pp = (F.col("c0") + F.col("c1")) / F.nullif(
+        F.col("n0") + F.col("n1"), F.lit(0)
+    )
+    se = F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
     return stats.select(
         "n0",
         "n1",

@@ -161,9 +161,11 @@ def q94_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.crossJoin(F.broadcast(span)).select(
         "event_type",
         F.least(
+            # nullif: all-equal values zero the span — DuckDB divides to
+            # NULL (least skips it → top bin); Spark ANSI would RAISE
             F.floor(
                 (F.col("value") - F.col("vmin"))
-                / (F.col("vmax") - F.col("vmin"))
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
                 * PSI_BINS
             ),
             F.lit(PSI_BINS - 1),
@@ -469,7 +471,11 @@ def q172_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n01",
         "n00",
         po.alias("po"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa_r"),
+        # nullif: pe == 1 (both labelers constant) undefines kappa —
+        # DuckDB divides to NULL; Spark ANSI would RAISE unguarded
+        F.round(
+            (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6
+        ).alias("kappa_r"),
     )
 
 

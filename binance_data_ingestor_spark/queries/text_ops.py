@@ -525,7 +525,12 @@ def q57_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "doc_id",
-            (F.col("dot") / (F.col("norm") * F.col("q_norm"))).alias("cos_raw"),
+            # nullif: an all-zero-idf doc has norm 0 — DuckDB divides to
+            # NULL; Spark ANSI would RAISE unguarded
+            (
+                F.col("dot")
+                / F.nullif(F.col("norm") * F.col("q_norm"), F.lit(0.0))
+            ).alias("cos_raw"),
         )
     )
     rk = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("doc_id"))
