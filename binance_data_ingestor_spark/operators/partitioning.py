@@ -147,6 +147,7 @@ def with_row_context(
     rows_after: int = 0,
     chunk_col: str = "chunk",
     ctx_col: str = "is_ctx",
+    check: bool = True,
 ) -> DataFrame:
     """Re-key a rows-bounded window off a low-cardinality partition key.
 
@@ -164,11 +165,23 @@ def with_row_context(
 
     Context is retargeted to the next/previous chunk PRESENT in the
     data (not chunk±1), so time gaps larger than the chunk span cannot
-    orphan a boundary row. Correctness precondition: every present
-    (key, chunk) bucket holds ≥ max(rows_before, rows_after) rows — a
-    deeper frame than the thinnest chunk would need multi-chunk
-    context (see q83 for a documented case where this rules the
-    rewrite out at small SF).
+    orphan a boundary row. Correctness precondition: every DONOR chunk
+    is at least as deep as what it donates — a chunk with a PREVIOUS
+    present chunk must hold ≥ ``rows_after`` rows (it donates its head
+    backward) and a chunk with a NEXT present chunk must hold
+    ≥ ``rows_before`` rows (it donates its tail forward); a thinner
+    donor would need multi-chunk context (see q83 for a documented
+    case where this rules the rewrite out at small SF). With
+    ``check=True`` (the default) the precondition is ENFORCED at
+    runtime: a per-(key, chunk) count — map-side combinable, pruned to
+    the key/chunk columns, |keys| × |chunks| result rows — is joined
+    against the present-chunk chain and the call raises ``ValueError``
+    naming the thinnest violating bucket instead of silently returning
+    NULL-context frames (the round-7 ADVICE tripwire). Depth-1 frames
+    skip the check unconditionally (every present chunk holds ≥ 1
+    row). Callers that have proven the precondition structurally
+    (e.g. q83's fixed 1000-row chunks, 10× its frame at any SF) may
+    pass ``check=False`` to skip the extra aggregate job.
 
     Returns df + (chunk_col, ctx_col); run the window partitioned by
     (*keys, chunk_col) with the same ``order``, then filter
@@ -190,6 +203,44 @@ def with_row_context(
         F.lead(chunk_col).over(wk).alias("__next_chunk"),
         F.lag(chunk_col).over(wk).alias("__prev_chunk"),
     )
+
+    if check and max(rows_before, rows_after) > 1:
+        # (depth-1 frames are safe unconditionally: every PRESENT
+        # chunk holds ≥ 1 row, so a 1-row donor always exists)
+        # Donor-depth tripwire: chunk X donates its first `rows_after`
+        # rows to its PREVIOUS present chunk and its last `rows_before`
+        # rows to its NEXT present chunk — so X must be that deep
+        # whenever the corresponding neighbour exists. One extra
+        # aggregate job over (keys, chunk) only; the join side is the
+        # |keys|×|chunks|-row chain summary.
+        counts = base.groupBy(*parts).count()
+        bad = (
+            counts.withColumnRenamed(chunk_col, "__src_chunk")
+            .join(hops, [*keys, "__src_chunk"])
+            .filter(
+                (
+                    F.col("__prev_chunk").isNotNull()
+                    & (F.col("count") < rows_after)
+                )
+                | (
+                    F.col("__next_chunk").isNotNull()
+                    & (F.col("count") < rows_before)
+                )
+            )
+            .select(*keys, "__src_chunk", "count")
+            .orderBy("count")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0].asDict()
+            raise ValueError(
+                "with_row_context precondition violated: donor bucket "
+                f"{row} holds fewer rows than the frame needs "
+                f"(rows_before={rows_before}, rows_after={rows_after}). "
+                "Widen the chunk expression or fall back to the global "
+                "window."
+            )
 
     def shifted(rank_window, n: int, target: str) -> DataFrame:
         ranked = (

@@ -37,6 +37,10 @@ ranked corpus. q219 — the 1-ROW occupancy total crossed into the
 cells-sized (≤ N_CENTROIDS rows) audit table.
 q223 (round 6) — the 1-ROW n_orders aggregate crossJoin-broadcast into
 the frequent-triple table (the q106 support-denominator shape).
+q221 (round 7) — the src_a < src_b pair-domain crossing of the
+|sources|-row total aggregate with ITSELF (both BNLJ sides are the
+same O(|sources|) aggregate, never a data-sized scan) so fully
+disjoint source pairs still emit jsd = ln 2.
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -49,6 +53,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q129", "q138", "q139", "q143", "q152", "q155", "q168",
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
-        "q219", "q223",
+        "q219", "q221", "q223",
     }
 )

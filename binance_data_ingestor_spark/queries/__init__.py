@@ -54,82 +54,79 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-6 rotation (after round 5's 50/50-green window brought cumulative
-# certification to 189/189 of the round-4 registry):
+# Round-7 rotation (after round 6's 50/50-green window brought cumulative
+# certification to 218/218 of the round-6-start registry):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 30-name GOAL BLOCK: q06_rollup (the one r01 name whose last
-#     green driver row is round 1, deferred here by design) plus the 29
-#     round-5 names never driver-scored (q191-q219, following the
-#     "certify the round after it lands" convention). Green here ⇒
-#     cumulative 218/218 — every registry name driver-scored at least
-#     once. Ordered cheapest-first so a runtime-budgeted cut cannot
-#     cost the round its goal; the five expensive streaming replays
-#     (q193/q211/q195/q192/q199/q191) close the block. Three of the 30
-#     enter with round-6 fixes certified fresh: q206 (channel domain =
-#     oracle's ch CTE), q211 (digest AND count equality), q213 (fixed
-#     tranche COUNT — bounded window; new tranche axis ⇒ new oracle,
-#     fine because q213 was never driver-certified);
-#   - the remaining 17 slots are r02-VINTAGE RE-CERTIFICATION: names
-#     whose last green driver row is round 2 (three rounds old),
-#     cheapest first to fit the budget.
-# Round-7 window plan: the 7 round-6-new names (q220-q225, q39 — all
-# strict+stability+7-partition+vanilla green this round, certify the
-# round after they land) + the 29 remaining r02-vintage names
-# (q105/q106/q118/q124/q149/q152/q153/q166/q167/q169/q170/q178/q24/
-# q30/q31/q35/q36/q38/q45/q52/q53/q54/q65/q74/q82/q83/q88/q89/q91)
-# + the 3 sentinels = 39 of ~50; spend the rest on r03-vintage,
-# oldest first.
+#   - the 36-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
+#     cannot cost the round its goal: the 7 round-6-new names
+#     (q220-q225, q39 — never driver-scored; "certify the round after
+#     it lands" convention; green ⇒ cumulative 225/225 of the
+#     round-7-start registry) merged with the 29 r02-VINTAGE names
+#     whose last green driver row is round 2 (four rounds old:
+#     q105/q106/q118/q124/q149/q152/q153/q166/q167/q169/q170/q178/
+#     q24/q30/q31/q35/q36/q38/q45/q52/q53/q54/q65/q74/q82/q83/q88/
+#     q89/q91). The q225 streaming replay (4.8 s fixed cost) closes
+#     the block;
+#   - the remaining 11 slots are r03-VINTAGE RE-CERTIFICATION,
+#     cheapest first (q60/q56/q72/q49/q108/q70/q131/q155/q173/q66/
+#     q177).
+# Round-8 window plan: 3 sentinels + the round-7-new names (certify
+# the round after they land) + the remaining 34 r03-vintage names
+# (q138/q142/q143/q145/q146/q150/q151/q154/q157/q158/q159/q160/q161/
+# q163/q171/q174/q179/q180/q181/q182/q27/q46/q51/q63/q64/q67/q71/
+# q75/q81/q90/q92/q93/q96/q110); spend any spare slots on r04-vintage,
+# cheapest first.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q06_rollup",
-    "q209_source_digest",
-    "q219_ivf_cell_audit",
-    "q204_loo_target_encoding",
-    "q216_join_size_estimate",
-    "q201_bfs_hub_distance",
-    "q214_sequence_support",
-    "q215_link_prediction",
-    "q217_best_split",
-    "q205_feature_hashing",
-    "q198_touch_attribution",
-    "q207_quantile_normalize",
-    "q202_sorted_neighborhood",
-    "q218_dedup_yield",
-    "q203_sax_motifs",
-    "q196_kmv_set_sketch",
-    "q194_stream_dedup",
-    "q213_coverage_curve",
-    "q206_markov_attribution",
-    "q200_label_propagation",
-    "q197_kn_surprisal",
-    "q210_source_contamination",
-    "q208_jl_certificate",
-    "q212_seasonal_mad_outliers",
-    "q193_stream_rolling_24h",
-    "q211_stream_digest",
-    "q195_stream_transitions",
-    "q192_stream_klines",
-    "q199_stream_kmv",
-    "q191_stream_asof_enrich",
-    "q44_ngram_jaccard",
-    "q42_fingerprint",
-    "q41_lang_id",
-    "q20_json_decode_filter",
-    "q80_text_scrub",
-    "q47_bpe_token_count",
-    "q165_int8_quantize",
-    "q40_text_quality",
-    "q43_dedup_exact",
-    "q164_bpe_merge_step",
-    "q77_cohort_retention",
-    "q50_ann_brute_topk",
-    "q73_latest_snapshot",
-    "q147_error_window_attribution",
-    "q04_topk_per_group",
-    "q76_dau_new_returning",
-    "q78_funnel",
+    "q74_scd2",
+    "q118_semantic_dedup",
+    "q36_orderflow_imbalance",
+    "q24_sessionize",
+    "q35_vwap",
+    "q89_grouped_regression",
+    "q167_kaplan_meier",
+    "q106_copurchase_lift",
+    "q88_heavy_hitters",
+    "q91_constraint_audit",
+    "q82_gapfill_locf",
+    "q220_hamming_topk",
+    "q221_js_divergence",
+    "q65_media_phash",
+    "q30_ticker_normalize",
+    "q152_mixture_rebalance",
+    "q54_neardup_clusters",
+    "q222_interarrival_burstiness",
+    "q170_gini_revenue",
+    "q105_triangle_count",
+    "q223_frequent_triples",
+    "q52_lsh_topk",
+    "q39_flow_autocorr",
+    "q38_twap",
+    "q124_product_profit",
+    "q178_wav_roundtrip",
+    "q31_orderbook_metrics",
+    "q166_exact_median",
+    "q45_minhash_lsh",
+    "q53_ivf_topk",
+    "q169_ks_drift",
+    "q149_bloom_decontaminate",
+    "q224_hist2d",
+    "q153_incremental_neardup",
+    "q83_rolling_zscore",
+    "q225_stream_countmin",
+    "q60_media_metadata",
+    "q56_stratified_sample",
+    "q72_chunking",
+    "q49_tfidf_topterms",
+    "q108_editdist_join",
+    "q70_vocab",
+    "q131_ab_test",
+    "q155_dormant_capital",
+    "q173_scd2_temporal_join",
+    "q66_pq_topk",
+    "q177_cusum",
 ]
 
 

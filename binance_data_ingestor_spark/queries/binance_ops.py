@@ -704,6 +704,12 @@ FROM base
 # chunk) with 3-row boundary context (with_row_context rows_after=3 —
 # the q37/q38 convention), so parallelism grows with the time span;
 # the per-symbol aggregate is map-side combinable on the same shuffle.
+# The 3-row donor-depth precondition is ENFORCED by with_row_context's
+# default runtime tripwire (a sparse (symbol, chunk) bucket raises
+# instead of silently NULLing lead-2/lead-3 at the previous chunk's
+# tail); trade_time DIV chunking assumes the post-1970 epoch domain
+# (Spark DIV truncates toward zero, DuckDB // floors — they agree only
+# for non-negative values; see q222's note).
 # --------------------------------------------------------------------------
 def q39_flow_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -2870,11 +2870,20 @@ FROM per GROUP BY cluster_size
 # a single IEEE division of double-exact integer products, so both
 # engines feed ln the same double (the q100 convention); the one-sided
 # token mass never needs enumerating, because Σ_{a-only} 0.5·pa·ln 2 =
-# 0.5·ln 2·(ta−sa)/ta with sa = Σ_shared na — two integer sums. Scale
-# shape: ONE explode + (source, token) groupBy; the pair join fans each
-# vocab row out ≤ |sources| ways and partially aggregates straight to
-# the |sources|²-sized pair table; source totals broadcast.
-# ln-derived sum ⇒ round(sum, 6) per the repo convention.
+# 0.5·ln 2·(ta−sa)/ta with sa = Σ_shared na — two integer sums. The
+# output covers the FULL pair domain (every src_a < src_b from the
+# source-total table): a pair sharing zero tokens still emits a row
+# with n_shared=0 and jsd_r = round(ln 2, 6) — disjoint supports give
+# exactly ln 2, the JSD upper bound — via a left join of the
+# |sources|²-bounded pair domain against the shared-token aggregate
+# (the round-7 ADVICE completion; before, the inner token join
+# silently dropped fully-disjoint pairs). Scale shape: ONE explode +
+# (source, token) groupBy; the pair join fans each vocab row out
+# ≤ |sources| ways and partially aggregates straight to the
+# |sources|²-sized pair table; source totals broadcast; the pair
+# domain is a BNLJ crossing of two |sources|-row aggregates
+# (adjudicated in plans_census — O(|sources|²) at any SF, never
+# data-sized). ln-derived sum ⇒ round(sum, 6) per the repo convention.
 # --------------------------------------------------------------------------
 def q221_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("source", "text")
@@ -2919,10 +2928,28 @@ def q221_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_shared"),
             F.sum("na").alias("sa"),
             F.sum("nb").alias("sb"),
-            F.max("ta").alias("ta"),
-            F.max("tb").alias("tb"),
             F.sum(term).alias("lnsum"),
         )
+    )
+    # Full pair domain from the |sources|-row total table: a disjoint
+    # pair (no shared tokens) must still emit, with sa=sb=lnsum=0 so
+    # the formula collapses to 0.5·ln2·(1+1) = ln 2 exactly.
+    pairs = (
+        tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+        .join(
+            tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    full = pairs.join(shared, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        "ta",
+        "tb",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+        F.coalesce(F.col("sa"), F.lit(0).cast("long")).alias("sa"),
+        F.coalesce(F.col("sb"), F.lit(0).cast("long")).alias("sb"),
+        F.coalesce(F.col("lnsum"), F.lit(0.0)).alias("lnsum"),
     )
     ln2 = F.log(F.lit(2.0))
     jsd = (
@@ -2934,7 +2961,7 @@ def q221_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("tb") - F.col("sb")) / F.col("tb")
         )
     )
-    return shared.select(
+    return full.select(
         "src_a", "src_b", "n_shared", F.round(jsd, 6).alias("jsd_r")
     )
 
@@ -2955,7 +2982,6 @@ shared AS (SELECT src_a, src_b,
                   CAST(count(*) AS BIGINT) AS n_shared,
                   CAST(sum(na) AS BIGINT) AS sa,
                   CAST(sum(nb) AS BIGINT) AS sb,
-                  max(ta) AS ta, max(tb) AS tb,
                   sum(0.5 * (na * 1.0 / ta)
                         * ln(2.0 * (CAST(na AS DOUBLE) * tb)
                              / (CAST(na AS DOUBLE) * tb
@@ -2964,11 +2990,17 @@ shared AS (SELECT src_a, src_b,
                         * ln(2.0 * (CAST(nb AS DOUBLE) * ta)
                              / (CAST(na AS DOUBLE) * tb
                                 + CAST(nb AS DOUBLE) * ta))) AS lnsum
-           FROM j GROUP BY src_a, src_b)
-SELECT src_a, src_b, n_shared,
-       round(lnsum + 0.5 * ln(2.0)
-             * ((ta - sa) * 1.0 / ta + (tb - sb) * 1.0 / tb), 6) AS jsd_r
-FROM shared
+           FROM j GROUP BY src_a, src_b),
+pairs AS (SELECT ta.source AS src_a, tb.source AS src_b,
+                 ta.t AS ta, tb.t AS tb
+          FROM tot ta JOIN tot tb ON ta.source < tb.source)
+SELECT p.src_a, p.src_b,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       round(COALESCE(s.lnsum, 0.0) + 0.5 * ln(2.0)
+             * ((p.ta - COALESCE(s.sa, 0)) * 1.0 / p.ta
+                + (p.tb - COALESCE(s.sb, 0)) * 1.0 / p.tb), 6) AS jsd_r
+FROM pairs p LEFT JOIN shared s
+  ON s.src_a = p.src_a AND s.src_b = p.src_b
 """
 
 

@@ -98,6 +98,10 @@ def q83_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["rank"],
         chunk=F.expr(f"(rank - 1) div {ZSCORE_CHUNK_ROWS}"),
         rows_before=ZSCORE_FRAME,
+        # donor depth is guaranteed BY CONSTRUCTION (interior chunks
+        # are exactly ZSCORE_CHUNK_ROWS = 10× the frame, see header);
+        # the runtime tripwire would only re-run the rank lineage.
+        check=False,
     )
     w = (
         W.partitionBy("event_type", "chunk")
@@ -773,8 +777,11 @@ GROUP BY 1, 2
 # the inter-arrival time. ≈1 means Poisson arrivals; >>1 means bursts
 # (bot traffic, batch replays, thundering herds); <1 means pacing. The
 # readout an ingestion team uses to size buffers and spot replayed
-# traffic. Exactness: gaps are INTEGER seconds (µs epoch DIV 1e6, same
-# floor in both engines), so n/Σd/Σd² are exact int64 sums and the
+# traffic. Exactness: gaps are INTEGER seconds (µs epoch DIV 1e6 —
+# NOTE the domain assumption: Spark's DIV truncates toward zero while
+# DuckDB's // floors, so the two agree only for NON-NEGATIVE epochs;
+# event timestamps are post-1970 by the data contract, where both
+# yield the same quotient), so n/Σd/Σd² are exact int64 sums and the
 # final mean/Fano are deterministic IEEE expressions over identical
 # doubles — no rounding needed anywhere. (Fano from sums:
 # var_samp/mean = (n·S2 − S1²)/((n−1)·S1), computed in DOUBLE so the

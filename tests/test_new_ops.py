@@ -1518,3 +1518,89 @@ def test_burstiness_single_gap_key_yields_null_fano(spark, tmp_path):
     # norm: gaps 1,3,5 -> s1=9 s2=35; fano=(3*35-81)/(2*9)
     assert got["norm"].n_gaps == 3
     assert abs(got["norm"].fano - (3 * 35 - 81) / (2 * 9)) < 1e-12
+
+
+def test_row_context_tripwire_raises_on_thin_donor(spark):
+    """with_row_context's runtime precondition check (round-7 ADVICE):
+    a donor chunk thinner than the frame must RAISE, not silently NULL
+    the boundary frames. Chunk 0 holds 5 rows, chunk 1 holds 2 — with
+    rows_after=3, chunk 1 donates its head backward and is too thin."""
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_row_context,
+    )
+
+    rows = [("k", i, i // 5) for i in range(7)]  # chunk 0: 0-4, chunk 1: 5-6
+    df = spark.createDataFrame(rows, "key string, t long, c long")
+    with pytest.raises(ValueError, match="precondition violated"):
+        with_row_context(
+            df, ["key"], ["t"], chunk=F.col("c"), rows_after=3
+        ).collect()
+    # check=False restores the old silent behaviour (caller's contract)
+    out = with_row_context(
+        df, ["key"], ["t"], chunk=F.col("c"), rows_after=3, check=False
+    ).collect()
+    assert len(out) == 7 + 2  # 2 context replicas of chunk 1's head
+    # depth-1 frames never trip (every present chunk has >= 1 row)
+    out1 = with_row_context(
+        df, ["key"], ["t"], chunk=F.col("c"), rows_after=1
+    ).collect()
+    assert len(out1) == 7 + 1
+    # a single-chunk key is fine at any depth: no donors exist
+    solo = spark.createDataFrame(
+        [("s", i, 0) for i in range(2)], "key string, t long, c long"
+    )
+    assert (
+        len(
+            with_row_context(
+                solo, ["key"], ["t"], chunk=F.col("c"), rows_after=3
+            ).collect()
+        )
+        == 2
+    )
+
+
+def test_hamming_topk_probe_cap_enforced(spark):
+    """An oversized probe set must fail fast (round-6 VERDICT) instead
+    of compiling a |Q|-struct literal plan."""
+    from binance_data_ingestor_spark.operators.similarity import hamming_topk
+
+    rows = [
+        (i, [float((i >> b) & 1) * 2 - 1 for b in range(64)]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_probes"):
+        hamming_topk(df, df, k=2, max_probes=4)
+    # at the cap exactly, it still runs
+    out = hamming_topk(df, df, k=2, max_probes=8).collect()
+    assert {r.query_id for r in out} == set(range(8))
+
+
+def test_js_divergence_disjoint_pair_emits_ln2(spark, tmp_path):
+    """q221 must cover the FULL source-pair domain (round-7 ADVICE):
+    two sources sharing zero tokens emit n_shared=0 and jsd = ln 2
+    exactly (the JSD upper bound for disjoint supports)."""
+    import math
+
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.text_ops import q221_js_divergence
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["a", "b", "c"],
+            "text": ["x y x z", "p q p", "x p y"],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    got = {
+        (r.src_a, r.src_b): r
+        for r in q221_js_divergence(spark, str(sf)).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab.n_shared == 0
+    assert abs(ab.jsd_r - round(math.log(2.0), 6)) < 1e-12
+    assert got[("a", "c")].n_shared == 2  # x and y shared
+    assert got[("b", "c")].n_shared == 1  # p shared

@@ -72,6 +72,34 @@ def test_bnlj_census_matches_allowlist():
     )
 
 
+def test_skill_md_has_no_stale_counts():
+    """The verify skill must not carry a hand-written registry count —
+    round-6 VERDICT caught '224 pass' after q225 landed. Any literal
+    'NNN pass' / 'NNN queries' in SKILL.md either equals the live
+    registry size or fails here."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", ".claude", "skills", "verify",
+        "SKILL.md",
+    )
+    if not os.path.exists(path):
+        pytest.skip("verify skill not present")
+    text = open(path).read()
+    qs, _ = registry()
+    n = len(qs)
+    stale = [
+        m.group(0)
+        for m in re.finditer(r"\b(\d{2,}) (?:pass|queries)\b", text)
+        if int(m.group(1)) != n
+    ]
+    assert not stale, (
+        f"SKILL.md carries stale registry counts {stale}; registry has "
+        f"{n} queries — say 'N = len(registry()[0])' or update the number"
+    )
+
+
 def test_dim_joins_broadcast(plans):
     # q02/q03: customer/nation/region dims must broadcast, and the big
     # fact join must remain the only shuffle join
