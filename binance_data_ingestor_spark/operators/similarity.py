@@ -40,8 +40,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    # nullif: a zero-norm vector divides to NULL in DuckDB but RAISES
+    # under Spark ANSI — the q57 zero-norm guard, applied at the shared
+    # helper so every consumer inherits it (round-7 ln/sqrt audit).
+    # On nonzero norms the expression is unchanged bit-for-bit.
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+    return dot(da, db) / F.nullif(
+        F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)), F.lit(0.0)
+    )
 
 
 def _matrix(series: pd.Series) -> np.ndarray:

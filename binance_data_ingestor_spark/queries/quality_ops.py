@@ -552,13 +552,20 @@ def q175_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n").cast("long").alias("n"),
                 F.round(
                     F.sqrt(
+                        # nullif: a single-level column makes
+                        # min(r-1, c-1) = 0 — DuckDB divides 0/0 to
+                        # NULL, Spark ANSI raises (round-7 audit)
                         F.col("chi2")
-                        / (
-                            F.col("n")
-                            * F.least(
-                                F.col("r_levels") - 1, F.col("c_levels") - 1
-                            )
-                        ).cast("double")
+                        / F.nullif(
+                            (
+                                F.col("n")
+                                * F.least(
+                                    F.col("r_levels") - 1,
+                                    F.col("c_levels") - 1,
+                                )
+                            ).cast("double"),
+                            F.lit(0.0),
+                        )
                     ),
                     6,
                 ).alias("cramers_v_r"),
@@ -577,8 +584,9 @@ SELECT '{ca}' AS col_a, '{cb}' AS col_b,
        round(sqrt(sum((o - rm * cm / CAST(n AS DOUBLE))
                       * (o - rm * cm / CAST(n AS DOUBLE))
                       / (rm * cm / CAST(n AS DOUBLE)))
-                  / CAST(max(n) * least(max(r_levels) - 1,
-                                        max(c_levels) - 1) AS DOUBLE)), 6)
+                  / nullif(CAST(max(n) * least(max(r_levels) - 1,
+                                               max(c_levels) - 1) AS DOUBLE),
+                           0.0)), 6)
          AS cramers_v_r
 FROM (
   WITH cells AS (

@@ -477,7 +477,13 @@ def q96_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (F.col("d") / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cos"),
+            # nullif: zero-norm vector → DuckDB NULL, Spark ANSI raise
+            # (q57 convention; both engines then rank NULL cos last
+            # under DESC). Unchanged bit-for-bit on nonzero norms.
+            (
+                F.col("d")
+                / F.nullif(F.sqrt(F.col("qn2") * F.col("n2")), F.lit(0.0))
+            ).alias("cos"),
             (F.col("qn2") + F.col("n2") - 2 * F.col("d")).alias("l2sq"),
         )
     )

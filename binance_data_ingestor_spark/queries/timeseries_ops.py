@@ -614,15 +614,28 @@ def q203_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr(f"CAST((rnk - 1) DIV {_PAA_W} AS BIGINT)").alias("seg"),
     ).agg((F.sum("cents") * F.lit(1.0) / F.count("*")).alias("paa"))
+    # greatest(0, var): the E[x²]−µ² form can round a hair NEGATIVE for
+    # near-constant series (catastrophic cancellation) — DuckDB's
+    # sqrt(negative) RAISES while Spark returns NaN; clamping in BOTH
+    # engines keeps them on the same double. nullif(sd, 0): a constant
+    # series has sd = 0 exactly — Spark ANSI raises on the double
+    # division while DuckDB yields NULL; with the guard both give
+    # z = NULL → every CASE arm is non-true → symbol 'd' on both sides
+    # (round-7 ln/sqrt domain audit).
     stats = ev.groupBy("event_type").agg(
         (F.sum("cents") * F.lit(1.0) / F.count("*")).alias("mu"),
         F.sqrt(
-            F.sum(F.col("cents") * F.col("cents")) * F.lit(1.0) / F.count("*")
-            - (F.sum("cents") * F.lit(1.0) / F.count("*"))
-            * (F.sum("cents") * F.lit(1.0) / F.count("*"))
+            F.greatest(
+                F.lit(0.0),
+                F.sum(F.col("cents") * F.col("cents"))
+                * F.lit(1.0)
+                / F.count("*")
+                - (F.sum("cents") * F.lit(1.0) / F.count("*"))
+                * (F.sum("cents") * F.lit(1.0) / F.count("*")),
+            )
         ).alias("sd"),
     )
-    z = (F.col("paa") - F.col("mu")) / F.col("sd")
+    z = (F.col("paa") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
     sym = (
         seg.join(F.broadcast(stats), "event_type")
         .select(
@@ -660,14 +673,15 @@ seg AS (SELECT event_type, (rnk - 1) // {_PAA_W} AS seg,
         FROM r GROUP BY 1, 2),
 st AS (SELECT event_type,
               CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS mu,
-              sqrt(CAST(sum(cents * cents) AS BIGINT) * 1.0 / count(*)
+              sqrt(greatest(0.0,
+                   CAST(sum(cents * cents) AS BIGINT) * 1.0 / count(*)
                    - (CAST(sum(cents) AS BIGINT) * 1.0 / count(*))
-                   * (CAST(sum(cents) AS BIGINT) * 1.0 / count(*))) AS sd
+                   * (CAST(sum(cents) AS BIGINT) * 1.0 / count(*)))) AS sd
        FROM e GROUP BY 1),
 sym AS (SELECT s.event_type, s.seg,
-               CASE WHEN (paa - mu) / sd < -{_SAX_BP} THEN 'a'
-                    WHEN (paa - mu) / sd < 0 THEN 'b'
-                    WHEN (paa - mu) / sd < {_SAX_BP} THEN 'c'
+               CASE WHEN (paa - mu) / nullif(sd, 0.0) < -{_SAX_BP} THEN 'a'
+                    WHEN (paa - mu) / nullif(sd, 0.0) < 0 THEN 'b'
+                    WHEN (paa - mu) / nullif(sd, 0.0) < {_SAX_BP} THEN 'c'
                     ELSE 'd' END AS sym
         FROM seg s JOIN st USING (event_type)),
 tri AS (SELECT event_type,

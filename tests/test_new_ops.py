@@ -1604,3 +1604,76 @@ def test_js_divergence_disjoint_pair_emits_ln2(spark, tmp_path):
     assert abs(ab.jsd_r - round(math.log(2.0), 6)) < 1e-12
     assert got[("a", "c")].n_shared == 2  # x and y shared
     assert got[("b", "c")].n_shared == 1  # p shared
+
+
+def test_cosine_zero_norm_yields_null(spark):
+    """The shared cosine() helper must yield NULL (not raise) for a
+    zero-norm vector under ANSI — matching DuckDB's x/0 -> NULL
+    (round-7 ln/sqrt domain audit)."""
+    from binance_data_ingestor_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0].c is None
+    assert abs(got[1].c - 1.0) < 1e-12
+
+
+def test_sax_constant_series_symbols_d(spark, tmp_path):
+    """q203: a constant-value event_type has sd = 0 exactly — the
+    nullif guard must yield z = NULL -> symbol 'd' on both engines
+    instead of a Spark ANSI divide-by-zero crash."""
+    import duckdb
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import (
+        Q203_SQL,
+        q203_sax_motifs,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = []
+    for i in range(64):  # 4 PAA segments of 16 -> 2 trigrams
+        rows.append((i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                     1, "flat", 7.25, None))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(sf / "events.parquet")
+    got = q203_sax_motifs(spark, str(sf)).collect()
+    assert {(r.event_type, r.motif) for r in got} == {("flat", "ddd")}
+    assert got[0].n == 2
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    oracle = con.execute(Q203_SQL).fetchall()
+    assert oracle == [("flat", "ddd", 2)]
+
+
+def test_cramers_v_single_level_column_yields_null(spark, tmp_path):
+    """q175: a column with ONE distinct level makes min(r-1, c-1) = 0;
+    the nullif guard must emit NULL (DuckDB's 0/0) instead of raising
+    under Spark ANSI."""
+    import pandas as pd
+
+    from binance_data_ingestor_spark.queries.quality_ops import q175_cramers_v
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {"l_returnflag": ["A", "A", "A", "A"],  # single level
+         "l_linestatus": ["O", "F", "O", "F"]}
+    ).to_parquet(sf / "lineitem.parquet")
+    pd.DataFrame(
+        {"o_orderstatus": ["O", "F", "P"],
+         "o_orderpriority": ["1-URGENT", "2-HIGH", "1-URGENT"]}
+    ).to_parquet(sf / "orders.parquet")
+    pd.DataFrame(
+        {"p_brand": ["B1", "B2"], "p_type": ["T1", "T2"]}
+    ).to_parquet(sf / "part.parquet")
+    got = {r.col_a: r for r in q175_cramers_v(spark, str(sf)).collect()}
+    assert got["l_returnflag"].cramers_v_r is None  # degenerate pair
+    assert got["o_orderstatus"].cramers_v_r is not None
