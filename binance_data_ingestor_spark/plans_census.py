@@ -41,6 +41,12 @@ q221 (round 7) — the src_a < src_b pair-domain crossing of the
 |sources|-row total aggregate with ITSELF (both BNLJ sides are the
 same O(|sources|) aggregate, never a data-sized scan) so fully
 disjoint source pairs still emit jsd = ln 2.
+q226 (round 7) — two 1-ROW max-score aggregates (max authority, max
+hub) crossJoin-broadcast into the top-20 tables for the final
+normalizing division (the q88 shape).
+q227 (round 7) — the 1-ROW min/max balance span crossJoin-broadcast
+into the customer scan for integer micro-probability scaling (the
+q94/q129 span shape).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -53,6 +59,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q129", "q138", "q139", "q143", "q152", "q155", "q168",
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
-        "q219", "q221", "q223",
+        "q219", "q221", "q223", "q226", "q227",
     }
 )

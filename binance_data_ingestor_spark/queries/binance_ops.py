@@ -793,6 +793,194 @@ FROM l GROUP BY symbol
 """
 
 
+# --------------------------------------------------------------------------
+# q230 — Kyle's lambda (price-impact coefficient) per symbol: the OLS
+# slope of trade-to-trade price change on SIGNED volume,
+# λ = cov(Δp, s·q)/var(s·q) — the canonical microstructure measure of
+# how much price a unit of net order flow moves (market-depth inverse).
+# Sign = +1 taker-buy / −1 taker-sell; unknown maker flags ('None')
+# are excluded BEFORE the series forms (the q39 convention), so Δp is
+# between consecutive SIGNED trades. Exactness: pc/qc are integer
+# cents, so n/Σsv/ΣΔp/Σsv²/Σsv·Δp are exact int64 sums; the λ
+# numerator/denominator products are computed in DOUBLE (exact casts
+# of exact ints — both engines feed the same doubles; int64 products
+# would overflow at scale) and λ is one IEEE division — no round()
+# (the q222 convention). nullif guards the all-identical-sv
+# degenerate (var = 0 → NULL on both engines, round-6 discipline).
+# Scale shape: the lag window runs per (symbol, 3-day chunk) with
+# 1-row boundary context; the per-symbol aggregate is map-side
+# combinable.
+# --------------------------------------------------------------------------
+def q230_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = (
+        _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+        .filter(F.col("is_buyer_maker") != "None")
+        .select(
+            "symbol",
+            "trade_time",
+            "event_id",
+            "pc",
+            (
+                F.when(F.col("is_buyer_maker") == "False", F.lit(1))
+                .otherwise(F.lit(-1))
+                * F.col("qc")
+            ).alias("sv"),
+        )
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            "sv",
+            (F.col("pc") - F.lag("pc").over(w)).alias("dp"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("dp").isNotNull())
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("sv").alias("sx"),
+        F.sum("dp").alias("sy"),
+        F.sum(F.col("sv") * F.col("sv")).alias("sxx"),
+        F.sum(F.col("sv") * F.col("dp")).alias("sxy"),
+    )
+    nd, sxd = F.col("n_pairs").cast("double"), F.col("sx").cast("double")
+    lam = (
+        nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double")
+    ) / F.nullif(nd * F.col("sxx").cast("double") - sxd * sxd, F.lit(0.0))
+    return agg.select("symbol", "n_pairs", lam.alias("kyle_lambda"))
+
+
+Q230_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc, ({_SQL_CENTS}) * 2 AS qc,
+         CASE WHEN event_id % 7 = 0 THEN 'None'
+              WHEN event_id % 2 = 0 THEN 'True'
+              ELSE 'False' END AS m
+  FROM events
+),
+f AS (SELECT symbol, tt, event_id, pc,
+             CASE WHEN m = 'False' THEN qc ELSE -qc END AS sv
+      FROM t WHERE m <> 'None'),
+l AS (SELECT symbol, sv, pc - lag(pc) OVER w AS dp
+      FROM f WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+s AS (SELECT symbol,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sv) AS BIGINT) AS sx,
+             CAST(sum(dp) AS BIGINT) AS sy,
+             CAST(sum(sv * sv) AS BIGINT) AS sxx,
+             CAST(sum(sv * dp) AS BIGINT) AS sxy
+      FROM l WHERE dp IS NOT NULL GROUP BY symbol)
+SELECT symbol, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / nullif(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+         AS kyle_lambda
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q231 — Roll implied-spread estimator per symbol: bid-ask bounce makes
+# consecutive price changes NEGATIVELY serially correlated, and Roll
+# (1984) inverts that into an effective spread 2·√(−cov(Δp_t, Δp_{t-1}))
+# — the classic way to estimate the spread from trade prices alone
+# when quote data is missing. Population covariance from exact int64
+# sums over cents gaps (n·ΣΔpΔp' − ΣΔp·ΣΔp')/n², products in DOUBLE
+# (the q230/q222 overflow convention). The estimator is UNDEFINED when
+# the serial covariance is non-negative (trending sample): the CASE
+# emits NULL there — which also makes the sqrt argument strictly
+# positive by construction on both engines (the round-7 ln/sqrt audit
+# discipline; DuckDB would raise on sqrt(negative)). spread_r divides
+# by 100 (cents→dollars) and rounds 6 dp AFTER the sqrt; sqrt is
+# correctly-rounded IEEE in both engines so the round is safe. Scale
+# shape: lag-2 window per (symbol, 3-day chunk) with 2-row boundary
+# context — the with_row_context donor-depth tripwire is ON (depth-2
+# frame), so a pathologically sparse chunk fails loudly, never wrongly.
+# --------------------------------------------------------------------------
+def q231_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=2,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            (F.col("pc") - F.lag("pc", 1).over(w)).alias("dp"),
+            (F.lag("pc", 1).over(w) - F.lag("pc", 2).over(w)).alias("dpl"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("dpl").isNotNull())
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("dp").alias("s1"),
+        F.sum("dpl").alias("sl"),
+        F.sum(F.col("dp") * F.col("dpl")).alias("s11"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    cov = (
+        nd * F.col("s11").cast("double")
+        - F.col("s1").cast("double") * F.col("sl").cast("double")
+    ) / F.nullif(nd * nd, F.lit(0.0))
+    return agg.select(
+        "symbol",
+        "n_pairs",
+        cov.alias("serial_cov"),
+        F.when(
+            cov < 0, F.round(F.lit(2.0) * F.sqrt(-cov) / F.lit(100.0), 6)
+        ).alias("roll_spread_r"),
+    )
+
+
+Q231_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol,
+             pc - lag(pc, 1) OVER w AS dp,
+             lag(pc, 1) OVER w - lag(pc, 2) OVER w AS dpl
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+s AS (SELECT symbol,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(dp) AS BIGINT) AS s1,
+             CAST(sum(dpl) AS BIGINT) AS sl,
+             CAST(sum(dp * dpl) AS BIGINT) AS s11
+      FROM l WHERE dpl IS NOT NULL GROUP BY symbol),
+c AS (SELECT symbol, n_pairs,
+             (CAST(n_pairs AS DOUBLE) * CAST(s11 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(sl AS DOUBLE))
+             / nullif(CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE), 0.0)
+               AS serial_cov
+      FROM s)
+SELECT symbol, n_pairs, serial_cov,
+       CASE WHEN serial_cov < 0
+            THEN round(2.0 * sqrt(-serial_cov) / 100.0, 6) END
+         AS roll_spread_r
+FROM c
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -805,6 +993,8 @@ QUERIES = {
     "q38_twap": q38_twap,
     "q39_flow_autocorr": q39_flow_autocorr,
     "q135_depth_weighted_mid": q135_depth_weighted_mid,
+    "q230_kyle_lambda": q230_kyle_lambda,
+    "q231_roll_spread": q231_roll_spread,
 }
 
 ORACLES = {
@@ -819,4 +1009,6 @@ ORACLES = {
     "q38_twap": Q38_SQL,
     "q39_flow_autocorr": Q39_SQL,
     "q135_depth_weighted_mid": Q135_SQL,
+    "q230_kyle_lambda": Q230_SQL,
+    "q231_roll_spread": Q231_SQL,
 }

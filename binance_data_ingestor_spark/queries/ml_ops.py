@@ -699,8 +699,98 @@ FROM tr CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# q227 — calibration curve + Brier reliability terms: bucket a score
+# into 10 equal-width probability bins and compare mean predicted
+# probability against the observed event rate per bin — the standard
+# model-readout for "does 0.7 mean 70%?", with each bin's Murphy
+# reliability numerator n_k·(p̄_k − ō_k)² emitted so
+# Σ rel_term / N recovers the Brier reliability component. Score
+# construction is INTEGER-exact end-to-end: the customer balance in
+# cents min-max-scales to a micro-probability
+# p_c = (bal_c − lo)·10⁶ DIV (hi − lo + 1) ∈ [0, 10⁶) (pure integer
+# DIV — no double-floor boundary risk, the round-6 ntile lesson), the
+# bin is p_c DIV 10⁵, and every output is a single IEEE expression
+# over exact int64 sums (no round() needed — the q35 convention).
+# Label = q132's urgent-order responder. Scale shape: one 1-ROW
+# min/max span broadcast (BNLJ adjudicated — the q94/q129 shape), one
+# broadcast semi-join for labels, one 10-row map-side-combinable
+# aggregate. The (Σp_c − 10⁶·n_pos)² product is computed in DOUBLE
+# (exact casts; int64 would overflow past ~10⁹ rows/bin).
+# --------------------------------------------------------------------------
+def q227_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("bal_c"),
+    )
+    responders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    labeled = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select(
+        "bal_c", F.col("o_custkey").isNotNull().cast("long").alias("y")
+    )
+    span = labeled.agg(F.min("bal_c").alias("lo"), F.max("bal_c").alias("hi"))
+    scored = labeled.join(F.broadcast(span)).select(
+        "y",
+        F.expr("(bal_c - lo) * 1000000 DIV (hi - lo + 1)").alias("p_c"),
+    )
+    g = scored.groupBy(
+        F.expr("p_c DIV 100000").cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("p_c").alias("sp"),
+    )
+    nd = F.col("n").cast("double")
+    mean_pred = F.col("sp").cast("double") / (nd * 1e6)
+    event_rate = F.col("n_pos").cast("double") / nd
+    dev = F.col("sp").cast("double") - F.lit(1e6) * F.col("n_pos").cast("double")
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_pred.alias("mean_pred"),
+        event_rate.alias("event_rate"),
+        (dev * dev / (F.lit(1e12) * nd)).alias("rel_term"),
+    )
+
+
+Q227_SQL = """
+WITH c AS (SELECT c_custkey,
+                  CAST(c_acctbal * 100 AS BIGINT) AS bal_c
+           FROM customer),
+lab AS (SELECT bal_c,
+               CASE WHEN EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END AS y
+        FROM c),
+span AS (SELECT min(bal_c) AS lo, max(bal_c) AS hi FROM lab),
+scored AS (SELECT y, (bal_c - lo) * 1000000 // (hi - lo + 1) AS p_c
+           FROM lab, span),
+g AS (SELECT CAST(p_c // 100000 AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(p_c) AS BIGINT) AS sp
+      FROM scored GROUP BY 1)
+SELECT bin, n, n_pos,
+       CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean_pred,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS event_rate,
+       (CAST(sp AS DOUBLE) - 1e6 * CAST(n_pos AS DOUBLE))
+         * (CAST(sp AS DOUBLE) - 1e6 * CAST(n_pos AS DOUBLE))
+         / (1e12 * CAST(n AS DOUBLE)) AS rel_term
+FROM g
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
+    "q227_calibration": q227_calibration,
     "q204_loo_target_encoding": q204_loo_target_encoding,
     "q217_best_split": q217_best_split,
     "q90_pit_features": q90_pit_features,
@@ -713,6 +803,7 @@ QUERIES = {
 
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
+    "q227_calibration": Q227_SQL,
     "q204_loo_target_encoding": Q204_SQL,
     "q217_best_split": Q217_SQL,
     "q90_pit_features": Q90_SQL,

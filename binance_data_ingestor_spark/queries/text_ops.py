@@ -3004,12 +3004,238 @@ FROM pairs p LEFT JOIN shared s
 """
 
 
+# --------------------------------------------------------------------------
+# q228 — per-source Zipf fit: OLS slope of ln(freq) on ln(rank) over
+# each source's top-200 tokens — the standard sanity readout on a text
+# corpus (natural language sits near slope −1; machine-generated or
+# templated text bends away). Scale shape: one (source, token) count,
+# then the per-source rank comes from with_global_rank over a range
+# bucket of −count (bucket monotone in the ordering, equal counts
+# share a bucket) — NO per-source serialized window even though
+# |sources| is small and vocab is data-sized; the rank ≤ 200 filter
+# cuts to a 200·|sources| table before the OLS aggregate (map-side
+# combinable). Float parity: ln() of small ints differs in the last
+# ulp between engines, so the OLS outputs round 6 dp AFTER the sums
+# (the q100 convention); the rank itself ties deterministically on
+# (count desc, token asc).
+# --------------------------------------------------------------------------
+_ZIPF_TOPK = 200
+
+
+def q228_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank, with_range_bucket
+
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = with_global_rank(
+        with_range_bucket(cnt, -F.col("c"), bucket_col="__rb"),
+        ["source"],
+        [F.desc("c"), F.asc("token")],
+        bucket=F.col("__rb"),
+        rank_col="rnk",
+    ).filter(F.col("rnk") <= _ZIPF_TOPK)
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    s = ranked.groupBy("source").agg(
+        F.count("*").alias("n_top"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n_top").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        nd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    return s.select(
+        "source",
+        "n_top",
+        F.round(slope, 6).alias("zipf_slope_r"),
+        F.round(intercept, 6).alias("zipf_intercept_r"),
+    )
+
+
+Q228_SQL = f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, token ASC) AS rnk
+       FROM cnt),
+top AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM rk WHERE rnk <= {_ZIPF_TOPK}),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM top GROUP BY source)
+SELECT source, n_top,
+       round((n_top * sxy - sx * sy)
+             / nullif(n_top * sxx - sx * sx, 0.0), 6) AS zipf_slope_r,
+       round((sy - (n_top * sxy - sx * sy)
+                   / nullif(n_top * sxx - sx * sx, 0.0) * sx)
+             / n_top, 6) AS zipf_intercept_r
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q229 — asymmetric n-gram CONTAINMENT pairs: C(A→B) = |S(A)∩S(B)| /
+# |S(A)| over distinct 3-gram shingles — the quote/subset-duplicate
+# detector Jaccard misses (a short doc fully embedded in a long one
+# has high containment but low resemblance; Broder's original
+# distinction). Reuses the session-shared q44 shingle index
+# (_shingles3) so the corpus tokenizes once across the dedup family.
+# Scale shape: identical to q44 — inverted-index self-join on shingle
+# (only co-occurring pairs materialize), sizes joined at pair-set
+# granularity; hot-shingle skew handled the same way (AQE; exactness
+# is the contract so no df cap here, matching q44). Counts are exact
+# ints; each containment is one IEEE division rounded 6 dp BEFORE the
+# threshold (the q44 convention).
+# --------------------------------------------------------------------------
+_CONTAIN_THRESHOLD = 0.4
+
+
+def q229_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _shingles3(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    cab = F.round(F.col("inter_size") / F.col("size_a"), 6)
+    cba = F.round(F.col("inter_size") / F.col("size_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            "size_a",
+            "size_b",
+            cab.alias("cont_ab_r"),
+            cba.alias("cont_ba_r"),
+        )
+        .filter(
+            (F.col("cont_ab_r") >= _CONTAIN_THRESHOLD)
+            | (F.col("cont_ba_r") >= _CONTAIN_THRESHOLD)
+        )
+    )
+
+
+Q229_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter_size
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, inter_size,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       round(inter_size * 1.0 / sa.set_size, 6) AS cont_ab_r,
+       round(inter_size * 1.0 / sb.set_size, 6) AS cont_ba_r
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter_size * 1.0 / sa.set_size, 6) >= {_CONTAIN_THRESHOLD}
+   OR round(inter_size * 1.0 / sb.set_size, 6) >= {_CONTAIN_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q232 — per-source lexical diversity indices: Shannon entropy
+# H = ln T − (Σ c·ln c)/T (the q101 identity — one pass, no
+# per-token probability), the UNBIASED Simpson concentration
+# Σ c(c−1) / (T(T−1)) (an exact ratio of integer sums — the
+# probability two tokens drawn without replacement match), and Pielou
+# evenness H/ln V — the corpus-balance readout a mixture designer
+# checks before weighting sources. Guards per the round-7 audit:
+# nullif(T(T−1)) for a 1-token source and nullif(ln V) for a 1-type
+# source (ln(1) = 0 — DuckDB divides to NULL, Spark ANSI would
+# raise). Σc(c−1) stays int64 (overflow only past ~3·10⁹ occurrences
+# of one token — domain-bounded, the q203/q226 class); the division
+# casts to DOUBLE first. Scale: one explode + two map-side-combinable
+# aggregates; output is |sources| rows.
+# --------------------------------------------------------------------------
+def q232_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    s = cnt.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("match2"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "clnc"
+        ),
+    )
+    h = F.log(F.col("t").cast("double")) - F.col("clnc") / F.col("t").cast(
+        "double"
+    )
+    simpson = F.col("match2").cast("double") / F.nullif(
+        (F.col("t") * (F.col("t") - 1)).cast("double"), F.lit(0.0)
+    )
+    evenness = h / F.nullif(F.log(F.col("vocab").cast("double")), F.lit(0.0))
+    return s.select(
+        "source",
+        "vocab",
+        F.col("t").alias("n_tokens"),
+        F.round(h, 6).alias("shannon_r"),
+        simpson.alias("simpson"),
+        F.round(evenness, 6).alias("evenness_r"),
+    )
+
+
+Q232_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+s AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS match2,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+      FROM cnt GROUP BY source)
+SELECT source, vocab, t AS n_tokens,
+       round(ln(CAST(t AS DOUBLE)) - clnc / CAST(t AS DOUBLE), 6) AS shannon_r,
+       CAST(match2 AS DOUBLE)
+         / nullif(CAST(t * (t - 1) AS DOUBLE), 0.0) AS simpson,
+       round((ln(CAST(t AS DOUBLE)) - clnc / CAST(t AS DOUBLE))
+             / nullif(ln(CAST(vocab AS DOUBLE)), 0.0), 6) AS evenness_r
+FROM s
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
     "q221_js_divergence": q221_js_divergence,
+    "q228_zipf_slope": q228_zipf_slope,
+    "q229_ngram_containment": q229_ngram_containment,
+    "q232_diversity_indices": q232_diversity_indices,
     "q213_coverage_curve": q213_coverage_curve,
     "q218_dedup_yield": q218_dedup_yield,
     "q40_text_quality": q40_text_quality,
@@ -3063,6 +3289,9 @@ ORACLES = {
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,
     "q221_js_divergence": Q221_SQL,
+    "q228_zipf_slope": Q228_SQL,
+    "q229_ngram_containment": Q229_SQL,
+    "q232_diversity_indices": Q232_SQL,
     "q213_coverage_curve": Q213_SQL,
     "q218_dedup_yield": Q218_SQL,
     "q40_text_quality": Q40_SQL,

@@ -1677,3 +1677,191 @@ def test_cramers_v_single_level_column_yields_null(spark, tmp_path):
     got = {r.col_a: r for r in q175_cramers_v(spark, str(sf)).collect()}
     assert got["l_returnflag"].cramers_v_r is None  # degenerate pair
     assert got["o_orderstatus"].cramers_v_r is not None
+
+
+def test_hits_matches_direct_python(spark):
+    """q226's unrolled integer HITS must equal a direct dict fold over
+    the edge list (h0=1 -> a1=indegree -> h1 -> a2 -> h2, all exact
+    ints)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.graph_ops import q226_hits
+
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM '{SF_SMOKE}/lineitem.parquet' li
+            JOIN '{SF_SMOKE}/orders.parquet' o ON l_orderkey = o_orderkey"""
+    ).fetchall()
+    a1, h1, a2, h2 = {}, {}, {}, {}
+    for c, p in edges:
+        a1[p] = a1.get(p, 0) + 1
+    for c, p in edges:
+        h1[c] = h1.get(c, 0) + a1[p]
+    for c, p in edges:
+        a2[p] = a2.get(p, 0) + h1[c]
+    for c, p in edges:
+        h2[c] = h2.get(c, 0) + a2[p]
+    got = q226_hits(spark, SF_SMOKE).collect()
+    assert len(got) == 40
+    for r in got:
+        ref = a2 if r.side == "auth" else h2
+        assert ref[r.node_id] == r.score, (r.side, r.node_id)
+        mx = max(ref.values())
+        assert abs(r.score_n - r.score / mx) < 1e-15
+    # ranks are the exact top-k of the reference scores
+    top_auth = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_auth = sorted(
+        [(r.rank, r.node_id) for r in got if r.side == "auth"]
+    )
+    assert [n for _, n in got_auth] == [n for n, _ in top_auth]
+
+
+def test_kyle_lambda_and_roll_spread_match_python(spark):
+    """q230/q231 chunked-lag sums must equal a direct per-symbol fold
+    over the ordered trade series (catches chunk-boundary lag bugs and
+    the cov-sign/NULL contract)."""
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        _trades_cents,
+        q230_kyle_lambda,
+        q231_roll_spread,
+    )
+
+    rows = _trades_cents(spark, SF_SMOKE, keep=("symbol", "event_id")).collect()
+    rows.sort(key=lambda r: (r.symbol, r.trade_time, r.event_id))
+    # --- Kyle lambda on the signed-filtered series
+    series = {}
+    for r in rows:
+        if r.is_buyer_maker == "None":
+            continue
+        s = 1 if r.is_buyer_maker == "False" else -1
+        series.setdefault(r.symbol, []).append((r.pc, s * r.qc))
+    got = {r.symbol: r for r in q230_kyle_lambda(spark, SF_SMOKE).collect()}
+    for sym, sr in series.items():
+        n = sx = sy = sxx = sxy = 0
+        for (p0, _), (p1, sv) in zip(sr, sr[1:]):
+            dp = p1 - p0
+            n += 1; sx += sv; sy += dp; sxx += sv * sv; sxy += sv * dp
+        lam = (n * float(sxy) - float(sx) * sy) / (n * float(sxx) - float(sx) * sx)
+        assert got[sym].n_pairs == n
+        assert abs(got[sym].kyle_lambda - lam) < 1e-12 * max(1, abs(lam))
+    # --- Roll spread on the full series
+    full = {}
+    for r in rows:
+        full.setdefault(r.symbol, []).append(r.pc)
+    got2 = {r.symbol: r for r in q231_roll_spread(spark, SF_SMOKE).collect()}
+    import math
+
+    for sym, ps in full.items():
+        d = [b - a for a, b in zip(ps, ps[1:])]
+        pairs = list(zip(d[1:], d))
+        n = len(pairs)
+        s11 = sum(a * b for a, b in pairs)
+        s1 = sum(a for a, _ in pairs)
+        sl = sum(b for _, b in pairs)
+        cov = (n * float(s11) - float(s1) * sl) / (n * float(n))
+        assert got2[sym].n_pairs == n
+        assert abs(got2[sym].serial_cov - cov) < 1e-9 * max(1, abs(cov))
+        if cov < 0:
+            assert abs(
+                got2[sym].roll_spread_r - round(2 * math.sqrt(-cov) / 100, 6)
+            ) < 1e-12
+        else:
+            assert got2[sym].roll_spread_r is None
+
+
+def test_diversity_indices_match_counter_math(spark):
+    """q232's one-pass entropy/Simpson identities must equal textbook
+    definitions from a Counter."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q232_diversity_indices,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    dist = {}
+    for src, text in docs:
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    got = {r.source: r for r in q232_diversity_indices(spark, SF_SMOKE).collect()}
+    for src, c in dist.items():
+        t = sum(c.values())
+        h = -sum(v / t * math.log(v / t) for v in c.values())
+        simpson = sum(v * (v - 1) for v in c.values()) / (t * (t - 1))
+        r = got[src]
+        assert r.vocab == len(c) and r.n_tokens == t
+        assert abs(r.shannon_r - h) < 1e-5
+        assert abs(r.simpson - simpson) < 1e-12
+        assert abs(r.evenness_r - h / math.log(len(c))) < 1e-5
+
+
+def test_zipf_slope_matches_python_ols(spark):
+    """q228's distributed rank + OLS must equal a direct top-200 OLS."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import q228_zipf_slope
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    dist = {}
+    for src, text in docs:
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    got = {r.source: r for r in q228_zipf_slope(spark, SF_SMOKE).collect()}
+    for src, c in dist.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+        pts = [(math.log(i + 1), math.log(v)) for i, (_, v) in enumerate(top)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r = got[src]
+        assert r.n_top == n
+        assert abs(r.zipf_slope_r - slope) < 1e-4
+        assert abs(r.zipf_intercept_r - (sy - slope * sx) / n) < 1e-4
+
+
+def test_containment_matches_bruteforce_sets(spark):
+    """q229's inverted-index containment must equal brute-force shingle
+    set math, and must include high-containment/low-jaccard subset
+    pairs."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _CONTAIN_THRESHOLD,
+        q229_ngram_containment,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        if len(t) >= 3:
+            sets[doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            ca = round(inter / len(sets[a]), 6)
+            cb = round(inter / len(sets[b]), 6)
+            if ca >= _CONTAIN_THRESHOLD or cb >= _CONTAIN_THRESHOLD:
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]), ca, cb)
+    got = {
+        (r.id_a, r.id_b): (r.inter_size, r.size_a, r.size_b, r.cont_ab_r, r.cont_ba_r)
+        for r in q229_ngram_containment(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

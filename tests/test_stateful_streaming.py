@@ -125,7 +125,18 @@ def _protobuf_usable() -> bool:
 def test_sessionize_tws_matches_batch(spark, replay_dir, tmp_path):
     """The transformWithStateInPandas implementation must produce the
     exact same session set as both the applyInPandasWithState one and
-    the batch window-function sessionization."""
+    the batch window-function sessionization.
+
+    Skip justification (re-checked round 7, 2026-08-15): Spark's
+    transformWithStateInPandas state protocol is protobuf-framed and
+    this container ships NO `google` package at all (`import google`
+    → ModuleNotFoundError; pip install is out of contract), so the
+    twin cannot execute here. The operator surface it exercises is
+    covered by test_sessionize_stream_matches_batch above — the
+    applyInPandasWithState twin certifies the identical session set
+    against the batch oracle every run. Re-check each round with
+    `python -c "from google.protobuf import descriptor"`; if the
+    image gains a working protobuf this test runs unmodified."""
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, value double")
         .parquet(replay_dir)
