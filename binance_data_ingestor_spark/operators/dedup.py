@@ -302,6 +302,134 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """Exact asymmetric-containment pairs (max direction ≥ threshold)
+    via CONTAINMENT-ADAPTED prefix filtering — same answer as the
+    brute inverted-index full×full join, reached through an ASYMMETRIC
+    candidate generator: because
+    max(C(A→B), C(B→A)) = |A∩B| / min(|A|,|B|), a qualifying pair has
+    overlap ≥ ⌈t·|S|⌉ where S is the SMALLER set, so (pigeonhole, under
+    the shared global rarest-first shingle order) at least one shared
+    shingle sits in S's first |S| − ⌈t·|S|⌉ + 1 positions — and that
+    shingle is somewhere in the larger doc L's FULL list. Candidates
+    therefore come from joining SMALLER-doc prefixes against FULL
+    posting lists (the larger side gets no prefix bound — its required
+    overlap t·|S| can be an arbitrarily small fraction of |L|, which is
+    exactly why symmetric Jaccard-style prefixes are unsound for
+    containment). No false negatives; verify is candidate-sized
+    (row-local array_intersect on the full sorted arrays).
+
+    Scale shape vs the naive join: the full×full inverted-index join
+    costs Σ_g df_g² and the stop-shingle head makes that quadratic in
+    corpus size (measured 53× wall at 10× data before this rewrite);
+    here one side is prefix-only, and rarest-first prefixes exclude
+    exactly the high-df head, so per-shingle cost m_g·df_g has m_g ≈ 0
+    wherever df_g is large. PPJoin positional filter carries over
+    unchanged: common elements appear in the same relative order in
+    both docs, so a candidate matched at (1-based) positions (p_s,
+    p_l) bounds overlap by 1 + min(|S|−p_s, |L|−p_l); a true pair
+    always survives through its FIRST common shingle. The threshold is
+    relaxed to t − 1e-6 in every bound because the verify step rounds
+    the ratio to 6 dp BEFORE comparing (round(x, 6) ≥ t can hold at
+    x = t − 5e-7); epsilons keep ceil conservative under float
+    rounding, as in the Jaccard twin above.
+    """
+    ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
+    t_eff = threshold - 1e-6  # 6-dp-round-then-compare relaxation
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+    k_req = F.ceil(F.size("__toks") * t_eff - 1e-9).cast("int")
+    per_doc = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered")
+        )
+        .select(
+            id_col,
+            F.transform("__ordered", lambda s: s.getField("shingle")).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.size("__toks").alias("__sz"),
+            F.slice(
+                "__toks",
+                1,
+                F.greatest(F.lit(1), F.size("__toks") - k_req + 1),
+            ).alias("__prefix"),
+        )
+        .localCheckpoint(eager=True)  # feeds candidate join twice + verify twice
+    )
+    s = per_doc.select(
+        F.col(id_col).alias("id_s"),
+        F.col("__sz").alias("__szs"),
+        F.posexplode("__prefix").alias("__p", "shingle"),
+    ).select("id_s", "__szs", (F.col("__p") + 1).alias("__ps"), "shingle")
+    l = per_doc.select(
+        F.col(id_col).alias("id_l"),
+        F.col("__sz").alias("__szl"),
+        F.posexplode("__toks").alias("__p", "shingle"),
+    ).select("id_l", "__szl", (F.col("__p") + 1).alias("__pl"), "shingle")
+    min_overlap = F.ceil(F.lit(t_eff) * F.col("__szs") - 1e-9)
+    pos_bound = F.lit(1) + F.least(
+        F.col("__szs") - F.col("__ps"), F.col("__szl") - F.col("__pl")
+    )
+    cand = (
+        s.join(l, "shingle")
+        .filter(
+            # s is the strictly-smaller doc, or the smaller id on a size
+            # tie — each unordered pair is generated through exactly one
+            # (smaller, larger) role assignment
+            (
+                (F.col("__szs") < F.col("__szl"))
+                | ((F.col("__szs") == F.col("__szl")) & (F.col("id_s") < F.col("id_l")))
+            )
+            & (pos_bound >= min_overlap)
+        )
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("__na"),
+    )
+    sb = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            F.col("__na").cast("long").alias("size_a"),
+            F.col("__nb").cast("long").alias("size_b"),
+            F.round(inter / F.col("__na"), 6).alias("cont_ab_r"),
+            F.round(inter / F.col("__nb"), 6).alias("cont_ba_r"),
+        )
+        .filter(
+            (F.col("cont_ab_r") >= threshold) | (F.col("cont_ba_r") >= threshold)
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -3091,12 +3091,20 @@ FROM s
 # has high containment but low resemblance; Broder's original
 # distinction). Reuses the session-shared q44 shingle index
 # (_shingles3) so the corpus tokenizes once across the dedup family.
-# Scale shape: identical to q44 — inverted-index self-join on shingle
-# (only co-occurring pairs materialize), sizes joined at pair-set
-# granularity; hot-shingle skew handled the same way (AQE; exactness
-# is the contract so no df cap here, matching q44). Counts are exact
-# ints; each containment is one IEEE division rounded 6 dp BEFORE the
-# threshold (the q44 convention).
+# Scale shape: inverted-index self-join on shingle (only co-occurring
+# pairs materialize) — the q44 shape, exact by contract. On THIS
+# corpus the vocabulary is CLOSED (~30k shingles at any scale), so
+# Σ df² grows quadratically with corpus size no matter the candidate
+# generator (measured: naive 2.0 s sf0.1 → 107 s sf1; the
+# prefix-filtered q233 twin 9.1 → 166 s — rarest-first prefixes
+# cannot exclude a high-df head when EVERY shingle's df grows
+# linearly; q44 44.6 s vs q159 76.8 s at sf1 show the same
+# signature). On an open-vocab Zipfian corpus the roles flip and q233
+# is the asymptotic winner; the true 100 TB path for near-dup
+# DETECTION remains the banded q45/q153 LSH family (2.8 s at sf1) —
+# exact containment of the survivors is then candidate-sized. Counts
+# are exact ints; each containment is one IEEE division rounded 6 dp
+# BEFORE the threshold (the q44 convention).
 # --------------------------------------------------------------------------
 _CONTAIN_THRESHOLD = 0.4
 
@@ -3132,6 +3140,30 @@ def q229_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cont_ab_r") >= _CONTAIN_THRESHOLD)
             | (F.col("cont_ba_r") >= _CONTAIN_THRESHOLD)
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q233 — the PREFIX-FILTERED exact-containment twin of q229 (the
+# q44↔q159 pairing, replayed for the asymmetric measure): identical
+# answer, different candidate generator — the smaller doc's
+# rarest-first prefix joins the larger doc's FULL posting list
+# (symmetric Jaccard-style prefixes are unsound for containment: the
+# larger side's required overlap t·|S| can be a vanishing fraction of
+# |L|), PPJoin positional prune, candidate-sized exact
+# array_intersect verify. Certified against the SAME brute-force
+# oracle as q229, so the two queries are a machine-checked
+# algorithm-equivalence proof every round. See q229's header for the
+# measured closed-vocab-vs-open-vocab tradeoff; full derivation at
+# operators/dedup.prefix_filter_containment_pairs.
+# --------------------------------------------------------------------------
+def q233_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_containment_pairs
+
+    return prefix_filter_containment_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=_CONTAIN_THRESHOLD,
+        exploded=_shingles3(spark, sf_dir),
     )
 
 
@@ -3235,6 +3267,7 @@ QUERIES = {
     "q221_js_divergence": q221_js_divergence,
     "q228_zipf_slope": q228_zipf_slope,
     "q229_ngram_containment": q229_ngram_containment,
+    "q233_containment_prefix": q233_containment_prefix,
     "q232_diversity_indices": q232_diversity_indices,
     "q213_coverage_curve": q213_coverage_curve,
     "q218_dedup_yield": q218_dedup_yield,
@@ -3291,6 +3324,7 @@ ORACLES = {
     "q221_js_divergence": Q221_SQL,
     "q228_zipf_slope": Q228_SQL,
     "q229_ngram_containment": Q229_SQL,
+    "q233_containment_prefix": Q229_SQL,  # same spec — equivalence proof
     "q232_diversity_indices": Q232_SQL,
     "q213_coverage_curve": Q213_SQL,
     "q218_dedup_yield": Q218_SQL,

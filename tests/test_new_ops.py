@@ -1865,3 +1865,26 @@ def test_containment_matches_bruteforce_sets(spark):
         for r in q229_ngram_containment(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_containment_prefix_twin_is_equivalent(spark):
+    """q233's prefix-filtered candidate generator must produce the
+    EXACT same pair set, counts, and ratios as q229's naive
+    inverted-index form (the q44<->q159 algorithm-equivalence pairing
+    for the asymmetric measure)."""
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q229_ngram_containment,
+        q233_containment_prefix,
+    )
+
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    naive = {
+        key(r): (r.inter_size, r.size_a, r.size_b, r.cont_ab_r, r.cont_ba_r)
+        for r in q229_ngram_containment(spark, SF_SMOKE).collect()
+    }
+    pref = {
+        key(r): (r.inter_size, r.size_a, r.size_b, r.cont_ab_r, r.cont_ba_r)
+        for r in q233_containment_prefix(spark, SF_SMOKE).collect()
+    }
+    assert len(naive) > 0
+    assert pref == naive
