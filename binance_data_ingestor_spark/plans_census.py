@@ -47,6 +47,10 @@ normalizing division (the q88 shape).
 q227 (round 7) — the 1-ROW min/max balance span crossJoin-broadcast
 into the customer scan for integer micro-probability scaling (the
 q94/q129 span shape).
+q234 (round 7) — the 1-ROW vector-count aggregate crossJoin-broadcast
+into the 2,080-row covariance-pair table (the q94/q129 scalar shape;
+the data itself never joins — it reduced to task-bounded partial sums
+upstream).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -59,6 +63,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q129", "q138", "q139", "q143", "q152", "q155", "q168",
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
-        "q219", "q221", "q223", "q226", "q227",
+        "q219", "q221", "q223", "q226", "q227", "q234",
     }
 )

@@ -70,12 +70,12 @@ def _modules():
 #   - the remaining 11 slots are r03-VINTAGE RE-CERTIFICATION,
 #     cheapest first (q60/q56/q72/q49/q108/q70/q131/q155/q173/q66/
 #     q177).
-# Round-8 window plan: 3 sentinels + the 8 round-7-new names
-# (q226/q227/q228/q229/q230/q231/q232/q233 — certify the round after
-# they land) + the remaining 34 r03-vintage names
+# Round-8 window plan: 3 sentinels + the 10 round-7-new names
+# (q226/q227/q228/q229/q230/q231/q232/q233/q234/q235 — certify the
+# round after they land) + the remaining 34 r03-vintage names
 # (q138/q142/q143/q145/q146/q150/q151/q154/q157/q158/q159/q160/q161/
 # q163/q171/q174/q179/q180/q181/q182/q27/q46/q51/q63/q64/q67/q71/
-# q75/q81/q90/q92/q93/q96/q110); that's 45 — if the budget is ~50,
+# q75/q81/q90/q92/q93/q96/q110); that's 47 — if the budget is ~50,
 # spend the spare slots on r04-vintage, cheapest first.
 PRIORITY = [
     "q01_pricing_summary",

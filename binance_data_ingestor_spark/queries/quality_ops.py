@@ -668,8 +668,146 @@ FROM sh
 """
 
 
+# --------------------------------------------------------------------------
+# q234 — embedding EFFECTIVE RANK (participation ratio) over all 64
+# dims: PR = tr(C)² / tr(C²), the eigendecomposition-free measure of
+# how many directions the embedding cloud actually uses (PR = d for
+# isotropic, → 1 under dimensional collapse) — the health readout a
+# pipeline checks before trusting cosine retrieval or training a PQ
+# codebook on the vectors. Both traces come from the covariance
+# matrix alone: tr(C) = Σ C_ii, tr(C²) = Σ_ij C_ij² (C symmetric), so
+# NO eigensolve and no d²-amplified shuffle — sufficient statistics
+# (n, Σx_i, Σx_i·x_j upper triangle) are computed per TASK with the
+# q67 pq_fit partial-sums pattern (one mapInPandas pass, ≤ tasks ×
+# d(d+1)/2 partial rows; the data never shuffles) and reduced by a
+# tiny groupBy. Cross-engine float parity: each C_ij is rounded 6 dp
+# (the q92 convention — partition accumulation order differs from
+# DuckDB's single fold, agreement to ~1e-13 before rounding), and
+# both engines derive the traces from the IDENTICAL rounded matrix;
+# nullif(tr) guards the all-constant-embedding degenerate (round-7
+# audit discipline). Scale: one pass, task-bounded partials, a
+# 2,080-row reduce — the same contract that lets pq_fit train on
+# 100 TB.
+# --------------------------------------------------------------------------
+_ER_DIM = 64
+
+
+def q234_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = _ER_DIM
+    vecs = load(spark, sf_dir, "embeddings").select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec")
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            if M.size == 0:
+                continue
+            n += M.shape[0]
+            s += M.sum(axis=0)
+            g += M.T @ M
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        rows = [(-1, -1, float(n))] + [
+            (int(i), -1, float(s[i])) for i in range(d)
+        ] + [(int(i), int(j), float(g[i, j])) for i, j in zip(iu, ju)]
+        yield pd.DataFrame(rows, columns=["i", "j", "v"])
+
+    stats = (
+        vecs.mapInPandas(partial, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    n = stats.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("nv")
+    )
+    means = stats.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("mi"), F.col("v").alias("sx")
+    )
+    cross = stats.filter(F.col("j") >= 0).select("i", "j", F.col("v").alias("sxy"))
+    cov = (
+        cross.join(F.broadcast(n))
+        .join(
+            F.broadcast(means.select(F.col("mi").alias("i"), F.col("sx").alias("sx_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("mi").alias("j"), F.col("sx").alias("sx_j"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("nv")
+                - (F.col("sx_i") / F.col("nv")) * (F.col("sx_j") / F.col("nv")),
+                6,
+            ).alias("cov_r"),
+            "nv",
+        )
+    )
+    diag = F.when(F.col("i") == F.col("j"), F.col("cov_r"))
+    sq = F.col("cov_r") * F.col("cov_r")
+    agg = cov.agg(
+        F.first("nv").alias("nv"),
+        F.sum(diag).alias("tr_c"),
+        F.sum(F.when(F.col("i") == F.col("j"), sq).otherwise(2 * sq)).alias("tr_c2"),
+        F.max(diag).alias("max_var"),
+    )
+    return agg.select(
+        F.col("nv").cast("long").alias("n_vectors"),
+        F.lit(d).cast("int").alias("dim"),
+        F.round("tr_c", 6).alias("tr_c_r"),
+        F.round("tr_c2", 6).alias("tr_c2_r"),
+        F.round(
+            F.col("tr_c") * F.col("tr_c") / F.nullif(F.col("tr_c2"), F.lit(0.0)), 6
+        ).alias("effective_rank_r"),
+        F.round(F.col("max_var") / F.nullif(F.col("tr_c"), F.lit(0.0)), 6).alias(
+            "top_var_share_r"
+        ),
+    )
+
+
+Q234_SQL = f"""
+WITH x AS (SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings),
+mu AS (SELECT i, sum(x) AS sx FROM x GROUP BY i),
+cr AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY a.i, b.i),
+cov AS (SELECT cr.i, cr.j,
+               round(sxy / nv - (ma.sx / nv) * (mb.sx / nv), 6) AS cov_r, nv
+        FROM cr, n
+        JOIN mu ma ON ma.i = cr.i
+        JOIN mu mb ON mb.i = cr.j),
+s AS (SELECT CAST(max(nv) AS BIGINT) AS n_vectors,
+             sum(CASE WHEN i = j THEN cov_r END) AS tr_c,
+             sum(CASE WHEN i = j THEN cov_r * cov_r
+                      ELSE 2 * cov_r * cov_r END) AS tr_c2,
+             max(CASE WHEN i = j THEN cov_r END) AS max_var
+      FROM cov)
+SELECT n_vectors, CAST({_ER_DIM} AS INTEGER) AS dim,
+       round(tr_c, 6) AS tr_c_r, round(tr_c2, 6) AS tr_c2_r,
+       round(tr_c * tr_c / nullif(tr_c2, 0.0), 6) AS effective_rank_r,
+       round(max_var / nullif(tr_c, 0.0), 6) AS top_var_share_r
+FROM s
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
+    "q234_effective_rank": q234_effective_rank,
     "q92_embedding_covariance": q92_embedding_covariance,
     "q94_psi_drift": q94_psi_drift,
     "q114_chi_square": q114_chi_square,
@@ -683,6 +821,7 @@ QUERIES = {
 
 ORACLES = {
     "q91_constraint_audit": Q91_SQL,
+    "q234_effective_rank": Q234_SQL,
     "q92_embedding_covariance": Q92_SQL,
     "q94_psi_drift": Q94_SQL,
     "q114_chi_square": Q114_SQL,

@@ -3259,8 +3259,106 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q235 — Heaps'-law vocabulary-growth curve: stream the corpus in
+# doc_id order, cut it into 20 equal-count tranches, and report each
+# tranche's new-type count plus the cumulative (docs, tokens, vocab)
+# totals — the saturation readout a dedup/mixture designer checks
+# before buying more of a source (vocab still growing ⇒ fresh
+# content; flat ⇒ the source is exhausted; this corpus's CLOSED ~30k
+# vocabulary — the q229/q233 scale finding — shows up here as a curve
+# that saturates in the first tranches). EVERYTHING is an exact
+# integer: tranche = with_global_ntile over doc_id (bucket-offset
+# two-pass, SQL-ntile-identical — the q132/q224 helper; no
+# single-partition sort of the corpus), a token's first tranche is a
+# plain min, and the cumulatives come from the bounded
+# explode-to-⌈20⌉ trick (q132) — no window at all. Scale: one
+# tokenize pass, two map-side-combinable aggregates, a 20-row
+# cumulative; the first-occurrence groupBy is vocab-sized.
+# --------------------------------------------------------------------------
+_HEAPS_TRANCHES = 20
+
+
+def q235_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_ntile, with_range_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tiled = with_global_ntile(
+        with_range_bucket(docs, F.col("doc_id"), bucket_col="__rb"),
+        [F.asc("doc_id")],
+        _HEAPS_TRANCHES,
+        bucket=F.col("__rb"),
+        tile_col="tile",
+    ).localCheckpoint(eager=False)
+    per = tiled.groupBy("tile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    nv = (
+        tiled.select("tile", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("tile").alias("first_tile"))
+        .groupBy(F.col("first_tile").alias("tile"))
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    j = per.join(nv, "tile", "left").select(
+        "tile",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+    )
+    # cumulative via the bounded explode over the 20 known tiles (q132
+    # pattern) — tile t contributes to every target >= t
+    cum = (
+        j.select(
+            F.explode(F.sequence(F.col("tile"), F.lit(_HEAPS_TRANCHES))).alias("__t"),
+            "n_docs",
+            "n_tokens",
+            "new_vocab",
+        )
+        .groupBy(F.col("__t").alias("tile"))
+        .agg(
+            F.sum("n_docs").alias("cum_docs"),
+            F.sum("n_tokens").alias("cum_tokens"),
+            F.sum("new_vocab").alias("cum_vocab"),
+        )
+    )
+    return j.join(cum, "tile").select(
+        "tile",
+        "n_docs",
+        "new_vocab",
+        "cum_docs",
+        "cum_tokens",
+        "cum_vocab",
+    )
+
+
+Q235_SQL = f"""
+WITH d AS (SELECT doc_id, text,
+                  ntile({_HEAPS_TRANCHES}) OVER (ORDER BY doc_id) AS tile
+           FROM documents),
+per AS (SELECT tile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM d GROUP BY tile),
+tok AS (SELECT tile, unnest(string_split(text, ' ')) AS token FROM d),
+ft AS (SELECT token, min(tile) AS first_tile FROM tok GROUP BY token),
+nv AS (SELECT first_tile AS tile, CAST(count(*) AS BIGINT) AS new_vocab
+       FROM ft GROUP BY 1),
+j AS (SELECT per.tile, n_docs, n_tokens,
+             coalesce(new_vocab, 0) AS new_vocab
+      FROM per LEFT JOIN nv USING (tile))
+SELECT tile, n_docs, new_vocab,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(new_vocab) OVER w AS BIGINT) AS cum_vocab
+FROM j
+WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
+    "q235_vocab_growth": q235_vocab_growth,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
@@ -3318,6 +3416,7 @@ QUERIES = {
 
 ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
+    "q235_vocab_growth": Q235_SQL,
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,

@@ -1867,6 +1867,74 @@ def test_containment_matches_bruteforce_sets(spark):
     assert got == expect
 
 
+def test_effective_rank_matches_numpy_eigensum(spark):
+    """q234's trace identities must equal the eigenvalue definition
+    PR = (sum lambda)^2 / (sum lambda^2) computed by numpy from the
+    same rounded covariance matrix."""
+    import duckdb
+    import numpy as np
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        q234_effective_rank,
+    )
+
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    M = np.array([np.asarray(v[0], dtype=np.float64) for v in vecs])
+    C = np.round(np.cov(M, rowvar=False, bias=True), 6)
+    lam = np.linalg.eigvalsh(C)
+    r = q234_effective_rank(spark, SF_SMOKE).collect()[0]
+    assert r.n_vectors == M.shape[0] and r.dim == 64
+    assert abs(r.tr_c_r - round(float(lam.sum()), 6)) < 2e-6
+    # tr(C^2) = sum lambda^2 for the symmetric rounded matrix
+    assert abs(r.tr_c2_r - float((lam * lam).sum())) < 1e-5
+    assert abs(r.effective_rank_r - float(lam.sum() ** 2 / (lam * lam).sum())) < 1e-4
+    assert abs(r.top_var_share_r - float(np.diag(C).max() / np.diag(C).sum())) < 1e-5
+
+
+def test_vocab_growth_matches_streaming_python(spark):
+    """q235's tranche curve must equal a literal streaming fold over
+    docs in doc_id order with SQL-ntile tranche boundaries."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _HEAPS_TRANCHES,
+        q235_vocab_growth,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    n, k = len(docs), _HEAPS_TRANCHES
+    big, small = -(-n // k), n // k  # SQL ntile: first n % k tiles get ceil
+    cut, sizes = n % k, []
+    for t in range(k):
+        sizes.append(big if t < cut else small)
+    seen: set[str] = set()
+    expect, i = {}, 0
+    cum_docs = cum_tokens = cum_vocab = 0
+    for t, sz in enumerate(sizes, start=1):
+        new_vocab = n_tokens = 0
+        for _, text in docs[i : i + sz]:
+            toks = text.split(" ")
+            n_tokens += len(toks)
+            for tok in toks:
+                if tok not in seen:
+                    seen.add(tok)
+                    new_vocab += 1
+        i += sz
+        cum_docs += sz
+        cum_tokens += n_tokens
+        cum_vocab += new_vocab
+        expect[t] = (sz, new_vocab, cum_docs, cum_tokens, cum_vocab)
+    got = {
+        r.tile: (r.n_docs, r.new_vocab, r.cum_docs, r.cum_tokens, r.cum_vocab)
+        for r in q235_vocab_growth(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
 def test_containment_prefix_twin_is_equivalent(spark):
     """q233's prefix-filtered candidate generator must produce the
     EXACT same pair set, counts, and ratios as q229's naive
