@@ -1935,6 +1935,29 @@ def test_vocab_growth_matches_streaming_python(spark):
     assert got == expect
 
 
+def test_containment_prefix_boundary_and_degenerate_docs(spark):
+    """The containment prefix filter's epsilon math must keep (a) a
+    pair EXACTLY at threshold (2/5 = 0.4 — a bare ceil on t*|S| would
+    shorten the prefix and drop it) and (b) a single-shingle doc fully
+    contained in a larger one (prefix length clamps to >= 1)."""
+    from binance_data_ingestor_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),        # 5 trigrams: abc bcd cde def efg
+        (2, "a b c d x y z w v u"),  # shares abc bcd: inter 2, 2/5 = 0.4
+        (3, "c d e"),                # single trigram cde: 1/1 = 1.0
+        (4, "p q r s"),              # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.inter_size, r.cont_ab_r, r.cont_ba_r)
+        for r in prefix_filter_containment_pairs(df, threshold=0.4).collect()
+    )
+    assert got == [(1, 2, 2, 0.4, 0.25), (1, 3, 1, 0.2, 1.0)]
+
+
 def test_containment_prefix_twin_is_equivalent(spark):
     """q233's prefix-filtered candidate generator must produce the
     EXACT same pair set, counts, and ratios as q229's naive
