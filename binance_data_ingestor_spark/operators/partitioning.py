@@ -165,23 +165,37 @@ def with_row_context(
 
     Context is retargeted to the next/previous chunk PRESENT in the
     data (not chunk±1), so time gaps larger than the chunk span cannot
-    orphan a boundary row. Correctness precondition: every DONOR chunk
-    is at least as deep as what it donates — a chunk with a PREVIOUS
-    present chunk must hold ≥ ``rows_after`` rows (it donates its head
-    backward) and a chunk with a NEXT present chunk must hold
-    ≥ ``rows_before`` rows (it donates its tail forward); a thinner
-    donor would need multi-chunk context (see q83 for a documented
-    case where this rules the rewrite out at small SF). With
-    ``check=True`` (the default) the precondition is ENFORCED at
-    runtime: a per-(key, chunk) count — map-side combinable, pruned to
-    the key/chunk columns, |keys| × |chunks| result rows — is joined
-    against the present-chunk chain and the call raises ``ValueError``
-    naming the thinnest violating bucket instead of silently returning
-    NULL-context frames (the round-7 ADVICE tripwire). Depth-1 frames
-    skip the check unconditionally (every present chunk holds ≥ 1
-    row). Callers that have proven the precondition structurally
-    (e.g. q83's fixed 1000-row chunks, 10× its frame at any SF) may
-    pass ``check=False`` to skip the extra aggregate job.
+    orphan a boundary row. Correctness precondition: every INTERIOR
+    donor chunk is at least as deep as what it donates — a chunk with
+    a previous present chunk on BOTH sides of the donation must be
+    frame-deep: donating its tail forward (``rows_before``) requires
+    depth ≥ ``rows_before`` only when the donor ALSO has a previous
+    present chunk (if the donor is the first present chunk, the
+    receiver's missing history rows do not exist globally either, so
+    the chunked frame already equals the global one); symmetrically,
+    donating its head backward (``rows_after``) requires depth ≥
+    ``rows_after`` only when the donor also has a NEXT present chunk.
+    A thinner interior donor would need multi-chunk context (see q83
+    for a documented case where this rules the rewrite out at small
+    SF). With ``check=True`` (the default) the precondition is
+    ENFORCED at runtime: a per-(key, chunk) count — map-side
+    combinable, pruned to the key/chunk columns, |keys| × |chunks|
+    result rows — is joined against the present-chunk chain and the
+    call raises ``ValueError`` naming the thinnest violating bucket
+    instead of silently returning NULL-context frames (the round-7
+    ADVICE tripwire; stream-edge donors exempted per round-8 ADVICE).
+    Depth-1 frames skip the check unconditionally (every present
+    chunk holds ≥ 1 row).
+
+    COST NOTE (check=True): the tripwire runs an EAGER ``.collect()``
+    at DataFrame-construction time — one full scan + map-side-combined
+    count of the input per call, re-executed on every re-build of the
+    query, even if the returned plan is never acted on. That is the
+    deliberate price of failing loudly instead of returning wrong
+    frames; benches were re-baselined with it (round 7). Callers that
+    have proven the precondition structurally (e.g. q83's fixed
+    1000-row chunks, 10× its frame at any SF) may pass ``check=False``
+    to skip the extra aggregate job and stay fully lazy.
 
     Returns df + (chunk_col, ctx_col); run the window partitioned by
     (*keys, chunk_col) with the same ``order``, then filter
@@ -210,8 +224,14 @@ def with_row_context(
         # Donor-depth tripwire: chunk X donates its first `rows_after`
         # rows to its PREVIOUS present chunk and its last `rows_before`
         # rows to its NEXT present chunk — so X must be that deep
-        # whenever the corresponding neighbour exists. One extra
-        # aggregate job over (keys, chunk) only; the join side is the
+        # whenever the corresponding neighbour exists AND rows beyond
+        # the donation exist globally (X has a neighbour on the far
+        # side too). A thin FIRST chunk donating forward is fine: the
+        # receiver's missing history rows do not exist in the global
+        # stream either, so lag(N) is NULL under both plans
+        # (symmetrically for a thin LAST chunk donating backward) —
+        # round-8 ADVICE false-positive fix. One extra aggregate job
+        # over (keys, chunk) only; the join side is the
         # |keys|×|chunks|-row chain summary.
         counts = base.groupBy(*parts).count()
         bad = (
@@ -220,11 +240,11 @@ def with_row_context(
             .filter(
                 (
                     F.col("__prev_chunk").isNotNull()
-                    & (F.col("count") < rows_after)
-                )
-                | (
-                    F.col("__next_chunk").isNotNull()
-                    & (F.col("count") < rows_before)
+                    & F.col("__next_chunk").isNotNull()
+                    & (
+                        (F.col("count") < rows_after)
+                        | (F.col("count") < rows_before)
+                    )
                 )
             )
             .select(*keys, "__src_chunk", "count")

@@ -54,80 +54,74 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-7 rotation (after round 6's 50/50-green window brought cumulative
-# certification to 218/218 of the round-6-start registry):
+# Round-8 rotation (after round 7's 50/50-green window brought cumulative
+# certification to 225/225 of the round-7-start registry):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 36-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
-#     cannot cost the round its goal: the 7 round-6-new names
-#     (q220-q225, q39 — never driver-scored; "certify the round after
-#     it lands" convention; green ⇒ cumulative 225/225 of the
-#     round-7-start registry) merged with the 29 r02-VINTAGE names
-#     whose last green driver row is round 2 (four rounds old:
-#     q105/q106/q118/q124/q149/q152/q153/q166/q167/q169/q170/q178/
-#     q24/q30/q31/q35/q36/q38/q45/q52/q53/q54/q65/q74/q82/q83/q88/
-#     q89/q91). The q225 streaming replay (4.8 s fixed cost) closes
-#     the block;
-#   - the remaining 11 slots are r03-VINTAGE RE-CERTIFICATION,
-#     cheapest first (q60/q56/q72/q49/q108/q70/q131/q155/q173/q66/
-#     q177).
-# Round-8 window plan: 3 sentinels + the 10 round-7-new names
-# (q226/q227/q228/q229/q230/q231/q232/q233/q234/q235 — certify the
-# round after they land) + the remaining 34 r03-vintage names
-# (q138/q142/q143/q145/q146/q150/q151/q154/q157/q158/q159/q160/q161/
-# q163/q171/q174/q179/q180/q181/q182/q27/q46/q51/q63/q64/q67/q71/
-# q75/q81/q90/q92/q93/q96/q110); that's 47 — if the budget is ~50,
-# spend the spare slots on r04-vintage, cheapest first.
+#   - the 44-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
+#     cannot cost the round its goal: the 10 round-7-new names
+#     (q226-q235 — never driver-scored; "certify the round after it
+#     lands" convention; green ⇒ cumulative 235/235 of the
+#     round-8-start registry) merged with the 34 r03-VINTAGE names
+#     whose last green driver row is round 3 (five rounds old:
+#     q110/q138/q142/q143/q145/q146/q150/q151/q154/q157/q158/q159/
+#     q160/q161/q163/q171/q174/q179/q180/q181/q182/q27/q46/q51/q63/
+#     q64/q67/q71/q75/q81/q90/q92/q93/q96);
+#   - the remaining 3 slots are r04-VINTAGE RE-CERTIFICATION,
+#     cheapest first (q58/q102/q172).
+# Round-9 window plan: 3 sentinels + any round-8-new names + the
+# remaining 44 r04-vintage names, cheapest first; r04 vintage then
+# retires fully in round 10.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q74_scd2",
-    "q118_semantic_dedup",
-    "q36_orderflow_imbalance",
-    "q24_sessionize",
-    "q35_vwap",
-    "q89_grouped_regression",
-    "q167_kaplan_meier",
-    "q106_copurchase_lift",
-    "q88_heavy_hitters",
-    "q91_constraint_audit",
-    "q82_gapfill_locf",
-    "q220_hamming_topk",
-    "q221_js_divergence",
-    "q65_media_phash",
-    "q30_ticker_normalize",
-    "q152_mixture_rebalance",
-    "q54_neardup_clusters",
-    "q222_interarrival_burstiness",
-    "q170_gini_revenue",
-    "q105_triangle_count",
-    "q223_frequent_triples",
-    "q52_lsh_topk",
-    "q39_flow_autocorr",
-    "q38_twap",
-    "q124_product_profit",
-    "q178_wav_roundtrip",
-    "q31_orderbook_metrics",
-    "q166_exact_median",
-    "q45_minhash_lsh",
-    "q53_ivf_topk",
-    "q169_ks_drift",
-    "q149_bloom_decontaminate",
-    "q224_hist2d",
-    "q153_incremental_neardup",
-    "q83_rolling_zscore",
-    "q225_stream_countmin",
-    "q60_media_metadata",
-    "q56_stratified_sample",
-    "q72_chunking",
-    "q49_tfidf_topterms",
-    "q108_editdist_join",
-    "q70_vocab",
-    "q131_ab_test",
-    "q155_dormant_capital",
-    "q173_scd2_temporal_join",
-    "q66_pq_topk",
-    "q177_cusum",
+    "q232_diversity_indices",
+    "q157_asof_tolerance",
+    "q174_purged_tscv",
+    "q154_top_supplier",
+    "q227_calibration",
+    "q81_pii_mask",
+    "q146_order_count_distribution",
+    "q90_pit_features",
+    "q63_decode_media",
+    "q64_resize_raster",
+    "q75_upsert_audit",
+    "q181_rank_transform",
+    "q158_kcore",
+    "q171_rolling_hll",
+    "q96_rrf_fusion",
+    "q71_length_buckets",
+    "q92_embedding_covariance",
+    "q234_effective_rank",
+    "q150_token_balanced_shards",
+    "q46_simhash",
+    "q228_zipf_slope",
+    "q51_cosine_neardup",
+    "q110_peak_concurrency",
+    "q160_rolling_median",
+    "q161_quality_representative",
+    "q230_kyle_lambda",
+    "q179_ppm_roundtrip",
+    "q67_pq_kmeans_train",
+    "q145_waiting_suppliers",
+    "q142_abc_classification",
+    "q93_bm25_retrieval",
+    "q138_skipgram_pmi",
+    "q231_roll_spread",
+    "q235_vocab_growth",
+    "q182_ivfpq_topk",
+    "q229_ngram_containment",
+    "q143_dsir_weights",
+    "q163_rfm_segments",
+    "q180_json_schema_profile",
+    "q151_lsh_recall_certificate",
+    "q27_series_topk",
+    "q226_hits",
+    "q159_prefix_jaccard",
+    "q233_containment_prefix",
+    "q58_pack_chunks",
+    "q102_weighted_sample",
+    "q172_label_kappa",
 ]
 
 

@@ -1521,15 +1521,21 @@ def test_burstiness_single_gap_key_yields_null_fano(spark, tmp_path):
 
 
 def test_row_context_tripwire_raises_on_thin_donor(spark):
-    """with_row_context's runtime precondition check (round-7 ADVICE):
-    a donor chunk thinner than the frame must RAISE, not silently NULL
-    the boundary frames. Chunk 0 holds 5 rows, chunk 1 holds 2 — with
-    rows_after=3, chunk 1 donates its head backward and is too thin."""
+    """with_row_context's runtime precondition check (round-7 ADVICE,
+    round-8 ADVICE edge exemption): an INTERIOR donor chunk thinner
+    than the frame must RAISE (its receiver's missing frame rows exist
+    globally), while a thin FIRST/LAST chunk must NOT — the rows it
+    fails to donate do not exist in the global stream either, so the
+    chunked frame already equals the global one."""
+    from pyspark.sql import Window as W
+
     from binance_data_ingestor_spark.operators.partitioning import (
         with_row_context,
     )
 
-    rows = [("k", i, i // 5) for i in range(7)]  # chunk 0: 0-4, chunk 1: 5-6
+    # chunk 0: rows 0-4 (5 rows), chunk 1: rows 5-6 (2 rows, INTERIOR),
+    # chunk 2: rows 7-9 (3 rows)
+    rows = [("k", i, min(i // 5, 1) if i < 7 else 2) for i in range(10)]
     df = spark.createDataFrame(rows, "key string, t long, c long")
     with pytest.raises(ValueError, match="precondition violated"):
         with_row_context(
@@ -1539,12 +1545,12 @@ def test_row_context_tripwire_raises_on_thin_donor(spark):
     out = with_row_context(
         df, ["key"], ["t"], chunk=F.col("c"), rows_after=3, check=False
     ).collect()
-    assert len(out) == 7 + 2  # 2 context replicas of chunk 1's head
+    assert len(out) == 10 + 2 + 3  # chunk1 head->chunk0, chunk2 head->chunk1
     # depth-1 frames never trip (every present chunk has >= 1 row)
     out1 = with_row_context(
         df, ["key"], ["t"], chunk=F.col("c"), rows_after=1
     ).collect()
-    assert len(out1) == 7 + 1
+    assert len(out1) == 10 + 2
     # a single-chunk key is fine at any depth: no donors exist
     solo = spark.createDataFrame(
         [("s", i, 0) for i in range(2)], "key string, t long, c long"
@@ -1557,6 +1563,47 @@ def test_row_context_tripwire_raises_on_thin_donor(spark):
         )
         == 2
     )
+    # round-8 ADVICE stream-edge exemption: chunk sizes [2, 5] with
+    # rows_before=3 must NOT raise — the thin donor is the FIRST
+    # present chunk, and lag(3) at the receiver's head is NULL under
+    # the global window too. Prove equality, not just absence of error.
+    edge = spark.createDataFrame(
+        [("k", i, 0 if i < 2 else 1, float(i)) for i in range(7)],
+        "key string, t long, c long, v double",
+    )
+    wg = W.partitionBy("key").orderBy("t")
+    expected = sorted(
+        edge.select("t", F.lag("v", 3).over(wg).alias("l3")).collect()
+    )
+    dc = with_row_context(
+        edge, ["key"], ["t"], chunk=F.col("c"), rows_before=3
+    )
+    wc = W.partitionBy("key", "chunk").orderBy("t")
+    got = sorted(
+        dc.select("t", "is_ctx", F.lag("v", 3).over(wc).alias("l3"))
+        .filter(F.col("is_ctx") == 0)
+        .drop("is_ctx")
+        .collect()
+    )
+    assert got == expected
+    # symmetric: thin LAST chunk donating backward (rows_after) is exempt
+    tail = spark.createDataFrame(
+        [("k", i, 0 if i < 5 else 1, float(i)) for i in range(7)],
+        "key string, t long, c long, v double",
+    )
+    expected_t = sorted(
+        tail.select("t", F.lead("v", 3).over(wg).alias("f3")).collect()
+    )
+    dct = with_row_context(
+        tail, ["key"], ["t"], chunk=F.col("c"), rows_after=3
+    )
+    got_t = sorted(
+        dct.select("t", "is_ctx", F.lead("v", 3).over(wc).alias("f3"))
+        .filter(F.col("is_ctx") == 0)
+        .drop("is_ctx")
+        .collect()
+    )
+    assert got_t == expected_t
 
 
 def test_hamming_topk_probe_cap_enforced(spark):
@@ -1714,6 +1761,53 @@ def test_hits_matches_direct_python(spark):
         [(r.rank, r.node_id) for r in got if r.side == "auth"]
     )
     assert [n for _, n in got_auth] == [n for n, _ in top_auth]
+
+
+def test_calibration_brier_matches_python(spark):
+    """q227's 10-bin calibration curve and Brier reliability terms must
+    equal a direct Python recomputation from the same labeled rows
+    (closes the round-7 VERDICT test-coverage gap: the integer
+    micro-probability DIV binning and the (sp − 1e6·n_pos)² identity
+    are re-derived independently here, with the reliability term
+    cross-checked against numpy's literal mean((p − ȳ)²) per bin)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.ml_ops import q227_calibration
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(c_acctbal * 100 AS BIGINT) AS bal_c,
+                   CASE WHEN EXISTS (SELECT 1
+                                     FROM '{SF_SMOKE}/orders.parquet'
+                                     WHERE o_custkey = c_custkey
+                                       AND o_orderpriority = '1-URGENT')
+                        THEN 1 ELSE 0 END AS y
+            FROM '{SF_SMOKE}/customer.parquet'"""
+    ).fetchall()
+    lo = min(b for b, _ in rows)
+    hi = max(b for b, _ in rows)
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for b, y in rows:
+        p_c = (b - lo) * 1_000_000 // (hi - lo + 1)  # DIV: non-neg numerator
+        bins.setdefault(p_c // 100_000, []).append((p_c, y))
+    got = {r.bin: r for r in q227_calibration(spark, SF_SMOKE).collect()}
+    assert set(got) == set(bins)
+    for bin_id, members in bins.items():
+        n = len(members)
+        n_pos = sum(y for _, y in members)
+        sp = sum(p for p, _ in members)
+        r = got[bin_id]
+        assert (r.n, r.n_pos) == (n, n_pos), bin_id
+        assert abs(r.mean_pred - sp / (n * 1e6)) < 1e-15
+        assert abs(r.event_rate - n_pos / n) < 1e-15
+        rel = (sp - 1e6 * n_pos) ** 2 / (1e12 * n)
+        assert abs(r.rel_term - rel) < 1e-12 * max(1.0, rel)
+        # numpy cross-check of the algebraic identity the query relies
+        # on: n·(mean_pred − event_rate)² == (sp − 1e6·n_pos)²/(1e12·n)
+        p = np.array([p for p, _ in members], dtype=np.float64) / 1e6
+        ybar = n_pos / n
+        np.testing.assert_allclose(
+            rel, n * (p.mean() - ybar) ** 2, rtol=1e-12, atol=1e-18
+        )
 
 
 def test_kyle_lambda_and_roll_spread_match_python(spark):
