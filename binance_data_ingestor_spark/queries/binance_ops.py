@@ -981,6 +981,315 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q236 — VPIN (volume-synchronized probability of informed trading,
+# Easley/López de Prado/O'Hara): trades are re-clocked by VOLUME, not
+# time — the cumulative traded volume per symbol is cut into ~50
+# equal-volume buckets and each bucket's |taker-buy − taker-sell|
+# imbalance is summed; VPIN = Σ|Δ|/ΣV. The volume clock is the whole
+# point of the measure (informed trading arrives in volume time), and
+# it is also the interesting DISTRIBUTED part: the per-symbol running
+# volume uses the bucket-offset two-pass cumsum (with_global_cumsum
+# over hourly chunks — only the |symbols|×|hours| summary is ever
+# serialized), never a per-symbol single-task window. One documented
+# simplification vs the paper: a trade is assigned wholly to the
+# bucket its EXCLUSIVE cumulative volume lands in (no trade
+# splitting) — deterministic, exact, and the bucket-size error is one
+# trade's volume. Everything is exact int64 cents until the two final
+# divisions; the per-bucket rows are the output grain and the VPIN
+# window runs over that ~50-row-per-symbol summary (scale-free).
+# Unknown maker flags ('None') are excluded before the clock forms
+# (the q39 convention) so buy+sell == bucket volume exactly.
+# --------------------------------------------------------------------------
+VPIN_BUCKETS = 50
+
+
+def q236_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import with_global_cumsum
+
+    t = (
+        _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+        .filter(F.col("is_buyer_maker") != "None")
+        .select(
+            "symbol",
+            "trade_time",
+            "event_id",
+            "qc",
+            F.when(F.col("is_buyer_maker") == "False", F.col("qc"))
+            .otherwise(F.lit(0))
+            .alias("bq"),
+        )
+    )
+    tot = t.groupBy("symbol").agg(F.sum("qc").alias("w_tot"))
+    cum = with_global_cumsum(
+        t,
+        ["symbol"],
+        [F.asc("trade_time"), F.asc("event_id")],
+        "qc",
+        bucket=F.expr("trade_time div 3600000"),
+        out_col="cumv",
+    )
+    binned = (
+        cum.join(tot, "symbol")
+        .select(
+            "symbol",
+            "qc",
+            "bq",
+            # exclusive cum DIV per-symbol bucket volume V = ceil(tot/50)
+            F.expr(
+                f"least(CAST({VPIN_BUCKETS - 1} AS BIGINT), "
+                f"(cumv - qc) DIV ((w_tot + {VPIN_BUCKETS - 1}) "
+                f"DIV {VPIN_BUCKETS}))"
+            ).alias("bucket"),
+        )
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("bq").alias("buy_vol"),
+            (F.sum("qc") - F.sum("bq")).alias("sell_vol"),
+        )
+    )
+    ws = W.partitionBy("symbol")  # ~VPIN_BUCKETS rows per symbol: summary-sized
+    vol = F.col("buy_vol") + F.col("sell_vol")
+    imb = F.abs(F.col("buy_vol") - F.col("sell_vol"))
+    return binned.select(
+        "symbol",
+        "bucket",
+        "n_trades",
+        "buy_vol",
+        "sell_vol",
+        (imb / F.nullif(vol, F.lit(0))).alias("bucket_imb_r"),
+        (F.sum(imb).over(ws) / F.nullif(F.sum(vol).over(ws), F.lit(0))).alias(
+            "vpin_r"
+        ),
+    )
+
+
+# buy/sell vols CAST to BIGINT (hugeint→float64 hazard); both ratios are
+# single IEEE divisions of exact integer sums — no round() (Q35 note).
+Q236_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         ({_SQL_CENTS}) * 2 AS qc,
+         CASE WHEN event_id % 7 = 0 THEN 'None'
+              WHEN event_id % 2 = 0 THEN 'True'
+              ELSE 'False' END AS m
+  FROM events
+),
+f AS (SELECT symbol, tt, event_id, qc,
+             CASE WHEN m = 'False' THEN qc ELSE 0 END AS bq
+      FROM t WHERE m <> 'None'),
+c AS (SELECT symbol, qc, bq,
+             sum(qc) OVER (PARTITION BY symbol ORDER BY tt, event_id
+                           ROWS UNBOUNDED PRECEDING) - qc AS cumx,
+             sum(qc) OVER (PARTITION BY symbol) AS w_tot
+      FROM f),
+b AS (SELECT symbol,
+             least({VPIN_BUCKETS - 1},
+                   cumx // ((w_tot + {VPIN_BUCKETS - 1}) // {VPIN_BUCKETS}))
+               AS bucket,
+             count(*) AS n_trades,
+             sum(bq) AS buy_vol, sum(qc) - sum(bq) AS sell_vol
+      FROM c GROUP BY 1, 2)
+SELECT symbol, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_trades AS BIGINT) AS n_trades,
+       CAST(buy_vol AS BIGINT) AS buy_vol,
+       CAST(sell_vol AS BIGINT) AS sell_vol,
+       CAST(abs(buy_vol - sell_vol) AS DOUBLE)
+         / nullif(buy_vol + sell_vol, 0) AS bucket_imb_r,
+       CAST(sum(abs(buy_vol - sell_vol)) OVER (PARTITION BY symbol) AS DOUBLE)
+         / nullif(sum(buy_vol + sell_vol) OVER (PARTITION BY symbol), 0)
+         AS vpin_r
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# q237 — Amihud (2002) daily illiquidity per (symbol, day): the
+# canonical price-impact-per-dollar measure ILLIQ = |daily return| /
+# daily dollar volume. Day open/close are the first/last trade prices
+# by (trade_time, event_id) — min_by/max_by partial aggregates, never
+# a per-day sort — and dollar volume is the exact int64 Σ pc·qc (cents²;
+# bounded by a day's volume per group at test SFs — at 100 TB the
+# product sum moves to decimal(38,0)/double, same note as q230). The
+# output grain is (symbol, day): NO cross-day averaging of doubles, so
+# every float column is one fixed-order IEEE expression over exact
+# ints and the cross-engine hash never rides on accumulation order.
+# illiq_r is scaled by 1e12 to sit in a readable range.
+# --------------------------------------------------------------------------
+def q237_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol",
+        F.expr("trade_time div 86400000").alias("day"),
+        "trade_time",
+        "event_id",
+        "pc",
+        "qc",
+    )
+    g = t.groupBy("symbol", "day").agg(
+        F.count("*").alias("n_trades"),
+        F.min_by("pc", F.struct("trade_time", "event_id")).alias("open_c"),
+        F.max_by("pc", F.struct("trade_time", "event_id")).alias("close_c"),
+        F.sum(F.col("pc") * F.col("qc")).alias("dvol_cc"),
+    )
+    ret = (F.col("close_c") - F.col("open_c")).cast("double") / F.col("open_c")
+    return g.select(
+        "symbol",
+        "day",
+        "n_trades",
+        "open_c",
+        "close_c",
+        "dvol_cc",
+        ret.alias("ret_r"),
+        (
+            F.abs(F.col("close_c") - F.col("open_c")).cast("double")
+            * F.lit(1e12)
+            / F.col("open_c")
+            / F.col("dvol_cc")
+        ).alias("illiq_r"),
+    )
+
+
+# open/close/dvol CAST to BIGINT; ret_r / illiq_r are fixed-order IEEE
+# chains over exact ints — no round() (Q35 note). DuckDB's arg_min can't
+# take a composite ordering tuple, so the oracle reads first/last via
+# window functions over (tt, event_id) — the same total order Spark's
+# min_by/max_by struct encodes.
+Q237_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} // 86400000 AS day,
+         {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc, ({_SQL_CENTS}) * 2 AS qc
+  FROM events
+),
+w AS (SELECT symbol, day, pc, qc,
+             first_value(pc) OVER (PARTITION BY symbol, day
+                                   ORDER BY tt, event_id) AS o_c,
+             last_value(pc) OVER (PARTITION BY symbol, day
+                                  ORDER BY tt, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS c_c
+      FROM t),
+g AS (SELECT symbol, day, count(*) AS n_trades,
+             min(o_c) AS open_c, min(c_c) AS close_c,
+             sum(pc * qc) AS dvol_cc
+      FROM w GROUP BY 1, 2)
+SELECT symbol, day, CAST(n_trades AS BIGINT) AS n_trades,
+       CAST(open_c AS BIGINT) AS open_c, CAST(close_c AS BIGINT) AS close_c,
+       CAST(dvol_cc AS BIGINT) AS dvol_cc,
+       CAST(close_c - open_c AS DOUBLE) / open_c AS ret_r,
+       CAST(abs(close_c - open_c) AS DOUBLE) * 1e12 / open_c
+         / CAST(dvol_cc AS DOUBLE) AS illiq_r
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q244 — Lo–MacKinlay variance-ratio test per symbol, VR(5): under a
+# random walk, Var(p_t − p_{t−5}) = 5 · Var(p_t − p_{t−1}); VR < 1
+# signals mean reversion (bid-ask bounce — q231's phenomenon seen
+# through a second lens), VR > 1 momentum. Both variance estimates use
+# OVERLAPPING differences from the same lead window: one pass emits
+# lead(pc, 1) and lead(pc, 5) per trade, the per-symbol aggregate
+# keeps n/Σr/Σr² for each horizon as exact int64 sums, and VR is one
+# fixed-order IEEE expression over those six integers (population
+# variances; the heteroscedasticity-robust test statistic is out of
+# scope — the RATIO is the readout). The lead window runs per
+# (symbol, 3-day chunk) with 5-row boundary context (with_row_context,
+# check=True: every interior chunk must hold ≥ 5 rows — the runtime
+# tripwire, not an assumption). nullif guards the var1 = 0 degenerate.
+# --------------------------------------------------------------------------
+VR_Q = 5
+
+
+def q244_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_after=VR_Q,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    led = tc.select(
+        "symbol",
+        "is_ctx",
+        (F.lead("pc", 1).over(w) - F.col("pc")).alias("r1"),
+        (F.lead("pc", VR_Q).over(w) - F.col("pc")).alias("rq"),
+    ).filter(F.col("is_ctx") == 0)
+    agg = led.groupBy("symbol").agg(
+        F.count("r1").alias("n1"),
+        F.sum("r1").alias("s1"),
+        F.sum(F.col("r1") * F.col("r1")).alias("ss1"),
+        F.count("rq").alias("nq"),
+        F.sum("rq").alias("sq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("ssq"),
+    )
+    # population variances from exact sums; products in DOUBLE (q230
+    # note: int64 squares of sums overflow at scale, doubles do not)
+    var1 = (
+        F.col("ss1").cast("double") / F.col("n1")
+        - (F.col("s1").cast("double") / F.col("n1"))
+        * (F.col("s1").cast("double") / F.col("n1"))
+    )
+    varq = (
+        F.col("ssq").cast("double") / F.col("nq")
+        - (F.col("sq").cast("double") / F.col("nq"))
+        * (F.col("sq").cast("double") / F.col("nq"))
+    )
+    return agg.select(
+        "symbol",
+        "n1",
+        "s1",
+        "ss1",
+        "nq",
+        "sq",
+        "ssq",
+        (varq / F.lit(float(VR_Q)) / F.nullif(var1, F.lit(0.0))).alias(
+            "vr_r"
+        ),
+    )
+
+
+# counts/sums CAST to BIGINT; vr_r is the identical fixed-order IEEE
+# expression on both engines (divide-by-n first, then square — the same
+# associativity on both sides), one final division, nullif degenerate.
+Q244_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol,
+             lead(pc, 1) OVER w - pc AS r1,
+             lead(pc, {VR_Q}) OVER w - pc AS rq
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+a AS (SELECT symbol,
+             count(r1) AS n1, sum(r1) AS s1, sum(r1 * r1) AS ss1,
+             count(rq) AS nq, sum(rq) AS sq, sum(rq * rq) AS ssq
+      FROM l GROUP BY symbol)
+SELECT symbol,
+       CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1,
+       CAST(ss1 AS BIGINT) AS ss1,
+       CAST(nq AS BIGINT) AS nq, CAST(sq AS BIGINT) AS sq,
+       CAST(ssq AS BIGINT) AS ssq,
+       (CAST(ssq AS DOUBLE) / nq
+          - (CAST(sq AS DOUBLE) / nq) * (CAST(sq AS DOUBLE) / nq))
+         / {float(VR_Q)}
+         / nullif(CAST(ss1 AS DOUBLE) / n1
+                    - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1),
+                  0.0) AS vr_r
+FROM a
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -995,6 +1304,9 @@ QUERIES = {
     "q135_depth_weighted_mid": q135_depth_weighted_mid,
     "q230_kyle_lambda": q230_kyle_lambda,
     "q231_roll_spread": q231_roll_spread,
+    "q236_vpin": q236_vpin,
+    "q237_amihud": q237_amihud,
+    "q244_variance_ratio": q244_variance_ratio,
 }
 
 ORACLES = {
@@ -1011,4 +1323,7 @@ ORACLES = {
     "q135_depth_weighted_mid": Q135_SQL,
     "q230_kyle_lambda": Q230_SQL,
     "q231_roll_spread": Q231_SQL,
+    "q236_vpin": Q236_SQL,
+    "q237_amihud": Q237_SQL,
+    "q244_variance_ratio": Q244_SQL,
 }

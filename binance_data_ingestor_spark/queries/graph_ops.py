@@ -455,6 +455,137 @@ FROM u WHERE side = 'hub'
 """
 
 
+# --------------------------------------------------------------------------
+# q243 — edge-support census (the k-truss primitive) of the
+# co-purchase graph: support(e) = #triangles containing e, computed by
+# operators/graph.edge_support on the degree-ordered orientation (the
+# q105 wedge machinery, hub-proof at 100 TB), then rolled up into the
+# support HISTOGRAM with a descending cumulative — n_edges_ge(s) =
+# edges with support ≥ s, the upper bound on every (s+2)-truss's edge
+# set (peeling only removes support). The cumulative window runs over
+# the histogram (≤ max-support rows — support-bounded, never
+# edge-sized). Exact integers end to end; the oracle enumerates
+# triangles with the naive key-ordered 3-way join — per-edge support
+# is orientation-invariant, which is what makes the census checkable.
+# Edge list shared with q105/q106/q158/q226 via the session artifact.
+# --------------------------------------------------------------------------
+def q243_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import edge_support
+
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    sup = edge_support(pairs.select("u", "v"))
+    hist = sup.groupBy("support").agg(F.count("*").alias("n_edges"))
+    wd = W.orderBy(F.desc("support")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )  # histogram-sized (≤ max support rows), never edge-sized
+    return hist.select(
+        "support", "n_edges", F.sum("n_edges").over(wd).alias("n_edges_ge")
+    )
+
+
+Q243_SQL = """
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+te AS (SELECT a AS u, b AS v FROM tri
+       UNION ALL SELECT b, c FROM tri
+       UNION ALL SELECT a, c FROM tri),
+sup AS (SELECT e.u, e.v, count(te.u) AS support
+        FROM e LEFT JOIN te ON te.u = e.u AND te.v = e.v
+        GROUP BY 1, 2),
+hist AS (SELECT support, count(*) AS n_edges FROM sup GROUP BY 1)
+SELECT CAST(support AS BIGINT) AS support,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(sum(n_edges) OVER (ORDER BY support DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_edges_ge
+FROM hist
+"""
+
+
+# --------------------------------------------------------------------------
+# q245 — degree assortativity of the co-purchase graph (Newman 2002):
+# the Pearson correlation of endpoint degrees over the DIRECTED edge
+# multiset (each undirected edge counted in both orientations — the
+# standard convention, which makes Σx = Σy and var_x = var_y so one
+# pair of sums serves both axes). r < 0 = hubs attach to leaves
+# (disassortative, typical of co-occurrence graphs), r > 0 = rich
+# club. Everything reduces to five exact int64 sums computed in ONE
+# pass over the edges⨝degrees join — per edge the both-orientation
+# contributions are du+dv, du²+dv², 2·du·dv, so the edge list is never
+# duplicated. r is one fixed-order IEEE expression over the exact
+# sums (products in DOUBLE — the q230 overflow note), nullif on the
+# regular-graph degenerate (all degrees equal → var 0 → NULL on both
+# engines). Edge list shared via the session artifact.
+# --------------------------------------------------------------------------
+def q245_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    edges = pairs.select("u", "v")
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    j = edges.join(
+        deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u"
+    ).join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    agg = j.agg(
+        (F.count("*") * 2).alias("m_ends"),
+        F.sum(F.col("du") + F.col("dv")).alias("sum_d"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias(
+            "sum_d2"
+        ),
+        (F.sum(F.col("du") * F.col("dv")) * 2).alias("sum_prod"),
+    )
+    m = F.col("m_ends").cast("double")
+    sd = F.col("sum_d").cast("double")
+    return agg.select(
+        "m_ends",
+        "sum_d",
+        "sum_d2",
+        "sum_prod",
+        (
+            (m * F.col("sum_prod").cast("double") - sd * sd)
+            / F.nullif(m * F.col("sum_d2").cast("double") - sd * sd, F.lit(0.0))
+        ).alias("assortativity_r"),
+    )
+
+
+Q245_SQL = """
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT n, count(*) AS deg FROM
+          (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+a AS (SELECT count(*) * 2 AS m_ends,
+             sum(du.deg + dv.deg) AS sum_d,
+             sum(du.deg * du.deg + dv.deg * dv.deg) AS sum_d2,
+             sum(du.deg * dv.deg) * 2 AS sum_prod
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v)
+SELECT CAST(m_ends AS BIGINT) AS m_ends,
+       CAST(sum_d AS BIGINT) AS sum_d,
+       CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(sum_prod AS BIGINT) AS sum_prod,
+       (CAST(m_ends AS DOUBLE) * CAST(sum_prod AS DOUBLE)
+          - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))
+         / nullif(CAST(m_ends AS DOUBLE) * CAST(sum_d2 AS DOUBLE)
+                    - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE),
+                  0.0) AS assortativity_r
+FROM a
+"""
+
+
 QUERIES = {
     "q99_pagerank": q99_pagerank,
     "q105_triangle_count": q105_triangle_count,
@@ -463,6 +594,8 @@ QUERIES = {
     "q201_bfs_hub_distance": q201_bfs_hub_distance,
     "q215_link_prediction": q215_link_prediction,
     "q226_hits": q226_hits,
+    "q243_edge_support": q243_edge_support,
+    "q245_assortativity": q245_assortativity,
 }
 
 ORACLES = {
@@ -473,4 +606,6 @@ ORACLES = {
     "q201_bfs_hub_distance": Q201_SQL,
     "q215_link_prediction": Q215_SQL,
     "q226_hits": Q226_SQL,
+    "q243_edge_support": Q243_SQL,
+    "q245_assortativity": Q245_SQL,
 }
