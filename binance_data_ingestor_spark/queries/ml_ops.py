@@ -788,9 +788,128 @@ FROM g
 """
 
 
+
+# --------------------------------------------------------------------------
+# q242 — split-conformal prediction thresholds per customer segment:
+# the distribution-free 90% prediction-interval radius. Orders split
+# train/calibration by md5 key-hash (reproducible across engines /
+# reruns / partitionings — never RNG); the "model" is the train-side
+# per-segment mean price; the threshold is the ⌈0.9·(n_cal+1)⌉-th
+# smallest calibration residual — conformal's finite-sample coverage
+# guarantee rides on that EXACT order statistic, so approx_percentile
+# is disqualified by construction. Exactness trick: with the mean as
+# the ratio num/den of exact int64 sums, the residual is kept as the
+# INTEGER |y·den − num| (scaled by den) and only descaled in the final
+# output division. The order statistic uses the q169/q170 doctrine:
+# cumulate over the aggregated (segment, residual) axis via the
+# bucket-offset two-pass cumsum — the only serialized step is the
+# |segments|×64 bucket prefix; ceil is pure integer arithmetic
+# ((a+b−1) DIV b — the q-ntile lesson); min(struct) picks the
+# threshold row and its inclusive count doubles as the empirical
+# coverage numerator. y·den stays in int64 through sf1 (≈1.5e13);
+# beyond that the residual moves to decimal(38,0) — same note as q230.
+# --------------------------------------------------------------------------
+CONF_ALPHA_NUM = 9  # coverage 9/10
+
+
+def q242_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+    from ..operators.text import hash_bucket_sql
+
+    oc = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select(
+                    "c_custkey", F.col("c_mktsegment").alias("seg")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "seg",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            F.expr(hash_bucket_sql("spark", "o_orderkey")).alias("b"),
+        )
+    )
+    tr = oc.filter(F.col("b") < 50).groupBy("seg").agg(
+        F.count("*").alias("n_train"), F.sum("y").alias("num")
+    )
+    cal = (
+        oc.filter(F.col("b") >= 50)
+        .join(F.broadcast(tr), "seg")
+        .select(
+            "seg",
+            F.abs(F.col("y") * F.col("n_train") - F.col("num")).alias("r"),
+        )
+    )
+    tot = cal.groupBy("seg").agg(F.count("*").alias("n_cal"))
+    summary = cal.groupBy("seg", "r").agg(F.count("*").alias("cnt"))
+    b = with_range_bucket(summary, F.col("r"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        b, ["seg"], [F.asc("r")], "cnt", bucket=F.col("__rb"), out_col="cum"
+    ).drop("__rb")
+    k = F.least(
+        F.expr(f"({CONF_ALPHA_NUM} * (n_cal + 1) + 9) DIV 10"), F.col("n_cal")
+    )
+    pick = (
+        cum.join(F.broadcast(tot), "seg")
+        .withColumn("k", k)
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("seg", "n_cal", "k")
+        .agg(F.min(F.struct("r", "cum")).alias("m"))
+    )
+    return pick.join(F.broadcast(tr), "seg").select(
+        "seg",
+        "n_train",
+        "n_cal",
+        "k",
+        (F.col("m.r").cast("double") / F.col("n_train") / F.lit(100.0)).alias(
+            "thr_r"
+        ),
+        (F.col("m.cum").cast("double") / F.col("n_cal")).alias("cov_r"),
+    )
+
+
+def _q242_sql() -> str:
+    from ..operators.text import hash_bucket_sql
+
+    return f"""
+WITH oc AS (SELECT c_mktsegment AS seg,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+                   {hash_bucket_sql("duckdb", "o_orderkey")} AS b
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+tr AS (SELECT seg, count(*) AS n_train, sum(y) AS num
+       FROM oc WHERE b < 50 GROUP BY 1),
+cal AS (SELECT oc.seg, abs(y * n_train - num) AS r
+        FROM oc JOIN tr USING (seg) WHERE b >= 50),
+tot AS (SELECT seg, count(*) AS n_cal FROM cal GROUP BY 1),
+s AS (SELECT seg, r, count(*) AS cnt FROM cal GROUP BY 1, 2),
+c AS (SELECT seg, r,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY r
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s),
+pick AS (SELECT c.seg, n_cal,
+                least(({CONF_ALPHA_NUM} * (n_cal + 1) + 9) // 10, n_cal) AS k,
+                min(r) AS thr, arg_min(cum, r) AS cum_at
+         FROM c JOIN tot USING (seg)
+         WHERE cum >= least(({CONF_ALPHA_NUM} * (n_cal + 1) + 9) // 10, n_cal)
+         GROUP BY 1, 2, 3)
+SELECT seg, CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_cal AS BIGINT) AS n_cal, CAST(k AS BIGINT) AS k,
+       CAST(thr AS DOUBLE) / n_train / 100.0 AS thr_r,
+       CAST(cum_at AS DOUBLE) / n_cal AS cov_r
+FROM pick JOIN tr USING (seg)
+"""
+
+
+Q242_SQL = _q242_sql()
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q227_calibration": q227_calibration,
+    "q242_conformal": q242_conformal,
     "q204_loo_target_encoding": q204_loo_target_encoding,
     "q217_best_split": q217_best_split,
     "q90_pit_features": q90_pit_features,
@@ -804,6 +923,7 @@ QUERIES = {
 ORACLES = {
     "q89_grouped_regression": Q89_SQL,
     "q227_calibration": Q227_SQL,
+    "q242_conformal": Q242_SQL,
     "q204_loo_target_encoding": Q204_SQL,
     "q217_best_split": Q217_SQL,
     "q90_pit_features": Q90_SQL,

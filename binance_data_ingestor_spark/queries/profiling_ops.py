@@ -1290,6 +1290,97 @@ def q225_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q116_countmin(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# q239 — EXACT weighted percentiles (p25/p50/p75) per group: the
+# quantity-weighted price distribution per l_returnflag — "the price
+# below which a quarter/half/three-quarters of the UNITS traded",
+# which no unweighted quantile answers and approx_percentile can't
+# certify. Definition (lower weighted percentile): the smallest value
+# v whose inclusive cumulative weight satisfies 100·cumw(v) ≥ p·W.
+# Scale shape = the q169/q170 doctrine: cumulate over the AGGREGATED
+# value axis, never the rows — the data collapses to the per-(group,
+# value) weight summary first, the inclusive prefix weight comes from
+# the bucket-offset two-pass cumsum over that summary (only the
+# |groups|×64 bucket prefix is serialized), the three percentile
+# picks are a bounded 3× explode of the summary + one min(struct)
+# partial aggregate. Everything is exact int64 (quantities are
+# integral; 100·cumw and p·W stay far inside int64 at any realistic
+# SF); px_r is the single final division.
+# --------------------------------------------------------------------------
+WPCT = (25, 50, 75)
+
+
+def q239_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    summary = li.groupBy("g", "v").agg(F.sum("w").alias("ws"))
+    b = with_range_bucket(summary, F.col("v"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        b, ["g"], [F.asc("v")], "ws", bucket=F.col("__rb"), out_col="cumw"
+    ).drop("__rb")
+    totals = summary.groupBy("g").agg(F.sum("ws").alias("tw"))
+    hits = (
+        cum.join(totals, "g")
+        .select(
+            "g",
+            "v",
+            "cumw",
+            "tw",
+            F.explode(F.array(*[F.lit(p) for p in WPCT])).alias("pct"),
+        )
+        .filter(100 * F.col("cumw") >= F.col("pct") * F.col("tw"))
+    )
+    pick = hits.groupBy("g", "pct").agg(
+        F.min(F.struct("v", "cumw", "tw")).alias("m")
+    )
+    return pick.select(
+        "g",
+        F.col("pct").cast("long").alias("pct"),
+        F.col("m.v").alias("value_c"),
+        F.col("m.cumw").alias("cum_w"),
+        F.col("m.tw").alias("total_w"),
+        (F.col("m.v") / F.lit(100.0)).alias("px_r"),
+    )
+
+
+# min(struct) picks the smallest v (cumw is monotone in v, so the struct
+# order is v's order); the oracle mirrors with arg_min over v. Integer
+# columns CAST to BIGINT; px_r is one IEEE division.
+Q239_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+s AS (SELECT g, v, sum(w) AS ws FROM li GROUP BY 1, 2),
+c AS (SELECT g, v, ws,
+             sum(ws) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(ws) OVER (PARTITION BY g) AS tw
+      FROM s),
+hits AS (SELECT g, v, cumw, tw, pct
+         FROM c CROSS JOIN (VALUES {", ".join(f"({p})" for p in WPCT)}) AS pcts(pct)
+         WHERE 100 * cumw >= pct * tw),
+pick AS (SELECT g, pct,
+                min(v) AS value_c,
+                arg_min(cumw, v) AS cum_w,
+                arg_min(tw, v) AS total_w
+         FROM hits GROUP BY 1, 2)
+SELECT g, CAST(pct AS BIGINT) AS pct,
+       CAST(value_c AS BIGINT) AS value_c,
+       CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(total_w AS BIGINT) AS total_w,
+       value_c / 100.0 AS px_r
+FROM pick
+"""
+
+
 QUERIES = {
     "q85_equidepth_bins": q85_equidepth_bins,
     "q224_hist2d": q224_hist2d,
@@ -1306,6 +1397,7 @@ QUERIES = {
     "q196_kmv_set_sketch": q196_kmv_set_sketch,
     "q216_join_size_estimate": q216_join_size_estimate,
     "q199_stream_kmv": q199_stream_kmv,
+    "q239_weighted_percentiles": q239_weighted_percentiles,
 }
 
 ORACLES = {
@@ -1324,4 +1416,5 @@ ORACLES = {
     "q196_kmv_set_sketch": Q196_SQL,
     "q216_join_size_estimate": Q216_SQL,
     "q199_stream_kmv": Q196_SQL,
+    "q239_weighted_percentiles": Q239_SQL,
 }

@@ -805,6 +805,123 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q238 — per-group Spearman rank correlation (quantity vs extended
+# price per l_returnflag): the tie-aware rank correlation, i.e.
+# Pearson over AVERAGE ranks. The whole query stays in exact integers
+# via the DOUBLE-RANK trick: dr(v) = 2·avg_rank(v) = 2·(#rows < v) +
+# (#rows = v) + 1 is always an integer and depends only on the VALUE,
+# so ranks are never assigned per row — each column collapses to its
+# per-(group, value) count summary, the exclusive prefix count comes
+# from the bucket-offset two-pass cumsum over that summary (the only
+# serialized step is the |groups|×64 bucket prefix — never a
+# data-sized ORDER BY window), and rows join their dr back by value.
+# The correlation then reduces to six exact int64 sums per group; rho
+# is one fixed-order IEEE expression (products in DOUBLE — q230 note;
+# Σdr·dr' ≤ 4N³ stays in int64 through sf1, decimal(38) beyond),
+# sqrt(greatest(0,·)) + nullif guard the constant-column degenerate
+# (round-7 ANSI discipline).
+# --------------------------------------------------------------------------
+def q238_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def double_rank(col: str) -> DataFrame:
+        summary = li.groupBy("g", col).agg(F.count("*").alias("cnt"))
+        b = with_range_bucket(summary, F.col(col), bucket_col="__rb")
+        cum = with_global_cumsum(
+            b,
+            ["g"],
+            [F.asc(col)],
+            "cnt",
+            bucket=F.col("__rb"),
+            out_col="cum",
+        ).drop("__rb")
+        return cum.select(
+            "g",
+            col,
+            (2 * F.col("cum") - F.col("cnt") + 1).alias(f"dr_{col}"),
+        )
+
+    j = li.join(double_rank("x"), ["g", "x"]).join(double_rank("y"), ["g", "y"])
+    agg = j.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("dr_x").alias("sx"),
+        F.sum("dr_y").alias("sy"),
+        F.sum(F.col("dr_x") * F.col("dr_y")).alias("sxy"),
+        F.sum(F.col("dr_x") * F.col("dr_x")).alias("sxx"),
+        F.sum(F.col("dr_y") * F.col("dr_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    den = F.sqrt(
+        F.greatest(F.lit(0.0), n * F.col("sxx").cast("double") - sx * sx)
+    ) * F.sqrt(
+        F.greatest(F.lit(0.0), n * F.col("syy").cast("double") - sy * sy)
+    )
+    return agg.select(
+        "g",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / F.nullif(den, F.lit(0.0))
+        ).alias("spearman_r"),
+    )
+
+
+# The oracle assigns the same double-ranks via plain window functions
+# (rank() = min rank, count() over the value partition): dr = 2·rank +
+# cnt − 1 ≡ 2·(#rows<v) + (#rows=v) + 1. Sums CAST to BIGINT; rho is
+# the identical fixed-order IEEE chain (sqrt(greatest)·sqrt(greatest),
+# one final division, nullif).
+Q238_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+dr AS (
+  SELECT g, x, y,
+         2 * rank() OVER (PARTITION BY g ORDER BY x)
+           + count(*) OVER (PARTITION BY g, x) - 1 AS dr_x,
+         2 * rank() OVER (PARTITION BY g ORDER BY y)
+           + count(*) OVER (PARTITION BY g, y) - 1 AS dr_y
+  FROM li
+),
+a AS (
+  SELECT g, count(*) AS n,
+         sum(dr_x) AS sx, sum(dr_y) AS sy,
+         sum(dr_x * dr_y) AS sxy,
+         sum(dr_x * dr_x) AS sxx, sum(dr_y * dr_y) AS syy
+  FROM dr GROUP BY g
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(sqrt(greatest(0.0, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * sqrt(greatest(0.0, CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  0.0) AS spearman_r
+FROM a
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q234_effective_rank": q234_effective_rank,
@@ -817,6 +934,7 @@ QUERIES = {
     "q172_label_kappa": q172_label_kappa,
     "q175_cramers_v": q175_cramers_v,
     "q176_woe_iv": q176_woe_iv,
+    "q238_spearman": q238_spearman,
 }
 
 ORACLES = {
@@ -831,4 +949,5 @@ ORACLES = {
     "q172_label_kappa": Q172_SQL,
     "q175_cramers_v": Q175_SQL,
     "q176_woe_iv": Q176_SQL,
+    "q238_spearman": Q238_SQL,
 }

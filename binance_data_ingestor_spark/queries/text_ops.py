@@ -3356,9 +3356,100 @@ WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+
+# --------------------------------------------------------------------------
+# q240 — rendezvous (highest-random-weight) sharding with a minimal-
+# churn certificate: every doc goes to argmax_s md5(doc_id # s) over
+# N_SHARDS shards — the stable assignment a 100 TB corpus pipeline
+# uses so that ADDING a shard moves only ~1/(N+1) of the docs (vs ~all
+# of them under mod-N hashing). The query assigns every doc under 16
+# AND 17 shards in ONE pass — a bounded 17× explode of the doc KEYS
+# (never the text), one u60 per (doc, shard), then a per-doc
+# max(struct(weight, shard)) partial aggregate (the s<16 argmax rides
+# in the same agg via a when-guarded max) — and emits the per-shard
+# census: n16/n17 assignment counts plus `stayed`, whose total is the
+# machine-checkable HRW property (moved docs are exactly those whose
+# new shard-16 weight wins, E[moved]/N = 1/17). u60 (operators/kmv) is
+# the engine-portable md5 fold, so both engines compute the identical
+# argmax; ties break by higher shard id (struct lexicographic order),
+# matching the oracle's ORDER BY w DESC, s DESC.
+# --------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+def q240_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import u60_sql
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SHARDS + 1)])).alias("s"),
+    )
+    key = "concat(CAST(doc_id AS STRING), '#', CAST(s AS STRING))"
+    w = e.withColumn("w", F.expr(u60_sql("spark", key)))
+    a = w.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("s") < N_SHARDS, F.struct("w", "s"))
+        ).alias("m16"),
+        F.max(F.struct("w", "s")).alias("m17"),
+    )
+    j = a.select(
+        F.col("m16.s").alias("shard16"), F.col("m17.s").alias("shard17")
+    )
+    n16 = j.groupBy(F.col("shard16").alias("shard")).agg(
+        F.count("*").alias("n16")
+    )
+    n17 = j.groupBy(F.col("shard17").alias("shard")).agg(
+        F.count("*").alias("n17"),
+        F.count_if(F.col("shard16") == F.col("shard17")).alias("stayed"),
+    )
+    out = n17.join(n16, "shard", "full_outer").select(
+        F.col("shard").cast("long").alias("shard"),
+        F.coalesce("n16", F.lit(0)).alias("n16"),
+        F.coalesce("n17", F.lit(0)).alias("n17"),
+        F.coalesce("stayed", F.lit(0)).alias("stayed"),
+    )
+    return out.withColumn("moved_in", F.col("n17") - F.col("stayed"))
+
+
+def _q240_sql() -> str:
+    from ..operators.kmv import u60_sql
+
+    key = "concat(CAST(doc_id AS VARCHAR), '#', CAST(s AS VARCHAR))"
+    return f"""
+WITH e AS (SELECT doc_id, s
+           FROM documents CROSS JOIN (SELECT unnest(range({N_SHARDS + 1})) AS s)),
+w AS (SELECT doc_id, s, {u60_sql("duckdb", key)} AS w FROM e),
+r AS (SELECT doc_id, s, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, s DESC) AS rk17,
+             row_number() OVER (PARTITION BY doc_id, (s < {N_SHARDS})
+                                ORDER BY w DESC, s DESC) AS rk16
+      FROM w),
+a AS (SELECT doc_id,
+             max(CASE WHEN s < {N_SHARDS} AND rk16 = 1 THEN s END) AS shard16,
+             max(CASE WHEN rk17 = 1 THEN s END) AS shard17
+      FROM r GROUP BY doc_id),
+n16 AS (SELECT shard16 AS shard, count(*) AS n16 FROM a GROUP BY 1),
+n17 AS (SELECT shard17 AS shard, count(*) AS n17,
+               count(*) FILTER (WHERE shard16 = shard17) AS stayed
+        FROM a GROUP BY 1)
+SELECT CAST(coalesce(n17.shard, n16.shard) AS BIGINT) AS shard,
+       CAST(coalesce(n16, 0) AS BIGINT) AS n16,
+       CAST(coalesce(n17, 0) AS BIGINT) AS n17,
+       CAST(coalesce(stayed, 0) AS BIGINT) AS stayed,
+       CAST(coalesce(n17, 0) - coalesce(stayed, 0) AS BIGINT) AS moved_in
+FROM n17 FULL JOIN n16 ON n17.shard = n16.shard
+"""
+
+
+Q240_SQL = _q240_sql()
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q235_vocab_growth": q235_vocab_growth,
+    "q240_rendezvous_shards": q240_rendezvous_shards,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
@@ -3417,6 +3508,7 @@ QUERIES = {
 ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
     "q235_vocab_growth": Q235_SQL,
+    "q240_rendezvous_shards": Q240_SQL,
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,

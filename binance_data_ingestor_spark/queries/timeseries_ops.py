@@ -874,6 +874,102 @@ FROM a
 """
 
 
+
+# --------------------------------------------------------------------------
+# q241 — unnormalized Haar wavelet energy decomposition of the
+# per-minute value series, 3 levels, per event_type: the multi-
+# resolution variance split (which timescale carries the signal's
+# energy — minute-to-minute chop vs 4-8-minute swings). Everything is
+# EXACT integer arithmetic because the unnormalized Haar detail at
+# level L is a ±1-signed sum of the minute series: d_L[j] =
+# Σ_m s[m]·sign((m DIV 2^(L-1)) mod 2) over m ∈ [j·2^L, (j+1)·2^L) —
+# so each level is ONE map-side-combinable aggregate over the (type ×
+# minutes) SUMMARY (the data collapses to the minute grid first; gaps
+# are zeros by construction of the signed sum). Minute indices are
+# rebased per type via an equi-joined 1-row-per-type min — the index
+# arithmetic (DIV/mod) is identical on both engines. energy = Σ d² is
+# an exact int64; frac_r divides by the per-type total over the
+# 3-row-per-type level summary (a window over 9 rows at any SF).
+# --------------------------------------------------------------------------
+HAAR_LEVELS = 3
+
+
+def q241_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mins = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_millis("ts") / F.lit(60000)).cast("long").alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv"))
+        .localCheckpoint(eager=False)  # feeds m0 + one agg per level
+    )
+    m0 = mins.groupBy("event_type").agg(F.min("m").alias("m0"))
+    idx = mins.join(m0, "event_type").select(
+        "event_type", (F.col("m") - F.col("m0")).alias("idx"), "sv"
+    )
+    pieces = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        half, full = 1 << (lvl - 1), 1 << lvl
+        d = idx.groupBy(
+            "event_type", F.expr(f"idx div {full}").alias("j")
+        ).agg(
+            F.sum(
+                F.when(F.expr(f"(idx div {half}) % 2 = 0"), F.col("sv"))
+                .otherwise(-F.col("sv"))
+            ).alias("d")
+        )
+        pieces.append(
+            d.groupBy("event_type").agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count("*").alias("n_coefs"),
+                F.sum(F.col("d") * F.col("d")).alias("energy"),
+            )
+        )
+    out = pieces[0]
+    for x in pieces[1:]:
+        out = out.unionByName(x)
+    wt = W.partitionBy("event_type")  # 3 rows per type: summary-sized
+    return out.select(
+        "event_type",
+        "level",
+        "n_coefs",
+        "energy",
+        (
+            F.col("energy").cast("double")
+            / F.nullif(F.sum("energy").over(wt).cast("double"), F.lit(0.0))
+        ).alias("frac_r"),
+    )
+
+
+def _q241_lvl_sql(lvl: int) -> str:
+    half, full = 1 << (lvl - 1), 1 << lvl
+    return f"""
+  SELECT event_type, {lvl} AS level, idx // {full} AS j,
+         sum(CASE WHEN (idx // {half}) % 2 = 0 THEN sv ELSE -sv END) AS d
+  FROM i GROUP BY 1, 3"""
+
+
+Q241_SQL = f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) // 60000 AS m,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS sv
+           FROM events GROUP BY 1, 2),
+m0 AS (SELECT event_type, min(m) AS m0 FROM s GROUP BY 1),
+i AS (SELECT s.event_type, m - m0 AS idx, sv
+      FROM s JOIN m0 USING (event_type)),
+lvl AS ({" UNION ALL ".join(_q241_lvl_sql(k) for k in range(1, HAAR_LEVELS + 1))}),
+e AS (SELECT event_type, level, count(*) AS n_coefs, sum(d * d) AS energy
+      FROM lvl GROUP BY 1, 2)
+SELECT event_type, CAST(level AS BIGINT) AS level,
+       CAST(n_coefs AS BIGINT) AS n_coefs,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(energy AS DOUBLE)
+         / nullif(CAST(sum(energy) OVER (PARTITION BY event_type) AS DOUBLE),
+                  0.0) AS frac_r
+FROM e
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q203_sax_motifs": q203_sax_motifs,
@@ -882,6 +978,7 @@ QUERIES = {
     "q160_rolling_median": q160_rolling_median,
     "q104_rolling_corr": q104_rolling_corr,
     "q222_interarrival_burstiness": q222_interarrival_burstiness,
+    "q241_haar_energy": q241_haar_energy,
     "q111_ewma": q111_ewma,
     "q112_max_drawdown": q112_max_drawdown,
     "q113_seasonal_backtest": q113_seasonal_backtest,
@@ -897,6 +994,7 @@ ORACLES = {
     "q160_rolling_median": Q160_SQL,
     "q104_rolling_corr": Q104_SQL,
     "q222_interarrival_burstiness": Q222_SQL,
+    "q241_haar_energy": Q241_SQL,
     "q111_ewma": Q111_SQL,
     "q112_max_drawdown": Q112_SQL,
     "q113_seasonal_backtest": Q113_SQL,
