@@ -1,0 +1,107 @@
+"""Open-vocabulary Zipfian documents — the corpus the q229↔q233
+containment crossover claim needs MEASURED on (SCALING.md; round-7
+VERDICT item 3).
+
+The driver's synthetic corpus has a CLOSED ~30k-shingle vocabulary, so
+every shingle's document frequency grows linearly with N and Σ df² is
+quadratic for ANY candidate generator — prefix filtering cannot win
+there by construction. Real web/code corpora are open-vocabulary
+(Heaps' law): the type inventory grows ~N^β, per-type df growth slows,
+and the rarest-first prefix join's candidate set grows subquadratically
+while the naive inverted-index join still pairs every co-occurrence of
+COMMON shingles. This generator produces that regime deterministically:
+
+- token stream: with probability NEW_RATE a token is a brand-new type
+  (ids are creation-ordered); otherwise it reuses an existing type with
+  Zipf-distributed preference for EARLY types (rank = creation order —
+  the classic Yule–Simon flavor that yields both a Zipfian frequency
+  spectrum and Heaps-law vocabulary growth).
+- doc lengths are resampled from the real sf0.1 corpus' empirical
+  length distribution, so shingle counts per doc match the certified
+  benchmarks.
+- seeded numpy end to end; corpus size is doc-count-matched to the
+  requested SF (sf0.1 → 5000 docs, sf1 → 50000).
+
+Usage: python scripts/gen_openvocab.py [--docs 5000]
+       [--dst /root/repo/.benchdata/openvocab_sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+import numpy as np
+
+NEW_RATE = 0.05
+ZIPF_A = 1.3
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--dst", default="/root/repo/.benchdata/openvocab_sf0.1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    rng = np.random.default_rng(8)
+
+    base_lens = np.array(
+        [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT len(string_split(text, ' ')) "
+                f"FROM '{args.src}/documents.parquet'"
+            ).fetchall()
+        ]
+    )
+    lens = rng.choice(base_lens, size=args.docs)
+    total = int(lens.sum())
+
+    is_new = rng.random(total) < NEW_RATE
+    is_new[0] = True  # the first token must create a type
+    # type id of the p-th NEW token is its creation index; vocab size
+    # BEFORE position p is the exclusive cumsum of is_new
+    created_before = np.cumsum(is_new) - is_new.astype(np.int64)
+    zipf_rank = rng.zipf(ZIPF_A, size=total)
+    # reuse: Zipf-preferred EARLY type (clip to the vocab that exists)
+    reuse_id = np.minimum(zipf_rank - 1, np.maximum(created_before - 1, 0))
+    token_id = np.where(is_new, created_before, reuse_id)
+
+    vocab_final = int(is_new.sum())
+    print(
+        f"docs={args.docs} tokens={total} vocab={vocab_final} "
+        f"(heaps beta ~ {np.log(vocab_final) / np.log(total):.3f})"
+    )
+
+    texts = []
+    pos = 0
+    for ln in lens:
+        ln = int(ln)
+        texts.append(" ".join(f"w{t}" for t in token_id[pos : pos + ln]))
+        pos += ln
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?, ?, ?, ?)",
+        [
+            (i, t, "en", f"src_{i % 4}", len(t))
+            for i, t in enumerate(texts)
+        ],
+    )
+    con.sql(
+        f"COPY (SELECT * FROM d ORDER BY doc_id) TO "
+        f"'{args.dst}/documents.parquet' (FORMAT PARQUET)"
+    )
+    n = con.sql(
+        f"SELECT count(*) FROM '{args.dst}/documents.parquet'"
+    ).fetchone()[0]
+    print(f"wrote {n} docs -> {args.dst}/documents.parquet")
+
+
+if __name__ == "__main__":
+    main()
