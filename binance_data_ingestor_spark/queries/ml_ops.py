@@ -843,8 +843,15 @@ def q242_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("y") * F.col("n_train") - F.col("num")).alias("r"),
         )
     )
-    tot = cal.groupBy("seg").agg(F.count("*").alias("n_cal"))
-    summary = cal.groupBy("seg", "r").agg(F.count("*").alias("cnt"))
+    # span agg + bucket counts + data join + n_cal totals all derive
+    # from this summary: materialize it once (q142 pattern) — without
+    # it every consumer re-runs the orders scan + per-row md5 split
+    summary = (
+        cal.groupBy("seg", "r")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = summary.groupBy("seg").agg(F.sum("cnt").alias("n_cal"))
     b = with_range_bucket(summary, F.col("r"), bucket_col="__rb")
     cum = with_global_cumsum(
         b, ["seg"], [F.asc("r")], "cnt", bucket=F.col("__rb"), out_col="cum"

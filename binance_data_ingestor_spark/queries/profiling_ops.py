@@ -1318,7 +1318,13 @@ def q239_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    summary = li.groupBy("g", "v").agg(F.sum("w").alias("ws"))
+    # span agg + bucket sums + data join + per-group totals all read
+    # this summary: materialize once instead of 4 lineitem scans (q142)
+    summary = (
+        li.groupBy("g", "v")
+        .agg(F.sum("w").alias("ws"))
+        .localCheckpoint(eager=False)
+    )
     b = with_range_bucket(summary, F.col("v"), bucket_col="__rb")
     cum = with_global_cumsum(
         b, ["g"], [F.asc("v")], "ws", bucket=F.col("__rb"), out_col="cumw"

@@ -832,7 +832,13 @@ def q238_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def double_rank(col: str) -> DataFrame:
-        summary = li.groupBy("g", col).agg(F.count("*").alias("cnt"))
+        # span agg + bucket counts + data join all read this summary:
+        # materialize it once instead of 3 lineitem scans (q142 pattern)
+        summary = (
+            li.groupBy("g", col)
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
         b = with_range_bucket(summary, F.col(col), bucket_col="__rb")
         cum = with_global_cumsum(
             b,
