@@ -470,19 +470,30 @@ FROM u WHERE side = 'hub'
 # Edge list shared with q105/q106/q158/q226 via the session artifact.
 # --------------------------------------------------------------------------
 def q243_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..operators.graph import edge_support
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
 
     _, pairs = copurchase_pairs(spark, sf_dir)
     sup = edge_support(pairs.select("u", "v"))
-    hist = sup.groupBy("support").agg(F.count("*").alias("n_edges"))
-    wd = W.orderBy(F.desc("support")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )  # histogram-sized (≤ max support rows), never edge-sized
-    return hist.select(
-        "support", "n_edges", F.sum("n_edges").over(wd).alias("n_edges_ge")
+    # the cumulative runs over the HISTOGRAM (≤ max-support rows), but
+    # even there the keyless two-pass cumsum is used instead of a
+    # partition-less window — same no-single-partition-WindowExec
+    # doctrine as _bucket_offsets (the bucket summary is collected
+    # driver-side; the per-bucket windows stay partitioned)
+    hist = (
+        sup.groupBy("support")
+        .agg(F.count("*").alias("n_edges"))
+        .localCheckpoint(eager=False)  # span agg + cumsum + join
     )
+    b = with_range_bucket(hist, -F.col("support"), bucket_col="__rb")
+    return with_global_cumsum(
+        b,
+        [],
+        [F.desc("support")],
+        "n_edges",
+        bucket=F.col("__rb"),
+        out_col="n_edges_ge",
+    ).select("support", "n_edges", "n_edges_ge")
 
 
 Q243_SQL = """

@@ -854,14 +854,20 @@ def q238_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("cum") - F.col("cnt") + 1).alias(f"dr_{col}"),
         )
 
+    # product sums accumulate in DECIMAL(38,0): Σ dr·dr' ≤ 4N³ leaves
+    # int64 already at sf1 (N = 2M rows/group ⇒ 3.2e19 > 2^63), and a
+    # double SUM would hash-ride on accumulation order. The decimal sum
+    # is exact and order-independent; both engines then round the same
+    # exact integer to the same double once, at the end.
+    dec = "decimal(38,0)"
     j = li.join(double_rank("x"), ["g", "x"]).join(double_rank("y"), ["g", "y"])
     agg = j.groupBy("g").agg(
         F.count("*").alias("n"),
         F.sum("dr_x").alias("sx"),
         F.sum("dr_y").alias("sy"),
-        F.sum(F.col("dr_x") * F.col("dr_y")).alias("sxy"),
-        F.sum(F.col("dr_x") * F.col("dr_x")).alias("sxx"),
-        F.sum(F.col("dr_y") * F.col("dr_y")).alias("syy"),
+        F.sum(F.col("dr_x").cast(dec) * F.col("dr_y")).alias("sxy"),
+        F.sum(F.col("dr_x").cast(dec) * F.col("dr_x")).alias("sxx"),
+        F.sum(F.col("dr_y").cast(dec) * F.col("dr_y")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -876,9 +882,9 @@ def q238_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "sy",
-        "sxy",
-        "sxx",
-        "syy",
+        F.col("sxy").cast("double").alias("sxy_d"),
+        F.col("sxx").cast("double").alias("sxx_d"),
+        F.col("syy").cast("double").alias("syy_d"),
         (
             (n * F.col("sxy").cast("double") - sx * sy)
             / F.nullif(den, F.lit(0.0))
@@ -909,14 +915,15 @@ dr AS (
 a AS (
   SELECT g, count(*) AS n,
          sum(dr_x) AS sx, sum(dr_y) AS sy,
-         sum(dr_x * dr_y) AS sxy,
-         sum(dr_x * dr_x) AS sxx, sum(dr_y * dr_y) AS syy
+         sum(CAST(dr_x AS HUGEINT) * dr_y) AS sxy,
+         sum(CAST(dr_x AS HUGEINT) * dr_x) AS sxx,
+         sum(CAST(dr_y AS HUGEINT) * dr_y) AS syy
   FROM dr GROUP BY g
 )
 SELECT g, CAST(n AS BIGINT) AS n,
        CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
-       CAST(sxy AS BIGINT) AS sxy,
-       CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+       CAST(sxy AS DOUBLE) AS sxy_d,
+       CAST(sxx AS DOUBLE) AS sxx_d, CAST(syy AS DOUBLE) AS syy_d,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / nullif(sqrt(greatest(0.0, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)

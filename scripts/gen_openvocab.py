@@ -11,11 +11,18 @@ and the rarest-first prefix join's candidate set grows subquadratically
 while the naive inverted-index join still pairs every co-occurrence of
 COMMON shingles. This generator produces that regime deterministically:
 
-- token stream: with probability NEW_RATE a token is a brand-new type
-  (ids are creation-ordered); otherwise it reuses an existing type with
-  Zipf-distributed preference for EARLY types (rank = creation order —
-  the classic Yule–Simon flavor that yields both a Zipfian frequency
-  spectrum and Heaps-law vocabulary growth).
+- token stream: a three-part mixture calibrated to natural-language
+  frequency shape (a pure Zipf(1.3) head puts ~25% of ALL tokens on
+  rank 1 — head trigrams then sit in ~everything and the naive join
+  explodes harder than the closed corpus, which would measure the
+  wrong thing):
+    * NEW_RATE (5%): a brand-new type (ids creation-ordered) — the
+      Heaps-law vocabulary growth;
+    * HEAD_RATE (30%): Zipf(1.5) over a FIXED 1000-type head (the
+      stopword band, ~natural "the"≈6% at rank 1);
+    * remainder (65%): uniform over the vocabulary that exists so far
+      (the long tail whose per-type df stays O(1) as N grows — the
+      property that separates open from closed vocabularies).
 - doc lengths are resampled from the real sf0.1 corpus' empirical
   length distribution, so shingle counts per doc match the certified
   benchmarks.
@@ -35,7 +42,8 @@ import duckdb
 import numpy as np
 
 NEW_RATE = 0.05
-ZIPF_A = 1.3
+HEAD_TYPES = 1000
+ZIPF_A = 1.5
 
 
 def main() -> None:
@@ -43,6 +51,15 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=5000)
     ap.add_argument("--dst", default="/root/repo/.benchdata/openvocab_sf0.1")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--head-rate",
+        type=float,
+        default=0.30,
+        help="share of tokens drawn from the fixed Zipf head; 0.30 is "
+        "the low-co-occurrence regime (tail-dominated, few shared "
+        "shingles), 0.50 the stopword-heavy regime where head "
+        "trigrams make the naive candidate set quadratic",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     rng = np.random.default_rng(8)
@@ -59,15 +76,22 @@ def main() -> None:
     lens = rng.choice(base_lens, size=args.docs)
     total = int(lens.sum())
 
-    is_new = rng.random(total) < NEW_RATE
+    u = rng.random(total)
+    is_new = u < NEW_RATE
+    is_head = (~is_new) & (u < NEW_RATE + args.head_rate)
     is_new[0] = True  # the first token must create a type
+    is_head[0] = False
     # type id of the p-th NEW token is its creation index; vocab size
-    # BEFORE position p is the exclusive cumsum of is_new
+    # BEFORE position p is the exclusive cumsum of is_new. Head types
+    # live in a dedicated id space 'h{rank}' so the head band is fixed
+    # regardless of corpus size.
     created_before = np.cumsum(is_new) - is_new.astype(np.int64)
-    zipf_rank = rng.zipf(ZIPF_A, size=total)
-    # reuse: Zipf-preferred EARLY type (clip to the vocab that exists)
-    reuse_id = np.minimum(zipf_rank - 1, np.maximum(created_before - 1, 0))
-    token_id = np.where(is_new, created_before, reuse_id)
+    head_rank = (rng.zipf(ZIPF_A, size=total) - 1) % HEAD_TYPES
+    tail_id = np.minimum(
+        (rng.random(total) * np.maximum(created_before, 1)).astype(np.int64),
+        np.maximum(created_before - 1, 0),
+    )
+    token_id = np.where(is_new, created_before, tail_id)
 
     vocab_final = int(is_new.sum())
     print(
@@ -75,11 +99,16 @@ def main() -> None:
         f"(heaps beta ~ {np.log(vocab_final) / np.log(total):.3f})"
     )
 
+    words = np.where(
+        is_head,
+        np.char.add("h", head_rank.astype("U6")),
+        np.char.add("w", token_id.astype("U8")),
+    )
     texts = []
     pos = 0
     for ln in lens:
         ln = int(ln)
-        texts.append(" ".join(f"w{t}" for t in token_id[pos : pos + ln]))
+        texts.append(" ".join(words[pos : pos + ln]))
         pos += ln
     con = duckdb.connect()
     con.sql(

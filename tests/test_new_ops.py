@@ -2223,7 +2223,10 @@ def test_spearman_matches_python(spark):
         sxx = sum(dx[x] ** 2 for x, _ in pts)
         syy = sum(dy[y] ** 2 for _, y in pts)
         r = got[g]
-        assert (r.n, r.sx, r.sy, r.sxy, r.sxx, r.syy) == (
+        # product sums are emitted as doubles (decimal-exact upstream —
+        # the sf1 int64-overflow fix); at this SF they are < 2^53 so
+        # the doubles are exactly the integers
+        assert (r.n, r.sx, r.sy, r.sxy_d, r.sxx_d, r.syy_d) == (
             n, sx, sy, sxy, sxx, syy,
         )
         import math
