@@ -3360,7 +3360,7 @@ WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 # --------------------------------------------------------------------------
 # q240 — rendezvous (highest-random-weight) sharding with a minimal-
 # churn certificate: every doc goes to argmax_s md5(doc_id # s) over
-# N_SHARDS shards — the stable assignment a 100 TB corpus pipeline
+# HRW_SHARDS shards — the stable assignment a 100 TB corpus pipeline
 # uses so that ADDING a shard moves only ~1/(N+1) of the docs (vs ~all
 # of them under mod-N hashing). The query assigns every doc under 16
 # AND 17 shards in ONE pass — a bounded 17× explode of the doc KEYS
@@ -3374,7 +3374,7 @@ WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 # argmax; ties break by higher shard id (struct lexicographic order),
 # matching the oracle's ORDER BY w DESC, s DESC.
 # --------------------------------------------------------------------------
-N_SHARDS = 16
+HRW_SHARDS = 16
 
 
 def q240_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3383,13 +3383,13 @@ def q240_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     e = docs.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(N_SHARDS + 1)])).alias("s"),
+        F.explode(F.array(*[F.lit(i) for i in range(HRW_SHARDS + 1)])).alias("s"),
     )
     key = "concat(CAST(doc_id AS STRING), '#', CAST(s AS STRING))"
     w = e.withColumn("w", F.expr(u60_sql("spark", key)))
     a = w.groupBy("doc_id").agg(
         F.max(
-            F.when(F.col("s") < N_SHARDS, F.struct("w", "s"))
+            F.when(F.col("s") < HRW_SHARDS, F.struct("w", "s"))
         ).alias("m16"),
         F.max(F.struct("w", "s")).alias("m17"),
     )
@@ -3418,16 +3418,16 @@ def _q240_sql() -> str:
     key = "concat(CAST(doc_id AS VARCHAR), '#', CAST(s AS VARCHAR))"
     return f"""
 WITH e AS (SELECT doc_id, s
-           FROM documents CROSS JOIN (SELECT unnest(range({N_SHARDS + 1})) AS s)),
+           FROM documents CROSS JOIN (SELECT unnest(range({HRW_SHARDS + 1})) AS s)),
 w AS (SELECT doc_id, s, {u60_sql("duckdb", key)} AS w FROM e),
 r AS (SELECT doc_id, s, w,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY w DESC, s DESC) AS rk17,
-             row_number() OVER (PARTITION BY doc_id, (s < {N_SHARDS})
+             row_number() OVER (PARTITION BY doc_id, (s < {HRW_SHARDS})
                                 ORDER BY w DESC, s DESC) AS rk16
       FROM w),
 a AS (SELECT doc_id,
-             max(CASE WHEN s < {N_SHARDS} AND rk16 = 1 THEN s END) AS shard16,
+             max(CASE WHEN s < {HRW_SHARDS} AND rk16 = 1 THEN s END) AS shard16,
              max(CASE WHEN rk17 = 1 THEN s END) AS shard17
       FROM r GROUP BY doc_id),
 n16 AS (SELECT shard16 AS shard, count(*) AS n16 FROM a GROUP BY 1),

@@ -2277,7 +2277,7 @@ def test_rendezvous_matches_python(spark):
     import hashlib
 
     from binance_data_ingestor_spark.queries.text_ops import (
-        N_SHARDS,
+        HRW_SHARDS,
         q240_rendezvous_shards,
     )
 
@@ -2297,8 +2297,8 @@ def test_rendezvous_matches_python(spark):
     n17: dict[int, int] = {}
     stayed: dict[int, int] = {}
     for d in ids:
-        ws = [(w(d, s), s) for s in range(N_SHARDS + 1)]
-        s16 = max(ws[:N_SHARDS])[1]
+        ws = [(w(d, s), s) for s in range(HRW_SHARDS + 1)]
+        s16 = max(ws[:HRW_SHARDS])[1]
         s17 = max(ws)[1]
         n16[s16] = n16.get(s16, 0) + 1
         n17[s17] = n17.get(s17, 0) + 1
@@ -2315,7 +2315,7 @@ def test_rendezvous_matches_python(spark):
         )
     # the HRW minimal-churn property: everything that moved landed on
     # the NEW shard, and nothing else moved
-    assert sum(r.moved_in for r in got.values()) == got[N_SHARDS].n17
+    assert sum(r.moved_in for r in got.values()) == got[HRW_SHARDS].n17
 
 
 def test_haar_energy_matches_python(spark):

@@ -607,3 +607,42 @@ def test_global_cumsum_matches_window_running_sum(spark):
         ).select("id", "cum").collect()
     }
     assert got_k == want_k
+
+
+def test_no_duplicate_module_constants():
+    """A module-level constant assigned TWICE in one queries module is
+    a latent cross-query bug: oracle f-strings freeze the value in
+    scope at THEIR definition line, while Spark functions read the
+    final module global at call time — a later rebinding silently
+    desynchronizes every earlier query that used the name (round-8
+    incident: a new query's N_SHARDS = 16 rebound q150's N_SHARDS = 8;
+    the full strict gate caught the mismatch, this test prevents the
+    recurrence at import cost instead of gate cost)."""
+    import ast
+    import pathlib
+
+    qdir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "binance_data_ingestor_spark"
+        / "queries"
+    )
+    offenders = []
+    for f in sorted(qdir.glob("*.py")):
+        tree = ast.parse(f.read_text())
+        seen: dict[str, int] = {}
+        for node in tree.body:  # top level only
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                targets = [node.target.id]
+            for name in targets:
+                if name in ("QUERIES", "ORACLES") or name.startswith("_"):
+                    continue
+                if name in seen:
+                    offenders.append(f"{f.name}:{node.lineno} rebinds {name} (first at :{seen[name]})")
+                else:
+                    seen[name] = node.lineno
+    assert not offenders, offenders
