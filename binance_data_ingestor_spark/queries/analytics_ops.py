@@ -1656,7 +1656,93 @@ GROUP BY 1, 2
 """
 
 
+
+# --------------------------------------------------------------------------
+# q250 — Wilson 95% score interval per customer segment for the
+# urgent-responder rate (the CI a dashboard should show instead of
+# the raw proportion — it stays inside [0,1] and behaves at small n,
+# unlike the Wald interval). k = customers with ≥1 URGENT order
+# (left-semi join — never a fan-out), n = segment size; the interval
+# is one fixed-order IEEE chain over the exact (k, n) integers with
+# z = 1.96 as a shared literal, sqrt(greatest(0,·)) on the variance
+# term (round-7 ANSI discipline; the argument is non-negative
+# algebraically, the guard makes it non-negative under IEEE too).
+# Plan: one broadcast dim join + one semi-join + a segments-sized
+# aggregate — nothing but counts ever shuffles.
+# --------------------------------------------------------------------------
+WILSON_Z = 1.96
+
+
+def q250_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    responders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select("seg", F.col("o_custkey").isNotNull().cast("long").alias("y"))
+    agg = flagged.groupBy("seg").agg(
+        F.count("*").alias("n"), F.sum("y").alias("k")
+    )
+    z = F.lit(WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                p * (F.lit(1.0) - p) / n
+                + z * z / (F.lit(4.0) * n * n),
+            )
+        )
+        / denom
+    )
+    return agg.select(
+        "seg",
+        "n",
+        "k",
+        p.alias("p_r"),
+        (center - half).alias("lo_r"),
+        (center + half).alias("hi_r"),
+    )
+
+
+Q250_SQL = f"""
+WITH f AS (SELECT c_mktsegment AS seg,
+                  CASE WHEN EXISTS (SELECT 1 FROM orders
+                                    WHERE o_custkey = c_custkey
+                                      AND o_orderpriority = '1-URGENT')
+                       THEN 1 ELSE 0 END AS y
+           FROM customer),
+a AS (SELECT seg, count(*) AS n, sum(y) AS k FROM f GROUP BY 1)
+SELECT seg, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(k AS DOUBLE) / n AS p_r,
+       (CAST(k AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2.0 * n))
+         / (1.0 + {WILSON_Z} * {WILSON_Z} / n)
+       - {WILSON_Z} * sqrt(greatest(0.0,
+             (CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+             + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+         / (1.0 + {WILSON_Z} * {WILSON_Z} / n) AS lo_r,
+       (CAST(k AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2.0 * n))
+         / (1.0 + {WILSON_Z} * {WILSON_Z} / n)
+       + {WILSON_Z} * sqrt(greatest(0.0,
+             (CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+             + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+         / (1.0 + {WILSON_Z} * {WILSON_Z} / n) AS hi_r
+FROM a
+"""
+
+
 QUERIES = {
+    "q250_wilson_ci": q250_wilson_ci,
     "q206_markov_attribution": q206_markov_attribution,
     "q214_sequence_support": q214_sequence_support,
     "q76_dau_new_returning": q76_dau_new_returning,
@@ -1683,6 +1769,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q250_wilson_ci": Q250_SQL,
     "q206_markov_attribution": Q206_SQL,
     "q214_sequence_support": Q214_SQL,
     "q76_dau_new_returning": Q76_SQL,

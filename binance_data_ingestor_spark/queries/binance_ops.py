@@ -1290,6 +1290,98 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# q246 — AR(1) mean-reversion half-life per symbol: regress p_t on
+# p_{t−1}; φ is the persistence coefficient and the half-life of a
+# price shock is −ln 2 / ln φ (defined only for 0 < φ < 1 — a CASE
+# emits NULL otherwise, which also keeps BOTH ln arguments strictly
+# inside their domains on both engines: the round-7 ln/sqrt ANSI
+# discipline). Same plan skeleton as q230 (Kyle's λ): one chunked
+# lead window at depth 1, five exact int64 sums per symbol (Σp·p'
+# stays in int64 through sf10 ≈ 1e17; decimal(38) beyond — q230
+# note), φ as a fixed-order IEEE ratio of double-cast exact sums,
+# half-life rounded 6 dp because it is ln-derived (cross-engine ulp).
+# --------------------------------------------------------------------------
+def q246_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_after=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    led = tc.select(
+        "symbol",
+        "is_ctx",
+        F.col("pc").alias("x"),
+        F.lead("pc", 1).over(w).alias("y"),
+    ).filter((F.col("is_ctx") == 0) & F.col("y").isNotNull())
+    agg = led.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    phi = (n * F.col("sxy").cast("double") - sx * F.col("sy").cast("double")) / F.nullif(
+        n * F.col("sxx").cast("double") - sx * sx, F.lit(0.0)
+    )
+    return agg.select(
+        "symbol",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        phi.alias("phi_r"),
+        F.round(
+            F.when(
+                (phi > 0) & (phi < 1), -F.log(F.lit(2.0)) / F.log(phi)
+            ),
+            6,
+        ).alias("half_life_r"),
+    )
+
+
+# sums CAST to BIGINT; phi is one fixed-order IEEE chain (no round —
+# ratio of exact ints); half_life is ln-derived ⇒ round 6 dp; the CASE
+# bound keeps ln's argument in (0,1) on both engines.
+Q246_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol, pc AS x, lead(pc, 1) OVER w AS y
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+a AS (SELECT symbol, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM l WHERE y IS NOT NULL GROUP BY symbol),
+p AS (SELECT symbol, n, sx, sy, sxy, sxx,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                        0.0) AS phi
+      FROM a)
+SELECT symbol, CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+       phi AS phi_r,
+       round(CASE WHEN phi > 0 AND phi < 1
+                  THEN -ln(2.0) / ln(phi) END, 6) AS half_life_r
+FROM p
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -1307,6 +1399,7 @@ QUERIES = {
     "q236_vpin": q236_vpin,
     "q237_amihud": q237_amihud,
     "q244_variance_ratio": q244_variance_ratio,
+    "q246_ar1_halflife": q246_ar1_halflife,
 }
 
 ORACLES = {
@@ -1326,4 +1419,5 @@ ORACLES = {
     "q236_vpin": Q236_SQL,
     "q237_amihud": Q237_SQL,
     "q244_variance_ratio": Q244_SQL,
+    "q246_ar1_halflife": Q246_SQL,
 }

@@ -935,6 +935,109 @@ FROM a
 """
 
 
+
+# --------------------------------------------------------------------------
+# q248 — two-sample Cramér–von Mises drift per event_type: the
+# integrated SQUARED ECDF difference between the first- and second-
+# half value distributions — the drift test that weights the whole
+# distribution (q169's KS only sees the max gap). Time is split at
+# the midpoint of the observed span (the q94/q169 convention; the
+# 1-row min/max is a driver-side planning literal — no BNLJ). Exact
+# arithmetic throughout: the data collapses to the per-(type, value)
+# half-counts summary; BOTH cumulative counts come from the bucket-
+# offset two-pass cumsum over that summary; the ECDF difference is
+# cross-multiplied (dv = cA·nB − cB·nA — never a division), and
+# D2 = Σ_v w_v·dv² accumulates in decimal(38,0) (w·dv² ≤ w·(nA·nB)²
+# leaves int64 already at sf0.1 — the q238 lesson applied at design
+# time). T = D2/(nA·nB·(nA+nB)²) is the classical statistic, one
+# fixed-order IEEE chain at the end.
+# --------------------------------------------------------------------------
+def q248_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    row = ev.agg(
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("m")
+    ).collect()[0]
+    mid = int(row["m"])
+    summary = (
+        ev.groupBy("event_type", "value")
+        .agg(
+            F.count_if(F.col("ts_us") <= mid).alias("a"),
+            F.count_if(F.col("ts_us") > mid).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # span + two cumsums + totals
+    )
+    b = with_range_bucket(summary, F.col("value"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        b,
+        ["event_type"],
+        [F.asc("value")],
+        "a",
+        bucket=F.col("__rb"),
+        out_col="ca",
+    )
+    cum = with_global_cumsum(
+        cum,
+        ["event_type"],
+        [F.asc("value")],
+        "b",
+        bucket=F.col("__rb"),
+        out_col="cb",
+    ).drop("__rb")
+    tot = summary.groupBy("event_type").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    dv = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    d2 = F.sum(
+        (F.col("a") + F.col("b")).cast("decimal(38,0)") * dv * dv
+    ).alias("d2")
+    agg = (
+        cum.join(tot, "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(F.count("*").alias("n_values"), d2)
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nn = na + nb
+    return agg.select(
+        "event_type",
+        "na",
+        "nb",
+        "n_values",
+        F.col("d2").cast("double").alias("d2_d"),
+        (F.col("d2").cast("double") / na / nb / nn / nn).alias("cvm_r"),
+    )
+
+
+Q248_SQL = """
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM ev),
+s AS (SELECT event_type, value,
+             count(*) FILTER (WHERE ts_us <= (SELECT m FROM mid)) AS a,
+             count(*) FILTER (WHERE ts_us > (SELECT m FROM mid)) AS b
+      FROM ev GROUP BY 1, 2),
+c AS (SELECT event_type, a, b,
+             sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING)),
+t AS (SELECT event_type, sum(a) AS na, sum(b) AS nb FROM s GROUP BY 1),
+g AS (SELECT c.event_type, na, nb, count(*) AS n_values,
+             sum(CAST(a + b AS HUGEINT)
+                 * (ca * nb - cb * na) * (ca * nb - cb * na)) AS d2
+      FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3)
+SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(n_values AS BIGINT) AS n_values,
+       CAST(d2 AS DOUBLE) AS d2_d,
+       CAST(d2 AS DOUBLE) / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE)
+         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS cvm_r
+FROM g
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q234_effective_rank": q234_effective_rank,
@@ -948,6 +1051,7 @@ QUERIES = {
     "q175_cramers_v": q175_cramers_v,
     "q176_woe_iv": q176_woe_iv,
     "q238_spearman": q238_spearman,
+    "q248_cvm_drift": q248_cvm_drift,
 }
 
 ORACLES = {
@@ -963,4 +1067,5 @@ ORACLES = {
     "q175_cramers_v": Q175_SQL,
     "q176_woe_iv": Q176_SQL,
     "q238_spearman": Q238_SQL,
+    "q248_cvm_drift": Q248_SQL,
 }

@@ -3446,10 +3446,171 @@ FROM n17 FULL JOIN n16 ON n17.shard = n16.shard
 Q240_SQL = _q240_sql()
 
 
+
+# --------------------------------------------------------------------------
+# q247 — nucleus vocabulary concentration per source: the smallest
+# number of token TYPES whose combined frequency mass covers 50% /
+# 90% of a source's tokens (the "top-p nucleus" of the unigram
+# distribution — the concentration readout that complements q228's
+# Zipf slope and q232's diversity indices). All-integer: the corpus
+# collapses to the (source, token, c) count summary, the frequency-
+# ordered cumulative mass comes from the bucket-offset two-pass
+# cumsum over that summary (bucket = equal-width band of −c: equal
+# counts share a band, monotone in the count-desc order; the only
+# serialized step is the |sources|×64 band prefix), and a type is
+# inside the p-nucleus iff its EXCLUSIVE cumulative mass is still
+# short of p — 10·(cum−c) < 9·total for p=0.9, cross-multiplied so
+# no division ever happens. Output: one row per source, exact ints
+# plus two final share divisions.
+# --------------------------------------------------------------------------
+def q247_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    tok = fanout(load(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    summary = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # span agg + band counts + join
+    )
+    b = with_range_bucket(summary, -F.col("c"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        b,
+        ["source"],
+        [F.desc("c"), F.asc("token")],
+        "c",
+        bucket=F.col("__rb"),
+        out_col="cum",
+    ).drop("__rb")
+    tot = summary.groupBy("source").agg(
+        F.count("*").alias("n_types"), F.sum("c").alias("n_tokens")
+    )
+    excl = F.col("cum") - F.col("c")
+    agg = (
+        cum.join(tot, "source")
+        .groupBy("source", "n_types", "n_tokens")
+        .agg(
+            F.count_if(2 * excl < F.col("n_tokens")).alias("nucleus50"),
+            F.count_if(10 * excl < 9 * F.col("n_tokens")).alias("nucleus90"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        "nucleus50",
+        "nucleus90",
+        (F.col("nucleus50").cast("double") / F.col("n_types")).alias(
+            "share50_r"
+        ),
+        (F.col("nucleus90").cast("double") / F.col("n_types")).alias(
+            "share90_r"
+        ),
+    )
+
+
+Q247_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+c AS (SELECT source, c,
+             sum(c) OVER (PARTITION BY source
+                          ORDER BY c DESC, token ASC
+                          ROWS UNBOUNDED PRECEDING) - c AS excl
+      FROM s),
+t AS (SELECT source, count(*) AS n_types, sum(c) AS n_tokens
+      FROM s GROUP BY 1),
+a AS (SELECT c.source, n_types, n_tokens,
+             count(*) FILTER (WHERE 2 * excl < n_tokens) AS nucleus50,
+             count(*) FILTER (WHERE 10 * excl < 9 * n_tokens) AS nucleus90
+      FROM c JOIN t USING (source) GROUP BY 1, 2, 3)
+SELECT source, CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(nucleus50 AS BIGINT) AS nucleus50,
+       CAST(nucleus90 AS BIGINT) AS nucleus90,
+       CAST(nucleus50 AS DOUBLE) / n_types AS share50_r,
+       CAST(nucleus90 AS DOUBLE) / n_types AS share90_r
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# q249 — term burstiness (Church–Gale): a term that appears in few
+# docs but many times per appearance is "bursty" (names, boilerplate)
+# vs a term spread thinly everywhere (function words) — the classic
+# IR statistic for stop-list/boilerplate screening. Variance-to-mean
+# ratio of per-doc counts WITH zero-docs included, computed without
+# ever materializing zeros: VMR = (N·Σk² − cf²)/(N·cf) over exact
+# int64 sums, where N is the corpus doc count (a 1-row planning
+# literal, the q142 convention), cf = Σk, Σk² summed over PRESENT
+# (term, doc) pairs only — the zero docs contribute nothing to either
+# sum. cf ≥ 20 bounds the report to established terms; output = the
+# fully tie-broken global top-50 by 6-dp-rounded VMR
+# (TakeOrderedAndProject — bounded k, driver-safe).
+# --------------------------------------------------------------------------
+BURSTY_MIN_CF = 20
+BURSTY_TOPK = 50
+
+
+def q249_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # 1-row planning statistic as a literal
+    kd = (
+        fanout(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("k"))
+    )
+    term = kd.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("k").alias("cf"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    ).filter(F.col("cf") >= BURSTY_MIN_CF)
+    vmr = (
+        (
+            F.lit(n_docs).cast("double") * F.col("skk").cast("double")
+            - F.col("cf").cast("double") * F.col("cf").cast("double")
+        )
+        / (F.lit(n_docs).cast("double") * F.col("cf").cast("double"))
+    )
+    return (
+        term.select(
+            "token",
+            "df",
+            "cf",
+            "skk",
+            F.round(vmr, 6).alias("vmr_r"),
+        )
+        .orderBy(F.desc("vmr_r"), F.asc("token"))
+        .limit(BURSTY_TOPK)
+    )
+
+
+Q249_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+kd AS (SELECT token, doc_id, count(*) AS k FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS nd FROM documents),
+term AS (SELECT token, count(*) AS df, sum(k) AS cf, sum(k * k) AS skk
+         FROM kd GROUP BY 1 HAVING sum(k) >= {BURSTY_MIN_CF})
+SELECT token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       CAST(skk AS BIGINT) AS skk,
+       round((CAST(nd AS DOUBLE) * CAST(skk AS DOUBLE)
+                - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE))
+             / (CAST(nd AS DOUBLE) * CAST(cf AS DOUBLE)), 6) AS vmr_r
+FROM term, n
+ORDER BY vmr_r DESC, token ASC
+LIMIT {BURSTY_TOPK}
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
+    "q247_nucleus_vocab": q247_nucleus_vocab,
+    "q249_term_burstiness": q249_term_burstiness,
     "q202_sorted_neighborhood": q202_sorted_neighborhood,
     "q205_feature_hashing": q205_feature_hashing,
     "q210_source_contamination": q210_source_contamination,
@@ -3509,6 +3670,8 @@ ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
+    "q247_nucleus_vocab": Q247_SQL,
+    "q249_term_burstiness": Q249_SQL,
     "q202_sorted_neighborhood": Q202_SQL,
     "q205_feature_hashing": Q205_SQL,
     "q210_source_contamination": Q210_SQL,

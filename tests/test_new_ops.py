@@ -2448,3 +2448,171 @@ def test_assortativity_matches_python(spark):
     assert (r.m_ends, r.sum_d, r.sum_d2, r.sum_prod) == (m, sd, sd2, sp)
     expected = (m * sp - sd * sd) / (m * sd2 - sd * sd)
     assert abs(r.assortativity_r - expected) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Round-8 second-batch reference tests (q246-q250).
+# ---------------------------------------------------------------------------
+
+
+def test_ar1_halflife_matches_python(spark):
+    """q246's AR(1) sums and half-life must equal the direct ordered
+    fold; the CASE domain guard (0 < phi < 1) is exercised both ways."""
+    import math
+
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        q246_ar1_halflife,
+    )
+
+    series: dict[str, list] = {}
+    for r in _sorted_trades(spark):
+        series.setdefault(r.symbol, []).append(r.pc)
+    got = {r.symbol: r for r in q246_ar1_halflife(spark, SF_SMOKE).collect()}
+    for sym, p in series.items():
+        pairs = list(zip(p, p[1:]))
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        g = got[sym]
+        assert (g.n, g.sx, g.sy, g.sxy, g.sxx) == (n, sx, sy, sxy, sxx)
+        phi = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(g.phi_r - phi) < 1e-12 * max(1.0, abs(phi))
+        if 0 < phi < 1:
+            assert abs(g.half_life_r - round(-math.log(2) / math.log(phi), 6)) <= 1e-6
+        else:
+            assert g.half_life_r is None
+
+
+def test_nucleus_vocab_matches_python(spark):
+    """q247's nucleus sizes must equal the direct frequency-sorted
+    cumulative scan (exclusive-mass cross-multiplied definition)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import q247_nucleus_vocab
+
+    rows = duckdb.sql(
+        f"""SELECT source, unnest(string_split(text, ' '))
+            FROM '{SF_SMOKE}/documents.parquet'"""
+    ).fetchall()
+    counts: dict[str, dict] = {}
+    for src, tok in rows:
+        counts.setdefault(src, {})
+        counts[src][tok] = counts[src].get(tok, 0) + 1
+    got = {r.source: r for r in q247_nucleus_vocab(spark, SF_SMOKE).collect()}
+    for src, cm in counts.items():
+        total = sum(cm.values())
+        ordered = sorted(cm.items(), key=lambda kv: (-kv[1], kv[0]))
+        excl, n50, n90 = 0, 0, 0
+        for _, c in ordered:
+            if 2 * excl < total:
+                n50 += 1
+            if 10 * excl < 9 * total:
+                n90 += 1
+            excl += c
+        r = got[src]
+        assert (r.n_types, r.n_tokens, r.nucleus50, r.nucleus90) == (
+            len(cm), total, n50, n90,
+        )
+
+
+def test_cvm_drift_matches_python(spark):
+    """q248's D2 and CvM statistic must equal the direct pooled-ECDF
+    fold with the same midpoint split."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.quality_ops import q248_cvm_drift
+
+    rows = duckdb.sql(
+        f"SELECT event_type, value, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    ts = [t for _, _, t in rows]
+    mid = (min(ts) + max(ts)) // 2
+    per: dict[str, dict] = {}
+    for et, v, t in rows:
+        d = per.setdefault(et, {})
+        a, b = d.get(v, (0, 0))
+        d[v] = (a + 1, b) if t <= mid else (a, b + 1)
+    got = {r.event_type: r for r in q248_cvm_drift(spark, SF_SMOKE).collect()}
+    for et, d in per.items():
+        na = sum(a for a, _ in d.values())
+        nb = sum(b for _, b in d.values())
+        ca = cb = 0
+        d2 = 0
+        for v in sorted(d):
+            a, b = d[v]
+            ca += a
+            cb += b
+            dv = ca * nb - cb * na
+            d2 += (a + b) * dv * dv
+        r = got[et]
+        assert (r.na, r.nb, r.n_values) == (na, nb, len(d))
+        assert r.d2_d == float(d2)
+        expected = d2 / na / nb / (na + nb) / (na + nb)
+        assert abs(r.cvm_r - expected) < 1e-12 * max(1.0, expected)
+
+
+def test_term_burstiness_matches_python(spark):
+    """q249's VMR (zeros folded in analytically) must equal numpy's
+    literal variance/mean over the FULL per-doc count vector including
+    zero docs — proving the zero-free identity."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        BURSTY_MIN_CF,
+        q249_term_burstiness,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id, unnest(string_split(text, ' '))
+            FROM '{SF_SMOKE}/documents.parquet'"""
+    ).fetchall()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    kd: dict[str, dict] = {}
+    for doc, tok in rows:
+        kd.setdefault(tok, {})
+        kd[tok][doc] = kd[tok].get(doc, 0) + 1
+    got = q249_term_burstiness(spark, SF_SMOKE).collect()
+    assert 0 < len(got) <= 50
+    prev = None
+    for r in got:
+        ks = kd[r.token]
+        cf = sum(ks.values())
+        assert cf >= BURSTY_MIN_CF
+        assert (r.df, r.cf, r.skk) == (
+            len(ks), cf, sum(k * k for k in ks.values()),
+        )
+        # numpy literal VMR over the zero-padded vector
+        full = np.zeros(n_docs)
+        for i, k in enumerate(ks.values()):
+            full[i] = k
+        vmr = full.var() * n_docs / cf  # var is population; mean = cf/N
+        assert abs(r.vmr_r - round(float(vmr), 6)) <= 2e-6
+        if prev is not None:  # fully tie-broken ordering
+            assert (prev.vmr_r, ) >= (r.vmr_r, )
+        prev = r
+
+
+def test_wilson_ci_matches_python(spark):
+    """q250's interval must equal the textbook Wilson score formula
+    and actually contain the point estimate."""
+    import math
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        WILSON_Z,
+        q250_wilson_ci,
+    )
+
+    for r in q250_wilson_ci(spark, SF_SMOKE).collect():
+        n, k, z = r.n, r.k, WILSON_Z
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert abs(r.p_r - p) < 1e-15
+        assert abs(r.lo_r - (center - half)) < 1e-12
+        assert abs(r.hi_r - (center + half)) < 1e-12
+        assert 0.0 <= r.lo_r <= r.p_r <= r.hi_r <= 1.0
