@@ -68,9 +68,10 @@ def _modules():
 #     q64/q67/q71/q75/q81/q90/q92/q93/q96);
 #   - the remaining 3 slots are r04-VINTAGE RE-CERTIFICATION,
 #     cheapest first (q58/q102/q172).
-# Round-9 window plan: 3 sentinels + any round-8-new names + the
-# remaining 44 r04-vintage names, cheapest first; r04 vintage then
-# retires fully in round 10.
+# Round-9 window plan: 3 sentinels + the 15 round-8-new names
+# (q236-q245 + q246-q250 — certify the round after they land) + the
+# 32 cheapest r04-vintage names = 50; round 10 takes the remaining
+# 15 r04-vintage plus whatever lands in round 9, retiring r04 fully.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
