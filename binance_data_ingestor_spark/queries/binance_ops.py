@@ -1382,6 +1382,203 @@ FROM p
 """
 
 
+
+# --------------------------------------------------------------------------
+# q251 — STREAMING VPIN certification (the 11th streaming≡batch
+# certificate): the q236 volume clock executed as a real Structured
+# Streaming stateful fold (streaming/stateful.vpin_stream) at a FIXED
+# bucket volume — the batch form derives its bucket volume from the
+# per-symbol total, which is unknowable mid-stream, so the streaming
+# contract fixes it as a parameter and the certificate runs the batch
+# computation at the SAME fixed volume. The trade stream (decoded
+# cents, maker-'None' excluded — the q236 preconditions) replays as a
+# file stream with one far-future punctuation row per symbol
+# (event_id −1, the q195 sentinel discipline) so the final partial
+# bucket flushes; the emitted bucket rows are then asserted EXACTLY
+# multiset-equal to the fixed-volume batch table (exceptAll both
+# ways — integer counts and sums, no tolerance) before the certified
+# batch result is emitted against the window-cumsum oracle. State per
+# key = one O(1) accumulator + the out-of-watermark buffer; output is
+# bucket-grained no matter the trade count.
+# --------------------------------------------------------------------------
+VPIN_STREAM_V = 5_000_000  # cents of volume per bucket (fixed contract)
+
+
+def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import with_global_cumsum
+    from ..streaming.stateful import vpin_stream
+    from .util import replay_input
+
+    t = (
+        _trades_cents(spark, sf_dir, keep=("symbol", "event_id"))
+        .filter(F.col("is_buyer_maker") != "None")
+        .select(
+            "symbol",
+            F.timestamp_millis(F.col("trade_time")).alias("ts"),
+            "trade_time",
+            "event_id",
+            "qc",
+            F.when(F.col("is_buyer_maker") == "False", F.col("qc"))
+            .otherwise(F.lit(0))
+            .alias("bq"),
+        )
+    )
+    # per-symbol punctuation at T, plus ONE watermark-pusher row at
+    # T + delay + margin under a throwaway key so the watermark can
+    # actually pass T and release the punctuation (see vpin_stream)
+    sentinels = spark.createDataFrame(
+        [(sym, "2031-01-01") for sym in SYMBOLS]
+        + [("__WM_PUSH__", "2032-01-01")],
+        "symbol string, d string",
+    ).select(
+        "symbol",
+        F.to_timestamp(F.col("d")).alias("ts"),
+        F.lit(0).cast("long").alias("trade_time"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(0).cast("long").alias("qc"),
+        F.lit(0).cast("long").alias("bq"),
+    )
+    data = replay_input(
+        spark,
+        sf_dir,
+        "q251",
+        # range-partitioned by ts so replay files arrive in event-time
+        # order (FileStreamSource processes same-mtime files in path
+        # order): a live stream is near-time-ordered across batches,
+        # and delivering the punctuation file before later trade files
+        # would make those trades watermark-late (correctly DROPPED —
+        # but the certificate needs zero drops)
+        lambda w: t.unionByName(sentinels)
+        .select("symbol", "ts", "event_id", "qc", "bq")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(f"{w}/in"),
+    )
+    work = tempfile.mkdtemp(prefix="q251_")
+    stream = (
+        spark.readStream.schema(
+            "symbol string, ts timestamp, event_id long, qc long, bq long"
+        )
+        .option("maxFilesPerTrigger", "2")  # two real micro-batches
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{_os.path.basename(work)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            vpin_stream(stream, VPIN_STREAM_V)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q251 streaming replay timed out after 600 s")
+        streamed = spark.createDataFrame(
+            [r for r in spark.table(name).collect()
+             if r.symbol != "__WM_PUSH__"],
+            "symbol string, bucket long, n_trades long, "
+            "buy_vol long, sell_vol long",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    cum = with_global_cumsum(
+        t,
+        ["symbol"],
+        [F.asc("trade_time"), F.asc("event_id")],
+        "qc",
+        bucket=F.expr("trade_time div 3600000"),
+        out_col="cumv",
+    )
+    batch = (
+        cum.select(
+            "symbol",
+            "qc",
+            "bq",
+            F.expr(f"(cumv - qc) DIV {VPIN_STREAM_V}").alias("bucket"),
+        )
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("bq").alias("buy_vol"),
+            (F.sum("qc") - F.sum("bq")).alias("sell_vol"),
+        )
+        # feeds both exceptAll sides AND the emitted result
+        .localCheckpoint(eager=False)
+    )
+    n_diff = (
+        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q251: streaming VPIN buckets diverged from the fixed-volume "
+            f"batch clock on {n_diff} rows - refusing to emit either result"
+        )
+    ws = W.partitionBy("symbol")  # bucket-summary-sized
+    vol = F.col("buy_vol") + F.col("sell_vol")
+    imb = F.abs(F.col("buy_vol") - F.col("sell_vol"))
+    return batch.select(
+        "symbol",
+        "bucket",
+        "n_trades",
+        "buy_vol",
+        "sell_vol",
+        (imb / F.nullif(vol, F.lit(0))).alias("bucket_imb_r"),
+        (F.sum(imb).over(ws) / F.nullif(F.sum(vol).over(ws), F.lit(0))).alias(
+            "vpin_r"
+        ),
+    )
+
+
+Q251_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         ({_SQL_CENTS}) * 2 AS qc,
+         CASE WHEN event_id % 7 = 0 THEN 'None'
+              WHEN event_id % 2 = 0 THEN 'True'
+              ELSE 'False' END AS m
+  FROM events
+),
+f AS (SELECT symbol, tt, event_id, qc,
+             CASE WHEN m = 'False' THEN qc ELSE 0 END AS bq
+      FROM t WHERE m <> 'None'),
+c AS (SELECT symbol, qc, bq,
+             sum(qc) OVER (PARTITION BY symbol ORDER BY tt, event_id
+                           ROWS UNBOUNDED PRECEDING) - qc AS cumx
+      FROM f),
+b AS (SELECT symbol, cumx // {VPIN_STREAM_V} AS bucket,
+             count(*) AS n_trades,
+             sum(bq) AS buy_vol, sum(qc) - sum(bq) AS sell_vol
+      FROM c GROUP BY 1, 2)
+SELECT symbol, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_trades AS BIGINT) AS n_trades,
+       CAST(buy_vol AS BIGINT) AS buy_vol,
+       CAST(sell_vol AS BIGINT) AS sell_vol,
+       CAST(abs(buy_vol - sell_vol) AS DOUBLE)
+         / nullif(buy_vol + sell_vol, 0) AS bucket_imb_r,
+       CAST(sum(abs(buy_vol - sell_vol)) OVER (PARTITION BY symbol) AS DOUBLE)
+         / nullif(sum(buy_vol + sell_vol) OVER (PARTITION BY symbol), 0)
+         AS vpin_r
+FROM b
+"""
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -1400,6 +1597,7 @@ QUERIES = {
     "q237_amihud": q237_amihud,
     "q244_variance_ratio": q244_variance_ratio,
     "q246_ar1_halflife": q246_ar1_halflife,
+    "q251_stream_vpin": q251_stream_vpin,
 }
 
 ORACLES = {
@@ -1420,4 +1618,5 @@ ORACLES = {
     "q237_amihud": Q237_SQL,
     "q244_variance_ratio": Q244_SQL,
     "q246_ar1_halflife": Q246_SQL,
+    "q251_stream_vpin": Q251_SQL,
 }

@@ -997,3 +997,175 @@ def xor_digest_stream(
     for i, kcol in enumerate(keys):
         raw = raw.withColumnRenamed(f"__k{i}", kcol)
     return raw
+
+
+VPIN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("bucket", LongType()),
+        StructField("n_trades", LongType()),
+        StructField("buy_vol", LongType()),
+        StructField("sell_vol", LongType()),
+    ]
+)
+
+# state: running volume clock + the OPEN bucket's partials + the
+# punctuation flag + the out-of-watermark buffer (tt µs, event_id,
+# qc, bq) — O(1) accumulator + watermark-horizon buffer per key
+VPIN_STATE_SCHEMA = StructType(
+    [
+        StructField("cum", LongType()),
+        StructField("open_bucket", LongType()),  # -1 = none yet
+        StructField("n", LongType()),
+        StructField("buy", LongType()),
+        StructField("vol", LongType()),
+        StructField("sentinel", LongType()),
+        StructField("buf_tt", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_qc", ArrayType(LongType())),
+        StructField("buf_bq", ArrayType(LongType())),
+    ]
+)
+
+
+def _vpin_stream_fn(bucket_vol: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        cum, ob, n, buy, vol, sent = 0, -1, 0, 0, 0, 0
+        buf: list[Tuple[int, int, int, int]] = []
+        if state.exists:
+            cum, ob, n, buy, vol, sent, tts, ids, qcs, bqs = state.get
+            buf = [
+                (int(a), int(b), int(c), int(d))
+                for a, b, c, d in zip(tts, ids, qcs, bqs)
+            ]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for u, eid, qc, bq in zip(
+                    us, pdf["event_id"], pdf["qc"], pdf["bq"]
+                ):
+                    # punctuation rows (event_id < 0) buffer like any
+                    # other event: they take effect only when the
+                    # watermark RELEASES them, which is the proof that
+                    # no real trade at or before them can still arrive
+                    # (a flag-based shortcut is unsound — punctuation
+                    # can be DELIVERED before the trades it follows in
+                    # event time)
+                    buf.append((int(u), int(eid), int(qc), int(bq)))
+
+        # watermark-driven ordered release (the q195 discipline): only
+        # trades no late arrival can precede enter the volume clock
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        ready = [t for t in buf if t[0] < wm_us]
+        hold = [t for t in buf if t[0] >= wm_us]
+
+        out: list[Tuple[str, int, int, int, int]] = []
+        for _, eid, qc, bq in ready:
+            if eid < 0:
+                # punctuation released: every real trade before it has
+                # been clocked — flush the open partial bucket
+                if ob >= 0:
+                    out.append((symbol, ob, n, buy, vol - buy))
+                    n = buy = vol = 0
+                    ob = -1
+                sent = 1
+                continue
+            b = cum // bucket_vol  # EXCLUSIVE cumulative (q236 rule)
+            if ob >= 0 and b != ob:
+                out.append((symbol, ob, n, buy, vol - buy))
+                n = buy = vol = 0
+            ob = b
+            cum += qc
+            n += 1
+            buy += bq
+            vol += qc
+
+        if sent and not hold:
+            state.remove()
+        else:
+            state.update(
+                (
+                    cum,
+                    ob,
+                    n,
+                    buy,
+                    vol,
+                    sent,
+                    [t[0] for t in hold],
+                    [t[1] for t in hold],
+                    [t[2] for t in hold],
+                    [t[3] for t in hold],
+                )
+            )
+            if hold:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(t[0] for t in hold) // 1000 + 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["symbol", "bucket", "n_trades", "buy_vol", "sell_vol"],
+            )
+
+    return fn
+
+
+def vpin_stream(
+    trades: DataFrame,
+    bucket_vol: int,
+    *,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of the q236 VPIN volume clock at a FIXED bucket
+    volume: per-symbol keyed state carries the running cumulative
+    volume and the OPEN bucket's partial sums; trades buffer until the
+    watermark guarantees order (released in (ts, event_id) order — the
+    q195 sequence-reconstruction discipline), each released trade is
+    assigned by its EXCLUSIVE cumulative volume, and a bucket row
+    emits exactly once, when the clock crosses into the next bucket
+    (append mode). The batch q236 derives its bucket volume from the
+    per-symbol TOTAL — unknowable mid-stream — so the streaming
+    contract fixes it as a parameter; the q251 certificate runs the
+    batch computation at the SAME fixed volume and asserts exact
+    multiset equality.
+
+    End-of-stream punctuation: a row with ``event_id < 0`` marks the
+    end of the key's clock. It buffers like any other event and takes
+    effect only when the watermark RELEASES it — the proof that no
+    real trade at or before it can still arrive (a delivery-order flag
+    would be unsound: punctuation can arrive in an earlier micro-batch
+    than the trades it follows in event time). Releasing it therefore
+    requires the watermark to pass the punctuation timestamp, so the
+    replay harness appends one punctuation row per symbol at T plus a
+    single watermark-pusher row at T + (delay + margin) under a
+    throwaway key (that key's state is the one deliberate leftover).
+    A live deployment would simply leave the last bucket open, exactly
+    like the batch form's tail bucket keeps growing.
+
+    State per key = one O(1) accumulator tuple + the out-of-watermark
+    buffer (O(rate × delay)); emission is bucket-grained, so output is
+    total_volume/bucket_vol rows per key regardless of trade count.
+    """
+    return (
+        trades.select("symbol", "ts", "event_id", "qc", "bq")
+        .withWatermark("ts", watermark)
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _vpin_stream_fn(bucket_vol),
+            VPIN_OUTPUT_SCHEMA,
+            VPIN_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
