@@ -1445,23 +1445,27 @@ def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("qc"),
         F.lit(0).cast("long").alias("bq"),
     )
-    data = replay_input(
-        spark,
-        sf_dir,
-        "q251",
-        # range-partitioned by ts so replay files arrive in event-time
-        # order (FileStreamSource processes same-mtime files in path
-        # order): a live stream is near-time-ordered across batches,
-        # and delivering the punctuation file before later trade files
-        # would make those trades watermark-late (correctly DROPPED —
-        # but the certificate needs zero drops)
-        lambda w: t.unionByName(sentinels)
-        .select("symbol", "ts", "event_id", "qc", "bq")
-        .repartitionByRange(4, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(f"{w}/in"),
-    )
+    from .util import stagger_replay_mtimes
+
+    def _write(w: str) -> None:
+        # range-partitioned by ts + STAGGERED part mtimes so replay
+        # files arrive in event-time order (FileStreamSource schedules
+        # by mtime; one write stamps every part identically and the
+        # tie-break is nondeterministic — delivering the punctuation
+        # file first would make every real trade watermark-late,
+        # correctly DROPPED by the engine but fatal to an exactness
+        # certificate). A live stream is near-time-ordered anyway.
+        (
+            t.unionByName(sentinels)
+            .select("symbol", "ts", "event_id", "qc", "bq")
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(f"{w}/in")
+        )
+        stagger_replay_mtimes(f"{w}/in")
+
+    data = replay_input(spark, sf_dir, "q251", _write)
     work = tempfile.mkdtemp(prefix="q251_")
     stream = (
         spark.readStream.schema(

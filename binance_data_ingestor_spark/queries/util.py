@@ -127,3 +127,33 @@ def replay_input(spark: SparkSession, sf_dir: str, name: str, build) -> str:
         return work
 
     return session_artifact(spark, ("replay_input", sf_dir, name), _build)
+
+
+def stagger_replay_mtimes(path: str) -> None:
+    """Give a replay directory's parquet part files strictly increasing
+    modification times in part-number order.
+
+    FileStreamSource schedules files by (modification time, then
+    listing order); one parquet write stamps every part with the SAME
+    mtime, so under ``maxFilesPerTrigger`` the tie-break — and with it
+    the micro-batch delivery ORDER — is nondeterministic. For replays
+    whose parts are range-partitioned by event time, a wrong order
+    delivers the far-future watermark rows first and makes every
+    earlier part watermark-late (correctly dropped by the engine —
+    and fatally for an exactness certificate). Staggering mtimes by
+    part number pins delivery to event-time order, which is also the
+    realistic regime: a live stream's files arrive roughly in event
+    time.
+    """
+    import os
+    import time
+
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - 10 * len(parts)
+    for i, f in enumerate(parts):
+        t = base + 10 * i
+        os.utime(os.path.join(path, f), (t, t))

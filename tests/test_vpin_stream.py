@@ -74,13 +74,18 @@ def _replay(spark, rows, v, max_files, n_files=3):
     )
     work = tempfile.mkdtemp(prefix="vpin_stream_t_")
     try:
-        # event-time-ordered files (the q251 harness convention): a
-        # batch never delivers rows older than a prior batch's
-        # watermark, so nothing is late-dropped and exact equality
-        # with the full fold is well-defined
+        # event-time-ordered files with staggered mtimes (the q251
+        # harness convention): a batch never delivers rows older than
+        # a prior batch's watermark, so nothing is late-dropped and
+        # exact equality with the full fold is well-defined
+        from binance_data_ingestor_spark.queries.util import (
+            stagger_replay_mtimes,
+        )
+
         base.unionByName(sent).repartitionByRange(
             n_files, "ts"
         ).write.mode("overwrite").parquet(f"{work}/in")
+        stagger_replay_mtimes(f"{work}/in")
         stream = (
             spark.readStream.schema(
                 "symbol string, ts timestamp, event_id long, qc long, bq long"
