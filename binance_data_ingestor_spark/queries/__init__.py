@@ -54,75 +54,72 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-8 rotation (after round 7's 50/50-green window brought cumulative
-# certification to 225/225 of the round-7-start registry):
+# Round-9 rotation (after round 8's 50/50-green window brought cumulative
+# certification to 235/235 of the round-8-start registry):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 44-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
-#     cannot cost the round its goal: the 10 round-7-new names
-#     (q226-q235 — never driver-scored; "certify the round after it
-#     lands" convention; green ⇒ cumulative 235/235 of the
-#     round-8-start registry) merged with the 34 r03-VINTAGE names
-#     whose last green driver row is round 3 (five rounds old:
-#     q110/q138/q142/q143/q145/q146/q150/q151/q154/q157/q158/q159/
-#     q160/q161/q163/q171/q174/q179/q180/q181/q182/q27/q46/q51/q63/
-#     q64/q67/q71/q75/q81/q90/q92/q93/q96);
-#   - the remaining 3 slots are r04-VINTAGE RE-CERTIFICATION,
-#     cheapest first (q58/q102/q172).
-# Round-9 window plan: 3 sentinels + the 15 round-8-new names
-# (q236-q245 + q246-q250 — certify the round after they land) + the
-# 32 cheapest r04-vintage names = 50; round 10 takes the remaining
-# 15 r04-vintage plus whatever lands in round 9, retiring r04 fully.
+#   - the 47-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
+#     cannot cost the round its goal: the 16 round-8-new names
+#     (q236-q251 — never driver-scored; "certify the round after it
+#     lands" convention; green ⇒ cumulative 251/251 of the
+#     round-9-start registry) merged with the 31 CHEAPEST of the 44
+#     r04-VINTAGE names whose last green driver row is round 4
+#     (five rounds old).
+# Round-10 window plan: 3 sentinels + whatever lands in round 9
+# (certify the round after it lands) + the remaining 13 r04-vintage
+# names (q69/q130/q133/q186/q175/q98/q116/q117/q132/q148/q86/q184/q26,
+# ~17.7 s total), retiring the r04 vintage entirely; any spare slots go
+# to the oldest r05-vintage names cheapest-first.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q232_diversity_indices",
-    "q157_asof_tolerance",
-    "q174_purged_tscv",
-    "q154_top_supplier",
-    "q227_calibration",
-    "q81_pii_mask",
-    "q146_order_count_distribution",
-    "q90_pit_features",
-    "q63_decode_media",
-    "q64_resize_raster",
-    "q75_upsert_audit",
-    "q181_rank_transform",
-    "q158_kcore",
-    "q171_rolling_hll",
-    "q96_rrf_fusion",
-    "q71_length_buckets",
-    "q92_embedding_covariance",
-    "q234_effective_rank",
-    "q150_token_balanced_shards",
-    "q46_simhash",
-    "q228_zipf_slope",
-    "q51_cosine_neardup",
-    "q110_peak_concurrency",
-    "q160_rolling_median",
-    "q161_quality_representative",
-    "q230_kyle_lambda",
-    "q179_ppm_roundtrip",
-    "q67_pq_kmeans_train",
-    "q145_waiting_suppliers",
-    "q142_abc_classification",
-    "q93_bm25_retrieval",
-    "q138_skipgram_pmi",
-    "q231_roll_spread",
-    "q235_vocab_growth",
-    "q182_ivfpq_topk",
-    "q229_ngram_containment",
-    "q143_dsir_weights",
-    "q163_rfm_segments",
-    "q180_json_schema_profile",
-    "q151_lsh_recall_certificate",
-    "q27_series_topk",
-    "q226_hits",
-    "q159_prefix_jaccard",
-    "q233_containment_prefix",
-    "q58_pack_chunks",
-    "q102_weighted_sample",
-    "q172_label_kappa",
+    "q168_benford_audit",
+    "q128_k_anonymity",
+    "q97_negative_sampling",
+    "q112_max_drawdown",
+    "q79_value_histogram",
+    "q140_purge_audit",
+    "q136_corr_matrix",
+    "q185_hard_negatives",
+    "q114_chi_square",
+    "q245_assortativity",
+    "q250_wilson_ci",
+    "q85_equidepth_bins",
+    "q237_amihud",
+    "q120_transition_matrix",
+    "q121_funnel_timing",
+    "q176_woe_iv",
+    "q111_ewma",
+    "q107_rolling_distinct_users",
+    "q115_snapshot_diff",
+    "q101_token_entropy",
+    "q156_windowed_funnel",
+    "q100_token_mi",
+    "q94_psi_drift",
+    "q139_event_trigrams",
+    "q95_winsorize",
+    "q134_skew_report",
+    "q119_incremental_agg",
+    "q87_grouped_split",
+    "q84_block_dedup_reconstruct",
+    "q141_d7_retention",
+    "q183_epoch_shuffle",
+    "q137_session_entry_exit",
+    "q68_decontaminate",
+    "q162_multi_touch_attribution",
+    "q249_term_burstiness",
+    "q246_ar1_halflife",
+    "q247_nucleus_vocab",
+    "q240_rendezvous_shards",
+    "q241_haar_energy",
+    "q236_vpin",
+    "q243_edge_support",
+    "q248_cvm_drift",
+    "q244_variance_ratio",
+    "q239_weighted_percentiles",
+    "q242_conformal",
+    "q238_spearman",
+    "q251_stream_vpin",
 ]
 
 

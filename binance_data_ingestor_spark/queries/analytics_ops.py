@@ -1662,12 +1662,15 @@ GROUP BY 1, 2
 # urgent-responder rate (the CI a dashboard should show instead of
 # the raw proportion — it stays inside [0,1] and behaves at small n,
 # unlike the Wald interval). k = customers with ≥1 URGENT order
-# (left-semi join — never a fan-out), n = segment size; the interval
+# (distinct() on the responder keys, then a LEFT OUTER join probed
+# with isNotNull — the distinct is what prevents the fan-out; a pure
+# left-semi cannot emit the 0-flag rows the per-segment n needs in
+# one pass), n = segment size; the interval
 # is one fixed-order IEEE chain over the exact (k, n) integers with
 # z = 1.96 as a shared literal, sqrt(greatest(0,·)) on the variance
 # term (round-7 ANSI discipline; the argument is non-negative
 # algebraically, the guard makes it non-negative under IEEE too).
-# Plan: one broadcast dim join + one semi-join + a segments-sized
+# Plan: one distinct + one left-outer flag join + a segments-sized
 # aggregate — nothing but counts ever shuffles.
 # --------------------------------------------------------------------------
 WILSON_Z = 1.96

@@ -1477,6 +1477,16 @@ def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"out_{_os.path.basename(work)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # The tail bucket flushes only when the watermark passes the
+    # punctuation sentinel, and after the LAST file that advance can
+    # only happen in a no-data micro-batch. That behavior is an
+    # ambient default (true) — pin it explicitly so the certificate
+    # cannot start failing with a 600 s timeout if a session ever
+    # disables it (round-8 advice item).
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         q = (
             vpin_stream(stream, VPIN_STREAM_V)
@@ -1498,6 +1508,9 @@ def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         with contextlib.suppress(Exception):
             spark.catalog.dropTempView(name)
         shutil.rmtree(work, ignore_errors=True)

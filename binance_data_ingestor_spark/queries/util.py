@@ -115,7 +115,15 @@ def copurchase_pairs(
 # ---------------------------------------------------------------------------
 def replay_input(spark: SparkSession, sf_dir: str, name: str, build) -> str:
     """Memoized work dir whose contents ``build(work_dir)`` wrote —
-    keyed per (session, sf_dir, query name). Returns the dir path."""
+    keyed per (session, sf_dir, query name). Returns the dir path.
+
+    Delivery-order note: replays that need a deterministic micro-batch
+    order rely on FileStreamSource's (mtime, listing-order) scheduling
+    and must call :func:`stagger_replay_mtimes` from inside ``build``
+    — i.e. on the MEMOIZED artifact — never on a copy written later,
+    so a cached replay dir can never be re-written without
+    re-staggering.
+    """
     import atexit
     import shutil
     import tempfile
@@ -157,3 +165,14 @@ def stagger_replay_mtimes(path: str) -> None:
     for i, f in enumerate(parts):
         t = base + 10 * i
         os.utime(os.path.join(path, f), (t, t))
+    # Verify the stagger actually landed: on a filesystem with coarse
+    # or non-writable mtimes the silent failure mode would be a
+    # nondeterministic delivery order again (round-8 advice item) —
+    # fail loudly here instead of at the certificate assertion.
+    stamped = [os.stat(os.path.join(path, f)).st_mtime for f in parts]
+    if any(b <= a for a, b in zip(stamped, stamped[1:])):
+        raise RuntimeError(
+            f"stagger_replay_mtimes: mtimes not strictly increasing in "
+            f"part order under {path!r} (filesystem ignored utime?): "
+            f"{stamped}"
+        )
