@@ -913,6 +913,84 @@ FROM pick JOIN tr USING (seg)
 Q242_SQL = _q242_sql()
 
 
+# --------------------------------------------------------------------------
+# q254 — Cochran–Armitage trend test per customer segment: is the
+# order-failure rate monotonically related to the (ordered) priority
+# level? The dose-response test a labeling pipeline runs before
+# trusting an ordinal feature — chi-square (q114) only detects
+# ASSOCIATION, this detects the ordered TREND with one extra weight
+# column. Exposure score w = priority rank (1-URGENT..5-LOW → 1..5),
+# outcome = order failed ('F'). Everything reduces to five exact int64
+# sums per segment over the ≤5-level summary (N, D, Σw·n, Σw²·n,
+# Σw·d — all map-side combinable); the statistic
+# z² = N·(N·Σwd − D·Σwn)² / (D·(N−D)·(N·Σw²n − (Σwn)²)) is one
+# fixed-order IEEE chain over the casts (the inner differences stay
+# exact int64 through sf10; the squares happen in double), nullif on
+# the degenerate all-failed / no-failed / single-level segments.
+# Plan: one equi-join (customer dim) + one 5-level-per-segment
+# aggregate — only counts shuffle.
+# --------------------------------------------------------------------------
+def q254_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    levels = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("seg", "w")
+        .agg(F.count("*").alias("nw"), F.sum("y").alias("dw"))
+    )
+    agg = levels.groupBy("seg").agg(
+        F.sum("nw").alias("n"),
+        F.sum("dw").alias("d"),
+        F.sum(F.col("w") * F.col("nw")).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("nw")).alias("sw2n"),
+        F.sum(F.col("w") * F.col("dw")).alias("swd"),
+    )
+    num1 = F.col("n") * F.col("swd") - F.col("d") * F.col("swn")
+    den1 = F.col("n") * F.col("sw2n") - F.col("swn") * F.col("swn")
+    z2 = (
+        F.col("n").cast("double")
+        * num1.cast("double")
+        * num1.cast("double")
+        / F.nullif(
+            F.col("d").cast("double")
+            * (F.col("n") - F.col("d")).cast("double")
+            * den1.cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return agg.select("seg", "n", "d", "swn", "sw2n", "swd", z2.alias("ca_z2"))
+
+
+Q254_SQL = """
+WITH o AS (SELECT o_custkey,
+                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders),
+lv AS (SELECT c_mktsegment AS seg, w, count(*) AS nw, sum(y) AS dw
+       FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+a AS (SELECT seg,
+             CAST(sum(nw) AS BIGINT) AS n,
+             CAST(sum(dw) AS BIGINT) AS d,
+             CAST(sum(w * nw) AS BIGINT) AS swn,
+             CAST(sum(w * w * nw) AS BIGINT) AS sw2n,
+             CAST(sum(w * dw) AS BIGINT) AS swd
+      FROM lv GROUP BY 1)
+SELECT seg, n, d, swn, sw2n, swd,
+       CAST(n AS DOUBLE)
+         * CAST(n * swd - d * swn AS DOUBLE)
+         * CAST(n * swd - d * swn AS DOUBLE)
+         / nullif(CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE)
+                  * CAST(n * sw2n - swn * swn AS DOUBLE), 0.0) AS ca_z2
+FROM a
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q227_calibration": q227_calibration,
@@ -925,6 +1003,7 @@ QUERIES = {
     "q132_decile_lift": q132_decile_lift,
     "q133_auc_ranksum": q133_auc_ranksum,
     "q174_purged_tscv": q174_purged_tscv,
+    "q254_cochran_armitage": q254_cochran_armitage,
 }
 
 ORACLES = {
@@ -939,4 +1018,5 @@ ORACLES = {
     "q132_decile_lift": Q132_SQL,
     "q133_auc_ranksum": Q133_SQL,
     "q174_purged_tscv": Q174_SQL,
+    "q254_cochran_armitage": Q254_SQL,
 }

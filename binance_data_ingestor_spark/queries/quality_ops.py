@@ -1038,6 +1038,233 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q253 — tie-aware Kendall tau-b per order status between the order's
+# priority rank (1-URGENT..5-LOW → 1..5) and its total-price decile-ish
+# equal-width bin (integer DIV over exact cents, the q227 binning
+# trick). Kendall needs PAIR counts, which is quadratic in ROWS — the
+# distributed form collapses each group to its JOINT FREQUENCY summary
+# first (≤ 5 priorities × 10 bins = 50 cells per group), and the
+# concordant/discordant/tie sums come from a summary×summary self-join
+# (≤ 2,500 cell pairs per group — scale-free: the cell grid is fixed by
+# the binning, not the data). Everything is exact int64 (cell counts
+# and their products; Σ n1·n2 ≤ n² ≤ ~2^48 even at sf10); tau-b =
+# (C − D)/√((n0−tx)(n0−ty)) is one fixed-order IEEE chain at the end
+# with sqrt(greatest)+nullif degenerate guards (q238 discipline). The
+# 1-row price span is a driver-side planning literal (q227/q248
+# convention — no BNLJ).
+# --------------------------------------------------------------------------
+KENDALL_BINS = 10
+
+
+def q253_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    row = orders.agg(F.min("pc").alias("lo"), F.max("pc").alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    span = hi - lo + 1
+    cells = orders.select(
+        "g",
+        "x",
+        F.expr(f"(pc - {lo}) * {KENDALL_BINS} DIV {span}").alias("y"),
+    ).groupBy("g", "x", "y").agg(F.count("*").alias("c"))
+    cells = cells.localCheckpoint(eager=False)  # feeds the self-join twice + totals
+    a = cells.select("g", F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1"))
+    b = cells.select("g", F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "g").filter(F.col("x1") < F.col("x2"))
+    cd = pairs.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("y1") < F.col("y2"), F.col("c1") * F.col("c2")).otherwise(F.lit(0))
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(F.col("y1") > F.col("y2"), F.col("c1") * F.col("c2")).otherwise(F.lit(0))
+        ).alias("d_pairs"),
+    )
+    tot = cells.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        # pairs tied on BOTH coords: Σ_cells c(c−1)/2 — c(c−1) is even,
+        # so the per-term integer DIV is exact
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("txy"),
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("c").alias("nx"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("nx * (nx - 1) DIV 2")).alias("tx"))
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("c").alias("ny"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("ny * (ny - 1) DIV 2")).alias("ty"))
+    )
+    j = cd.join(tot, "g").join(tx, "g").join(ty, "g")
+    n0 = F.expr("n * (n - 1) DIV 2")
+    denom = F.sqrt(
+        F.greatest((n0 - F.col("tx")).cast("double"), F.lit(0.0))
+    ) * F.sqrt(F.greatest((n0 - F.col("ty")).cast("double"), F.lit(0.0)))
+    return j.select(
+        "g",
+        "n",
+        "c_pairs",
+        "d_pairs",
+        "tx",
+        "ty",
+        "txy",
+        (
+            (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+            / F.nullif(denom, F.lit(0.0))
+        ).alias("tau_b"),
+    )
+
+
+Q253_SQL = f"""
+WITH o AS (SELECT o_orderstatus AS g,
+                  CAST(substr(o_orderpriority, 1, 1) AS INT) AS x,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders),
+span AS (SELECT min(pc) AS lo, max(pc) - min(pc) + 1 AS s FROM o),
+cells AS (SELECT g, x,
+                 (pc - (SELECT lo FROM span)) * {KENDALL_BINS}
+                   // (SELECT s FROM span) AS y,
+                 count(*) AS c
+          FROM o GROUP BY 1, 2, 3),
+cd AS (SELECT a.g,
+              CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END), 0) AS BIGINT) AS c_pairs,
+              CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END), 0) AS BIGINT) AS d_pairs
+       FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+       GROUP BY 1),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS txy
+        FROM cells GROUP BY 1),
+tx AS (SELECT g, CAST(sum(nx * (nx - 1) // 2) AS BIGINT) AS tx
+       FROM (SELECT g, x, sum(c) AS nx FROM cells GROUP BY 1, 2) GROUP BY 1),
+ty AS (SELECT g, CAST(sum(ny * (ny - 1) // 2) AS BIGINT) AS ty
+       FROM (SELECT g, y, sum(c) AS ny FROM cells GROUP BY 1, 2) GROUP BY 1)
+SELECT g, n, c_pairs, d_pairs, tx, ty, txy,
+       CAST(c_pairs - d_pairs AS DOUBLE)
+         / nullif(sqrt(greatest(CAST(n * (n - 1) // 2 - tx AS DOUBLE), 0.0))
+                  * sqrt(greatest(CAST(n * (n - 1) // 2 - ty AS DOUBLE), 0.0)),
+                  0.0) AS tau_b
+FROM cd JOIN tot USING (g) JOIN tx USING (g) JOIN ty USING (g)
+"""
+
+
+# --------------------------------------------------------------------------
+# q255 — two-sample 1-D Wasserstein (earth-mover) drift per event_type
+# between the first- and second-half value distributions — the L1
+# companion of q248's CvM (CvM integrates the SQUARED ECDF gap, W1
+# integrates |gap|·dv, so W1 is in VALUE units and readable as "average
+# value displacement"). Values are quantized to exact integer
+# micro-units (round(value·1e6) — both engines round the SAME double,
+# so the grid is identical); the data collapses to the per-(type, vµ)
+# half-count summary; both cumulative counts come from the bucket-
+# offset two-pass cumsum; the ECDF gap is cross-multiplied
+# (|ca·nb − cb·na|, never a division) and multiplied by the integer
+# step to the NEXT distinct value (lead over the per-type SUMMARY — a
+# keyed, summary-sized window). The product leaves int64 by design
+# (gap ≤ na·nb, step up to the value range in µ-units), so the
+# accumulator is decimal(38,0) from the start (q248 lesson);
+# W1 = num/(na·nb·1e6) is one IEEE chain at the end.
+# --------------------------------------------------------------------------
+def q255_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("vu"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    row = ev.agg(
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("m")
+    ).collect()[0]
+    mid = int(row["m"])
+    summary = (
+        ev.groupBy("event_type", "vu")
+        .agg(
+            F.count_if(F.col("ts_us") <= mid).alias("a"),
+            F.count_if(F.col("ts_us") > mid).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # feeds cumsum + lead + totals
+    )
+    bkt = with_range_bucket(summary, F.col("vu"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        bkt,
+        ["event_type"],
+        [F.asc("vu")],
+        "a",
+        bucket=F.col("__rb"),
+        out_col="ca",
+    )
+    cum = with_global_cumsum(
+        cum,
+        ["event_type"],
+        [F.asc("vu")],
+        "b",
+        bucket=F.col("__rb"),
+        out_col="cb",
+    ).drop("__rb")
+    wl = W.partitionBy("event_type").orderBy(F.asc("vu"))
+    stepped = cum.withColumn("nxt", F.lead("vu").over(wl)).filter(
+        F.col("nxt").isNotNull()
+    )
+    tot = summary.groupBy("event_type").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    num = F.sum(
+        gap.cast("decimal(38,0)") * (F.col("nxt") - F.col("vu"))
+    ).alias("num")
+    agg = (
+        stepped.join(tot, "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(F.count("*").alias("n_steps"), num)
+    )
+    return agg.select(
+        "event_type",
+        "na",
+        "nb",
+        "n_steps",
+        (
+            F.col("num").cast("double")
+            / F.col("na").cast("double")
+            / F.col("nb").cast("double")
+            / F.lit(1e6)
+        ).alias("w1"),
+    )
+
+
+Q255_SQL = """
+WITH ev AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vu,
+                   epoch_us(ts) AS ts_us FROM events),
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM ev),
+s AS (SELECT event_type, vu,
+             count(*) FILTER (WHERE ts_us <= (SELECT m FROM mid)) AS a,
+             count(*) FILTER (WHERE ts_us > (SELECT m FROM mid)) AS b
+      FROM ev GROUP BY 1, 2),
+c AS (SELECT event_type, vu, a, b,
+             sum(a) OVER w AS ca, sum(b) OVER w AS cb,
+             lead(vu) OVER (PARTITION BY event_type ORDER BY vu) AS nxt
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY vu
+                          ROWS UNBOUNDED PRECEDING)),
+t AS (SELECT event_type, sum(a) AS na, sum(b) AS nb FROM s GROUP BY 1),
+g AS (SELECT c.event_type, na, nb, count(*) AS n_steps,
+             sum(CAST(abs(ca * nb - cb * na) AS HUGEINT) * (nxt - vu)) AS num
+      FROM c JOIN t USING (event_type)
+      WHERE nxt IS NOT NULL GROUP BY 1, 2, 3)
+SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(n_steps AS BIGINT) AS n_steps,
+       CAST(num AS DOUBLE) / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6
+         AS w1
+FROM g
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
     "q234_effective_rank": q234_effective_rank,
@@ -1052,6 +1279,8 @@ QUERIES = {
     "q176_woe_iv": q176_woe_iv,
     "q238_spearman": q238_spearman,
     "q248_cvm_drift": q248_cvm_drift,
+    "q253_kendall_tau": q253_kendall_tau,
+    "q255_wasserstein_drift": q255_wasserstein_drift,
 }
 
 ORACLES = {
@@ -1068,4 +1297,6 @@ ORACLES = {
     "q176_woe_iv": Q176_SQL,
     "q238_spearman": Q238_SQL,
     "q248_cvm_drift": Q248_SQL,
+    "q253_kendall_tau": Q253_SQL,
+    "q255_wasserstein_drift": Q255_SQL,
 }

@@ -1584,6 +1584,103 @@ FROM ranked GROUP BY query
 """
 
 
+# --------------------------------------------------------------------------
+# q257 — average precision (AP) per query + the binary-relevance
+# companion of q130's graded NDCG: same BM25-lite scorer and the same
+# 5 query tokens, relevance = raw tf ≥ 2, AP = mean over relevant
+# ranks k of precision@k. The ranked cumulative-relevance count is ONE
+# per-query keyed window (postings-sized partitions); precision@k =
+# cumrel/k is a ratio of exact integers per row, and the AP sum is
+# rounded to 6 dp AFTER the per-query summation (the q228 convention
+# for cross-engine FP sums — each term is one IEEE division, the
+# engines may add in different orders). Ties are fully broken
+# (score DESC, doc_id ASC) so both engines rank identically, the q93
+# discipline. Scale: everything is keyed by the 5 query tokens after
+# a postings-sized equi-join — the corpus never self-joins, and the
+# per-query partitions are posting-list-sized, not corpus-sized.
+# --------------------------------------------------------------------------
+_AP_REL_TF = 2
+
+
+def q257_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    qlit = F.array(*[F.lit(q) for q in _NDCG_QUERIES])
+    tf = (
+        toks.filter(F.array_contains(qlit, F.col("token")))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.select(
+        F.col("token").alias("query"),
+        "doc_id",
+        (F.col("tf") / (F.col("tf") + 0.5 + 1.5 * F.col("dl") / 100.0)).alias(
+            "score"
+        ),
+        (F.col("tf") >= _AP_REL_TF).cast("long").alias("rel"),
+    )
+    wr = W.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "query",
+        "rel",
+        F.row_number().over(wr).alias("pos"),
+        F.sum("rel").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cumrel"),
+    )
+    return ranked.groupBy("query").agg(
+        F.sum("rel").alias("n_rel"),
+        F.count("*").alias("n_ranked"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cumrel").cast("double") / F.col("pos").cast("double"),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.nullif(F.sum("rel").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ap_r"),
+    )
+
+
+Q257_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, dl, count(*) AS tf FROM toks
+       WHERE token IN ({_NDCG_IN}) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT token AS query, doc_id,
+         tf / (tf + 0.5 + 1.5 * dl / 100.0) AS score,
+         CASE WHEN tf >= {_AP_REL_TF} THEN 1 ELSE 0 END AS rel
+  FROM tf
+),
+ranked AS (
+  SELECT query, rel,
+         row_number() OVER w AS pos,
+         sum(rel) OVER (PARTITION BY query
+                        ORDER BY score DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cumrel
+  FROM scored
+  WINDOW w AS (PARTITION BY query ORDER BY score DESC, doc_id ASC)
+)
+SELECT query,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CAST(count(*) AS BIGINT) AS n_ranked,
+       round(sum(CASE WHEN rel = 1
+                      THEN CAST(cumrel AS DOUBLE) / CAST(pos AS DOUBLE)
+                      ELSE 0.0 END)
+             / nullif(CAST(sum(rel) AS DOUBLE), 0.0), 6) AS ap_r
+FROM ranked GROUP BY query
+"""
+
 
 # --------------------------------------------------------------------------
 # q138 — skip-gram co-occurrence PMI (word2vec preprocessing): token
@@ -3651,6 +3748,7 @@ QUERIES = {
     "q117_bigram_surprisal": q117_bigram_surprisal,
     "q197_kn_surprisal": q197_kn_surprisal,
     "q130_ndcg_eval": q130_ndcg_eval,
+    "q257_average_precision": q257_average_precision,
     "q138_skipgram_pmi": q138_skipgram_pmi,
     "q143_dsir_weights": q143_dsir_weights,
     "q149_bloom_decontaminate": q149_bloom_decontaminate,
@@ -3712,6 +3810,7 @@ ORACLES = {
     "q117_bigram_surprisal": Q117_SQL,
     "q197_kn_surprisal": Q197_SQL,
     "q130_ndcg_eval": Q130_SQL,
+    "q257_average_precision": Q257_SQL,
     "q138_skipgram_pmi": Q138_SQL,
     "q143_dsir_weights": Q143_SQL,
     "q149_bloom_decontaminate": Q149_SQL,

@@ -970,6 +970,158 @@ FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# q260/q261 share one shape: the events stream collapses to the
+# per-(event_type, day) value-total DAILY SUMMARY — calendar-bounded
+# (≤ span days per type, ~30 here, never data-sized) — and the robust
+# trend statistics run over that summary. The summary totals are exact
+# integer micro-units (round(value·1e6), the q255 grid), so every
+# pairwise comparison below is exact.
+#
+# q260 — Theil–Sen robust trend: the median of all pairwise daily
+# slopes (y_j−y_i)/(d_j−d_i), i<j. The pair set is summary² (≤ ~450
+# pairs per type — scale-FREE: more events deepen the totals, they
+# don't add days), each slope is ONE IEEE division of exact integers
+# (identical on both engines), and the median is the lower-middle
+# order statistic under a fully deterministic (slope, d_i, d_j) sort —
+# no averaging of the two middles, so no second FP op.
+#
+# q261 — Mann–Kendall trend test on the same summary: S = Σ_{i<j}
+# sign(y_j − y_i) (exact int), tie-corrected variance
+# Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over the tied-value
+# groups, and the normal z = (S ∓ 1)/√Var as one IEEE chain. The
+# classic nonparametric "is there a monotone trend" gate a pipeline
+# runs before fitting anything parametric; Theil–Sen is its slope
+# estimate.
+# --------------------------------------------------------------------------
+def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        F.round(F.col("value") * 1e6).cast("long").alias("vu"),
+    )
+    return ev.groupBy("event_type", "d").agg(F.sum("vu").alias("y"))
+
+
+_DAILY_SQL = """
+SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+       sum(CAST(round(value * 1e6) AS BIGINT)) AS y
+FROM events GROUP BY 1, 2
+"""
+
+
+def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir).localCheckpoint(eager=False)
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("event_type")).alias("m"),
+    )
+    n_days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        ranked.filter(F.col("rk") == F.expr("(m + 1) DIV 2"))
+        .join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("m").alias("n_pairs"),
+            (F.col("slope") / F.lit(1e6)).alias("sen_slope"),
+        )
+    )
+
+
+Q260_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+slopes AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+                  CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d < b.d),
+ranked AS (SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY slope, d1, d2) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM slopes),
+nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs, slope / 1e6 AS sen_slope
+FROM ranked JOIN nd USING (event_type)
+WHERE rk = (m + 1) // 2
+"""
+
+
+def q261_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir).localCheckpoint(eager=False)
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(F.sum(F.signum((F.col("y2") - F.col("y1")).cast("double")).cast("long")).alias("s"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"))
+    )
+    j = s.join(nd, "event_type").join(ties, "event_type")
+    var18 = (
+        F.expr("n * (n - 1) * (2 * n + 5)") - F.col("tie_term")
+    ).alias("var18")
+    out = j.select("event_type", "n", "s", var18)
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.nullif(sd, F.lit(0.0))
+    )
+    return out.select("event_type", "n", "s", "var18", z.alias("mk_z"))
+
+
+Q261_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+s AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (SELECT event_type,
+                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+         GROUP BY 1)
+SELECT event_type, n, s,
+       n * (n - 1) * (2 * n + 5) - tie_term AS var18,
+       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+            ELSE 0.0 END
+         / nullif(sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                       / 18.0), 0.0) AS mk_z
+FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+"""
+
+
 QUERIES = {
     "q82_gapfill_locf": q82_gapfill_locf,
     "q203_sax_motifs": q203_sax_motifs,
@@ -984,6 +1136,8 @@ QUERIES = {
     "q113_seasonal_backtest": q113_seasonal_backtest,
     "q136_corr_matrix": q136_corr_matrix,
     "q177_cusum": q177_cusum,
+    "q260_theil_sen": q260_theil_sen,
+    "q261_mann_kendall": q261_mann_kendall,
 }
 
 ORACLES = {
@@ -1000,4 +1154,6 @@ ORACLES = {
     "q113_seasonal_backtest": Q113_SQL,
     "q136_corr_matrix": Q136_SQL,
     "q177_cusum": Q177_SQL,
+    "q260_theil_sen": Q260_SQL,
+    "q261_mann_kendall": Q261_SQL,
 }

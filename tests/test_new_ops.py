@@ -2616,3 +2616,230 @@ def test_wilson_ci_matches_python(spark):
         assert abs(r.lo_r - (center - half)) < 1e-12
         assert abs(r.hi_r - (center + half)) < 1e-12
         assert 0.0 <= r.lo_r <= r.p_r <= r.hi_r <= 1.0
+
+
+def test_kendall_tau_matches_python(spark):
+    """q253's concordant/discordant/tie counts must equal the brute
+    all-pairs scan, and tau-b the textbook formula."""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        KENDALL_BINS,
+        q253_kendall_tau,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderstatus, CAST(substr(o_orderpriority, 1, 1) AS INT),
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).fetchall()
+    lo = min(pc for _, _, pc in rows)
+    span = max(pc for _, _, pc in rows) - lo + 1
+    groups: dict[str, list] = {}
+    for g, x, pc in rows:
+        groups.setdefault(g, []).append((x, (pc - lo) * KENDALL_BINS // span))
+
+    got = {r.g: r for r in q253_kendall_tau(spark, SF_SMOKE).collect()}
+    for g, pts in groups.items():
+        c = d = tx = ty = txy = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (x1, y1), (x2, y2) = pts[i], pts[j]
+                if x1 == x2 and y1 == y2:
+                    txy += 1
+                if x1 == x2:
+                    tx += 1
+                    continue
+                if y1 == y2:
+                    ty += 1
+                    continue
+                if (x1 < x2) == (y1 < y2):
+                    c += 1
+                else:
+                    d += 1
+        # spark's tx/ty are ALL pairs tied on that coordinate (incl.
+        # both-tied); the loop's tx branch runs for every x-tied pair
+        # (both-tied included), but its ty branch is only reached when
+        # x1 != x2 — reconcile ty by adding the both-tied pairs:
+        tx_all = tx
+        ty_all = ty + txy
+        n = len(pts)
+        n0 = n * (n - 1) // 2
+        r = got[g]
+        assert (r.n, r.c_pairs, r.d_pairs, r.tx, r.ty, r.txy) == (
+            n, c, d, tx_all, ty_all, txy,
+        )
+        denom = math.sqrt(n0 - tx_all) * math.sqrt(n0 - ty_all)
+        assert abs(r.tau_b - (c - d) / denom) < 1e-12
+
+
+def test_cochran_armitage_matches_python(spark):
+    """q254's five sums must equal the direct scan and z² the textbook
+    trend statistic."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.ml_ops import q254_cochran_armitage
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment, CAST(substr(o_orderpriority, 1, 1) AS INT),
+                   CAST(o_orderstatus = 'F' AS INT)
+            FROM '{SF_SMOKE}/orders.parquet'
+            JOIN '{SF_SMOKE}/customer.parquet' ON o_custkey = c_custkey"""
+    ).fetchall()
+    agg: dict[str, list] = {}
+    for seg, w, y in rows:
+        a = agg.setdefault(seg, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += y
+        a[2] += w
+        a[3] += w * w
+        a[4] += w * y
+    got = {r.seg: r for r in q254_cochran_armitage(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for seg, (n, d, swn, sw2n, swd) in agg.items():
+        r = got[seg]
+        assert (r.n, r.d, r.swn, r.sw2n, r.swd) == (n, d, swn, sw2n, swd)
+        num = n * swd - d * swn
+        den = d * (n - d) * (n * sw2n - swn * swn)
+        assert abs(r.ca_z2 - n * num * num / den) < 1e-9
+
+
+def test_wasserstein_drift_matches_python(spark):
+    """q255's W1 must equal the direct ECDF-difference integral over
+    the quantized value grid."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        q255_wasserstein_drift,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(round(value * 1e6) AS BIGINT),
+                   epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"""
+    ).fetchall()
+    mid = (min(t for _, _, t in rows) + max(t for _, _, t in rows)) // 2
+    groups: dict[str, tuple[list, list]] = {}
+    for g, vu, t in rows:
+        ab = groups.setdefault(g, ([], []))
+        ab[0 if t <= mid else 1].append(vu)
+
+    got = {r.event_type: r for r in q255_wasserstein_drift(spark, SF_SMOKE).collect()}
+    for g, (av, bv) in groups.items():
+        vals = sorted(set(av) | set(bv))
+        na, nb = len(av), len(bv)
+        ca = cb = 0
+        num = 0
+        from collections import Counter
+
+        cnt_a, cnt_b = Counter(av), Counter(bv)
+        for v, nxt in zip(vals, vals[1:]):
+            ca += cnt_a[v]
+            cb += cnt_b[v]
+            num += abs(ca * nb - cb * na) * (nxt - v)
+        r = got[g]
+        assert (r.na, r.nb, r.n_steps) == (na, nb, len(vals) - 1)
+        assert abs(r.w1 - num / na / nb / 1e6) < 1e-9 * max(1.0, abs(r.w1))
+
+
+def test_average_precision_matches_python(spark):
+    """q257's AP must equal the literal mean of precision@k over
+    relevant ranks under the same deterministic tie-break."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _AP_REL_TF,
+        _NDCG_QUERIES,
+        q257_average_precision,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    got = {r.query: r for r in q257_average_precision(spark, SF_SMOKE).collect()}
+    for q in _NDCG_QUERIES:
+        scored = []
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            tf = sum(1 for t in toks if t == q)
+            if tf == 0:
+                continue
+            score = tf / (tf + 0.5 + 1.5 * len(toks) / 100.0)
+            scored.append((-score, doc_id, 1 if tf >= _AP_REL_TF else 0))
+        scored.sort()
+        n_rel = sum(rel for _, _, rel in scored)
+        cum = 0
+        ap = 0.0
+        for k, (_, _, rel) in enumerate(scored, start=1):
+            cum += rel
+            if rel:
+                ap += cum / k
+        r = got[q]
+        assert (r.n_rel, r.n_ranked) == (n_rel, len(scored))
+        if n_rel:
+            assert abs(r.ap_r - round(ap / n_rel, 6)) < 1e-9
+
+
+def _daily_totals_python(sf_dir: str):
+    import datetime
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE),
+                   CAST(round(value * 1e6) AS BIGINT)
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    base = datetime.date(2024, 1, 1)
+    daily: dict[str, dict[int, int]] = {}
+    for g, day, vu in rows:
+        d = (day - base).days
+        daily.setdefault(g, {})[d] = daily.setdefault(g, {}).get(d, 0) + vu
+    return daily
+
+
+def test_theil_sen_matches_python(spark):
+    """q260's Sen slope must be the lower-middle order statistic of the
+    literal pairwise-slope list."""
+    from binance_data_ingestor_spark.queries.timeseries_ops import q260_theil_sen
+
+    daily = _daily_totals_python(SF_SMOKE)
+    got = {r.event_type: r for r in q260_theil_sen(spark, SF_SMOKE).collect()}
+    for g, series in daily.items():
+        pts = sorted(series.items())
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (d1, y1), (d2, y2) = pts[i], pts[j]
+                slopes.append(((y2 - y1) / (d2 - d1), d1, d2))
+        slopes.sort()
+        pick = slopes[(len(slopes) + 1) // 2 - 1][0]
+        r = got[g]
+        assert (r.n_days, r.n_pairs) == (len(pts), len(slopes))
+        assert abs(r.sen_slope - pick / 1e6) < 1e-12 * max(1.0, abs(pick / 1e6))
+
+
+def test_mann_kendall_matches_python(spark):
+    """q261's S, tie-corrected variance, and z must equal the textbook
+    Mann–Kendall computation."""
+    import math
+    from collections import Counter
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import q261_mann_kendall
+
+    daily = _daily_totals_python(SF_SMOKE)
+    got = {r.event_type: r for r in q261_mann_kendall(spark, SF_SMOKE).collect()}
+    for g, series in daily.items():
+        pts = [y for _, y in sorted(series.items())]
+        n = len(pts)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (pts[j] > pts[i]) - (pts[j] < pts[i])
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(pts).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        r = got[g]
+        assert (r.n, r.s, r.var18) == (n, s, var18)
+        z = (s - (1 if s > 0 else -1 if s < 0 else s)) / math.sqrt(var18 / 18.0)
+        assert abs(r.mk_z - z) < 1e-12
