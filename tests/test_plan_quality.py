@@ -646,3 +646,86 @@ def test_no_duplicate_module_constants():
                 else:
                     seen[name] = node.lineno
     assert not offenders, offenders
+
+
+def test_no_partitionless_window_construction():
+    """No source file may build a Window spec with an EMPTY partition
+    clause (``Window.orderBy(...)`` / ``W.orderBy(...)`` as the spec
+    root): Spark plans that as ONE task over the whole input and logs
+    the WindowExec degradation warning, and the round-9 sweep showed
+    known-bounded uses of the pattern drowning the log (174
+    warnings/sweep) so a REAL unbounded one would hide. Bounded frames
+    must route through ``bounded_ordered_window`` (non-foldable
+    constant partition — warning-free by construction); data-sized
+    orderings through ``with_global_rank`` / ``with_global_cumsum`` /
+    ``with_row_context``. The same rule for Spark-side SQL strings:
+    ``OVER (ORDER BY`` without a PARTITION BY belongs only in DuckDB
+    ORACLE SQL, never in a string passed to ``spark.sql`` (q177 keeps
+    the spec parametrized per engine for exactly this reason)."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "binance_data_ingestor_spark"
+    offenders = []
+    for f in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        # Window aliases imported in this module (W or Window)
+        aliases = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module == "pyspark.sql":
+                for a in node.names:
+                    if a.name == "Window":
+                        aliases.add(a.asname or a.name)
+        if not aliases:
+            continue
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in aliases
+            ):
+                offenders.append(f"{f.relative_to(pkg)}:{node.lineno}")
+    assert not offenders, (
+        "partition-less Window.orderBy(...) construction: " + ", ".join(offenders)
+    )
+
+
+def test_bounded_ordered_window_equals_plain_and_survives_catalyst(spark):
+    """bounded_ordered_window must (a) return exactly what the empty-
+    partition spec returns for rank and running-sum frames, and (b)
+    keep its constant partition through optimization — a FOLDABLE
+    constant is stripped by Catalyst and the WindowExec warning comes
+    back (measured: a bare lit() partition reverts to the empty spec)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        bounded_ordered_window,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    plain = W.orderBy(F.desc("v"), F.asc("id"))
+    bounded = bounded_ordered_window("id", F.desc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(plain).alias("rk"),
+        F.sum("v").over(
+            plain.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+    ).collect()
+    got = df.select(
+        "id",
+        F.row_number().over(bounded).alias("rk"),
+        F.sum("v").over(
+            bounded.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the non-foldable constant partition must SURVIVE optimization
+    out = df.select(F.row_number().over(bounded).alias("rk"))
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in optimized and "hash" in optimized, optimized
