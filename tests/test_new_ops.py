@@ -2843,3 +2843,83 @@ def test_mann_kendall_matches_python(spark):
         assert (r.n, r.s, r.var18) == (n, s, var18)
         z = (s - (1 if s > 0 else -1 if s < 0 else s)) / math.sqrt(var18 / 18.0)
         assert abs(r.mk_z - z) < 1e-12
+
+
+def test_incremental_bm25_algebra_matches_scratch(spark):
+    """q252's maintained statistics (df/doclen/n_docs/avgdl via the
+    base⊎delta merge) must equal scratch statistics recomputed in
+    Python, the split must be non-trivial at this SF, and the scored
+    output must equal q93's scratch ranking row-for-row."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        NEW_BATCH_PCT,
+        q93_bm25_retrieval,
+        q252_incremental_bm25,
+    )
+    from binance_data_ingestor_spark.operators.text import hash_bucket_sql
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id, text,
+                   {hash_bucket_sql('duckdb', 'doc_id', 100)} >= {NEW_BATCH_PCT}
+            FROM '{SF_SMOKE}/documents.parquet'"""
+    ).fetchall()
+    n_delta = sum(1 for _, _, d in rows if d)
+    assert 0 < n_delta < len(rows), "split is trivial — the test is vacuous"
+
+    # merged df/doclen from the two halves must equal scratch
+    df_scratch: dict[str, int] = {}
+    df_merged: dict[str, int] = {}
+    for _, text, is_delta in rows:
+        for t in set(text.split(" ")):
+            df_scratch[t] = df_scratch.get(t, 0) + 1
+    base = {}
+    delta = {}
+    for _, text, is_delta in rows:
+        tgt = delta if is_delta else base
+        for t in set(text.split(" ")):
+            tgt[t] = tgt.get(t, 0) + 1
+    for t in set(base) | set(delta):
+        df_merged[t] = base.get(t, 0) + delta.get(t, 0)
+    assert df_merged == df_scratch
+
+    got = sorted(
+        map(tuple, q252_incremental_bm25(spark, SF_SMOKE).collect())
+    )
+    want = sorted(map(tuple, q93_bm25_retrieval(spark, SF_SMOKE).collect()))
+    assert got == want
+
+
+def test_stream_lsh_compaction_has_teeth(spark):
+    """q259's certificate must (a) reproduce q45's batch pair set
+    through the streamed-then-compacted store, and (b) actually be
+    able to fail: a compactor that RETAINS the stale versions yields a
+    materially different pair set (the identical stale placeholder
+    text forms a band-bucket clique)."""
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from binance_data_ingestor_spark.queries.text_ops import (
+        _STALE_TEXT,
+        q45_minhash_lsh,
+        q259_stream_lsh_compaction,
+    )
+    from binance_data_ingestor_spark.queries.util import load
+
+    got = {(r.id_a, r.id_b) for r in q259_stream_lsh_compaction(spark, SF_SMOKE).collect()}
+    want = {(r.id_a, r.id_b) for r in q45_minhash_lsh(spark, SF_SMOKE).collect()}
+    assert got == want
+
+    docs = load(spark, SF_SMOKE, "documents")
+    upd = (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 == 0)
+    assert docs.filter(upd).count() > 1, "no updated docs — no teeth"
+    stale_kept = docs.withColumn(
+        "text", F.when(upd, F.lit(_STALE_TEXT)).otherwise(F.col("text"))
+    )
+    bad = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(stale_kept).collect()}
+    assert bad != want, (
+        "stale-retaining compaction produced the SAME pairs — the "
+        "certificate cannot detect a keep-first compactor"
+    )
