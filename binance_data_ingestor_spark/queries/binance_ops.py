@@ -1596,6 +1596,468 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# q262 — bipower variation & jump share per (symbol, day): realized
+# variance RV = Σ Δp² is contaminated by jumps; bipower variation
+# BPV = Σ|Δp_i||Δp_{i−1}| is jump-robust (Barndorff-Nielsen/Shephard),
+# so jump_share = max(0, 1 − (π/2)·BPV/RV) reads as "fraction of the
+# day's variance that came from jumps". Both sums are EXACT int64
+# cents products (|Δp| ≤ ~10⁴ cents ⇒ products ≤ 10⁸, day sums far
+# under 2^63 at sf10); the day grain is the row's own day, with lag
+# context crossing day boundaries (documented — a trade's previous
+# tick is its previous tick regardless of midnight). One chunked lag
+# window depth 2 (the q231 shape); π/2 is a shared literal.
+# --------------------------------------------------------------------------
+PI_HALF = 1.5707963267948966
+
+
+def q262_bipower_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=2,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            F.expr("trade_time div 86400000").alias("day"),
+            (F.col("pc") - F.lag("pc", 1).over(w)).alias("dp"),
+            (F.lag("pc", 1).over(w) - F.lag("pc", 2).over(w)).alias("dpl"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("dpl").isNotNull())
+    )
+    agg = d.groupBy("symbol", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dp") * F.col("dp")).alias("rv"),
+        F.sum(F.abs("dp") * F.abs("dpl")).alias("bpv"),
+    )
+    jump = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - F.lit(PI_HALF) * F.col("bpv").cast("double")
+        / F.nullif(F.col("rv").cast("double"), F.lit(0.0)),
+    )
+    return agg.select("symbol", "day", "n", "rv", "bpv", jump.alias("jump_r"))
+
+
+Q262_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol, tt // 86400000 AS day,
+             pc - lag(pc, 1) OVER w AS dp,
+             lag(pc, 1) OVER w - lag(pc, 2) OVER w AS dpl
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+a AS (SELECT symbol, day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dp * dp) AS BIGINT) AS rv,
+             CAST(sum(abs(dp) * abs(dpl)) AS BIGINT) AS bpv
+      FROM l WHERE dpl IS NOT NULL GROUP BY 1, 2)
+SELECT symbol, day, n, rv, bpv,
+       greatest(0.0, 1.0 - {PI_HALF} * CAST(bpv AS DOUBLE)
+                           / nullif(CAST(rv AS DOUBLE), 0.0)) AS jump_r
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# q263 — Ljung–Box portmanteau test on tick returns per symbol, lags
+# 1..5: Q = n(n+2)·Σ_k ρ_k²/(n−k), the standard "is there ANY serial
+# correlation" gate before fitting microstructure models (q39 tests
+# SIGN flow; this tests the return magnitudes jointly across lags).
+# Uncentered autocorrelation (ρ_k = Σ x_i·x_{i−k} / Σ x², the
+# high-frequency-returns convention where the mean is ~0 — documented)
+# keeps every sum an exact int64: ONE chunked lag window of depth 5
+# (the q244 shape, taps lag 1..5 share the window) produces all five
+# lag products; each ρ_k is a single IEEE division and Q is one
+# fixed-order left-to-right chain over the five terms.
+# --------------------------------------------------------------------------
+LB_LAGS = 5
+
+
+def q263_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    # depth LB_LAGS+1: x_{i-k} needs Δp history k+1 price rows back
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=LB_LAGS + 1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = tc.select(
+        "symbol",
+        "is_ctx",
+        (F.col("pc") - F.lag("pc", 1).over(w)).alias("x"),
+        *[
+            (F.lag("pc", k).over(w) - F.lag("pc", k + 1).over(w)).alias(f"xl{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    ).filter((F.col("is_ctx") == 0) & F.col("x").isNotNull())
+    agg = d.groupBy("symbol").agg(
+        F.count("x").alias("n"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        *[
+            F.sum(F.col("x") * F.col(f"xl{k}")).alias(f"c{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    sxxd = F.nullif(F.col("sxx").cast("double"), F.lit(0.0))
+    rho = [F.col(f"c{k}").cast("double") / sxxd for k in range(1, LB_LAGS + 1)]
+    q = F.lit(0.0)
+    for k, r in enumerate(rho, start=1):
+        q = q + r * r / (nd - F.lit(float(k)))
+    q = nd * (nd + F.lit(2.0)) * q
+    return agg.select(
+        "symbol",
+        "n",
+        "sxx",
+        *[F.col(f"c{k}") for k in range(1, LB_LAGS + 1)],
+        q.alias("q_lb"),
+    )
+
+
+def _q263_sql() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(pc, {k}) OVER w - lag(pc, {k + 1}) OVER w AS xl{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    csums = ",\n             ".join(
+        f"CAST(sum(CASE WHEN xl{k} IS NOT NULL THEN x * xl{k} END) AS BIGINT) AS c{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    terms = " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / nullif(CAST(sxx AS DOUBLE), 0.0))"
+        f" * (CAST(c{k} AS DOUBLE) / nullif(CAST(sxx AS DOUBLE), 0.0))"
+        f" / (CAST(n AS DOUBLE) - {k})"
+        for k in range(1, LB_LAGS + 1)
+    )
+    return f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol,
+             pc - lag(pc, 1) OVER w AS x,
+             {lag_cols}
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+a AS (SELECT symbol, CAST(count(x) AS BIGINT) AS n,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             {csums}
+      FROM l WHERE x IS NOT NULL GROUP BY 1)
+SELECT symbol, n, sxx, {", ".join(f"c{k}" for k in range(1, LB_LAGS + 1))},
+       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({terms}) AS q_lb
+FROM a
+"""
+
+
+Q263_SQL = _q263_sql()
+
+
+# --------------------------------------------------------------------------
+# q264 — Hill tail-index estimator per symbol over the top-k absolute
+# tick moves: α = k / Σ_{i≤k} ln(|Δp|_(i) / |Δp|_(k+1)) — the
+# heavy-tail readout (α < 2 ⇒ infinite variance territory) a risk
+# pipeline runs on move magnitudes. The order statistics come from the
+# DISTRIBUTED per-symbol rank (with_global_rank over a range bucket of
+# the negated magnitude — no per-symbol single-task window); only
+# ranks ≤ k+1 survive to the ln stage, so the ln/aggregate cost is
+# k-bounded per symbol. ln-derived sums round 6 dp AFTER the final
+# expression (house parity rule); zero moves are filtered before
+# ranking (ln domain; documented).
+# --------------------------------------------------------------------------
+HILL_K = 50
+
+
+def q264_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import with_global_rank, with_range_bucket
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            "trade_time",
+            "event_id",
+            F.abs(F.col("pc") - F.lag("pc", 1).over(w)).alias("adp"),
+        )
+        .filter(
+            (F.col("is_ctx") == 0) & F.col("adp").isNotNull() & (F.col("adp") > 0)
+        )
+    )
+    b = with_range_bucket(d, -F.col("adp"), bucket_col="__rb")
+    ranked = with_global_rank(
+        b,
+        ["symbol"],
+        [F.desc("adp"), F.asc("trade_time"), F.asc("event_id")],
+        bucket=F.col("__rb"),
+        rank_col="rk",
+    ).drop("__rb")
+    top = ranked.filter(F.col("rk") <= HILL_K + 1)
+    agg = top.groupBy("symbol").agg(
+        F.sum(
+            F.when(F.col("rk") <= HILL_K, F.log(F.col("adp").cast("double")))
+        ).alias("sln"),
+        F.min(F.when(F.col("rk") == HILL_K + 1, F.col("adp"))).alias("xk1"),
+        F.count_if(F.col("rk") <= HILL_K).alias("k_used"),
+    )
+    hinv = (
+        F.col("sln")
+        - F.col("k_used").cast("double") * F.log(F.col("xk1").cast("double"))
+    ) / F.col("k_used").cast("double")
+    return agg.select(
+        "symbol",
+        "k_used",
+        "xk1",
+        F.round(F.col("k_used").cast("double") / F.nullif(
+            F.col("sln")
+            - F.col("k_used").cast("double")
+            * F.log(F.col("xk1").cast("double")),
+            F.lit(0.0),
+        ), 6).alias("hill_alpha_r"),
+        F.round(hinv, 6).alias("hill_hinv_r"),
+    )
+
+
+Q264_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol, tt, event_id,
+             abs(pc - lag(pc, 1) OVER w) AS adp
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tt, event_id)),
+r AS (SELECT symbol, adp,
+             row_number() OVER (PARTITION BY symbol
+                                ORDER BY adp DESC, tt ASC, event_id ASC) AS rk
+      FROM l WHERE adp IS NOT NULL AND adp > 0),
+a AS (SELECT symbol,
+             sum(CASE WHEN rk <= {HILL_K} THEN ln(CAST(adp AS DOUBLE)) END)
+               AS sln,
+             min(CASE WHEN rk = {HILL_K} + 1 THEN adp END) AS xk1,
+             CAST(count(*) FILTER (WHERE rk <= {HILL_K}) AS BIGINT) AS k_used
+      FROM r WHERE rk <= {HILL_K} + 1 GROUP BY 1)
+SELECT symbol, k_used, xk1,
+       round(CAST(k_used AS DOUBLE)
+             / nullif(sln - CAST(k_used AS DOUBLE)
+                            * ln(CAST(xk1 AS DOUBLE)), 0.0), 6)
+         AS hill_alpha_r,
+       round((sln - CAST(k_used AS DOUBLE) * ln(CAST(xk1 AS DOUBLE)))
+             / CAST(k_used AS DOUBLE), 6) AS hill_hinv_r
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# q265 — Hurst exponent via rescaled-range (R/S) analysis per symbol:
+# ln(R/S) regressed on ln(window) over dyadic trade-count windows
+# w ∈ {16, 64, 256} — H ≈ 0.5 for a random walk, > 0.5 persistent,
+# < 0.5 mean-reverting. Fully distributed: the per-symbol trade rank
+# comes from the two-pass bucket-offset rank (never a per-symbol
+# single-task window); each (symbol, scale, window) is a KEYED window
+# partition of exactly w rows, inside which the centered cumulative
+# deviation is cross-multiplied to stay exact — R′ = max_k(w·C_k −
+# k·S) − min_k(w·C_k − k·S) and var′ = w·Σx² − S² are exact int64
+# (w ≤ 256, cents ⇒ far under 2^63 at sf10), with R = R′/w and
+# S_w = √var′/w so ln(R/S) = ln R′ − ½ ln var′. Per (symbol, scale)
+# the window means of those ln terms feed a 3-point OLS for H; ln
+# sums round 6 dp AFTER the OLS (q228 rule). Degenerate windows
+# (R′ = 0 or var′ = 0 — constant price) are excluded on exact-integer
+# predicates, identically on both engines.
+# --------------------------------------------------------------------------
+HURST_SCALES = (16, 64, 256)
+
+
+def q265_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import with_global_rank, with_row_context
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=1,
+    )
+    wl = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            "trade_time",
+            "event_id",
+            (F.col("pc") - F.lag("pc", 1).over(wl)).alias("x"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("x").isNotNull())
+    )
+    ranked = with_global_rank(
+        d,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        bucket=F.expr("trade_time div 86400000"),
+        rank_col="rk",
+    )
+    scales = F.array(*[F.lit(s) for s in HURST_SCALES])
+    sc = ranked.select(
+        "symbol", "rk", "x", F.explode(scales).alias("w")
+    ).select(
+        "symbol", "w", "x", "rk", F.expr("CAST((rk - 1) DIV w AS BIGINT)").alias("win")
+    )
+    kw = (
+        W.partitionBy("symbol", "w", "win")
+        .orderBy("rk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("symbol", "w", "win")
+    dev = sc.select(
+        "symbol",
+        "w",
+        "win",
+        "x",
+        F.count("*").over(kw).alias("k"),
+        F.sum("x").over(kw).alias("ck"),
+        F.sum("x").over(tot).alias("s"),
+        F.count("*").over(tot).alias("nw"),
+        F.sum(F.col("x") * F.col("x")).over(tot).alias("sxx"),
+    ).filter(F.col("nw") == F.col("w"))  # full windows only
+    # R′ = max(dev, 0) − min(dev, 0): the cumulative deviation range
+    # includes the window start (deviation 0 at k=0)
+    rng = dev.groupBy("symbol", "w", "win", "s", "sxx").agg(
+        (
+            F.greatest(F.max(F.col("w") * F.col("ck") - F.col("k") * F.col("s")), F.lit(0))
+            - F.least(F.min(F.col("w") * F.col("ck") - F.col("k") * F.col("s")), F.lit(0))
+        ).alias("rp")
+    )
+    valid = rng.withColumn(
+        "varp", F.col("w") * F.col("sxx") - F.col("s") * F.col("s")
+    ).filter((F.col("rp") > 0) & (F.col("varp") > 0))
+    lnrs = valid.select(
+        "symbol",
+        "w",
+        (
+            F.log(F.col("rp").cast("double"))
+            - F.lit(0.5) * F.log(F.col("varp").cast("double"))
+        ).alias("lnrs"),
+    )
+    per_scale = lnrs.groupBy("symbol", "w").agg(
+        F.count("*").alias("n_windows"), F.avg("lnrs").alias("m")
+    )
+    ols = per_scale.select(
+        "symbol",
+        "n_windows",
+        "w",
+        "m",
+        F.log(F.col("w").cast("double")).alias("lw"),
+    )
+    fit = ols.groupBy("symbol").agg(
+        F.count("*").alias("np"),
+        F.sum("lw").alias("slw"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("lw") * F.col("m")).alias("slwm"),
+        F.sum(F.col("lw") * F.col("lw")).alias("slw2"),
+    )
+    npd = F.col("np").cast("double")
+    hurst = (npd * F.col("slwm") - F.col("slw") * F.col("sm")) / F.nullif(
+        npd * F.col("slw2") - F.col("slw") * F.col("slw"), F.lit(0.0)
+    )
+    return (
+        ols.join(fit.select("symbol", hurst.alias("h")), "symbol")
+        .select(
+            "symbol",
+            "w",
+            "n_windows",
+            F.round("m", 6).alias("mean_lnrs_r"),
+            F.round("h", 6).alias("hurst_r"),
+        )
+    )
+
+
+def _q265_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+d AS (SELECT symbol, tt, event_id,
+             pc - lag(pc, 1) OVER (PARTITION BY symbol ORDER BY tt, event_id)
+               AS x
+      FROM t),
+r AS (SELECT symbol, x,
+             row_number() OVER (PARTITION BY symbol ORDER BY tt, event_id)
+               AS rk
+      FROM d WHERE x IS NOT NULL),
+sc AS (SELECT symbol, w, x, rk, (rk - 1) // w AS win
+       FROM r CROSS JOIN (SELECT unnest(ARRAY{list(HURST_SCALES)}) AS w)),
+dev AS (SELECT symbol, w, win, x,
+               count(*) OVER kw AS k,
+               sum(x) OVER kw AS ck,
+               sum(x) OVER tw AS s,
+               count(*) OVER tw AS nw,
+               sum(x * x) OVER tw AS sxx
+        FROM sc
+        WINDOW kw AS (PARTITION BY symbol, w, win ORDER BY rk
+                      ROWS UNBOUNDED PRECEDING),
+               tw AS (PARTITION BY symbol, w, win)),
+rng AS (SELECT symbol, w, win, s, sxx,
+               greatest(max(w * ck - k * s), 0)
+                 - least(min(w * ck - k * s), 0) AS rp
+        FROM dev WHERE nw = w GROUP BY 1, 2, 3, 4, 5),
+lnrs AS (SELECT symbol, w,
+                ln(CAST(rp AS DOUBLE))
+                  - 0.5 * ln(CAST(w * sxx - s * s AS DOUBLE)) AS lnrs
+         FROM rng WHERE rp > 0 AND w * sxx - s * s > 0),
+ps AS (SELECT symbol, w, CAST(count(*) AS BIGINT) AS n_windows,
+              avg(lnrs) AS m, ln(CAST(w AS DOUBLE)) AS lw
+       FROM lnrs GROUP BY 1, 2),
+fit AS (SELECT symbol,
+               (count(*) * sum(lw * m) - sum(lw) * sum(m))
+                 / nullif(count(*) * sum(lw * lw) - sum(lw) * sum(lw), 0.0)
+                 AS h
+        FROM ps GROUP BY 1)
+SELECT symbol, w, n_windows, round(m, 6) AS mean_lnrs_r,
+       round(h, 6) AS hurst_r
+FROM ps JOIN fit USING (symbol)
+"""
+
+
+Q265_SQL = _q265_sql()
+
+
 QUERIES = {
     "q30_ticker_normalize": q30_ticker_normalize,
     "q31_orderbook_metrics": q31_orderbook_metrics,
@@ -1615,6 +2077,10 @@ QUERIES = {
     "q244_variance_ratio": q244_variance_ratio,
     "q246_ar1_halflife": q246_ar1_halflife,
     "q251_stream_vpin": q251_stream_vpin,
+    "q262_bipower_variation": q262_bipower_variation,
+    "q263_ljung_box": q263_ljung_box,
+    "q264_hill_tail": q264_hill_tail,
+    "q265_hurst_rs": q265_hurst_rs,
 }
 
 ORACLES = {
@@ -1636,4 +2102,8 @@ ORACLES = {
     "q244_variance_ratio": Q244_SQL,
     "q246_ar1_halflife": Q246_SQL,
     "q251_stream_vpin": Q251_SQL,
+    "q262_bipower_variation": Q262_SQL,
+    "q263_ljung_box": Q263_SQL,
+    "q264_hill_tail": Q264_SQL,
+    "q265_hurst_rs": Q265_SQL,
 }

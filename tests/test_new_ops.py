@@ -2923,3 +2923,148 @@ def test_stream_lsh_compaction_has_teeth(spark):
         "stale-retaining compaction produced the SAME pairs — the "
         "certificate cannot detect a keep-first compactor"
     )
+
+
+def test_bipower_variation_matches_python(spark):
+    """q262's RV/BPV per (symbol, day) must equal the direct fold over
+    the ordered tick series (lag context crossing day boundaries)."""
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        PI_HALF,
+        q262_bipower_variation,
+    )
+
+    series: dict[str, list] = {}
+    for r in _sorted_trades(spark):
+        series.setdefault(r.symbol, []).append((r.trade_time, r.pc))
+    got = {
+        (r.symbol, r.day): r
+        for r in q262_bipower_variation(spark, SF_SMOKE).collect()
+    }
+    want: dict[tuple, list] = {}
+    for sym, rows in series.items():
+        for i in range(2, len(rows)):
+            day = rows[i][0] // 86_400_000
+            dp = rows[i][1] - rows[i - 1][1]
+            dpl = rows[i - 1][1] - rows[i - 2][1]
+            acc = want.setdefault((sym, day), [0, 0, 0])
+            acc[0] += 1
+            acc[1] += dp * dp
+            acc[2] += abs(dp) * abs(dpl)
+    assert set(got) == set(want)
+    for key, (n, rv, bpv) in want.items():
+        g = got[key]
+        assert (g.n, g.rv, g.bpv) == (n, rv, bpv)
+        if rv:
+            exp = max(0.0, 1.0 - PI_HALF * bpv / rv)
+            assert abs(g.jump_r - exp) < 1e-12
+
+
+def test_ljung_box_matches_python(spark):
+    """q263's five lag products and Q statistic must equal the direct
+    uncentered autocorrelation computation."""
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        LB_LAGS,
+        q263_ljung_box,
+    )
+
+    series: dict[str, list] = {}
+    for r in _sorted_trades(spark):
+        series.setdefault(r.symbol, []).append(r.pc)
+    got = {r.symbol: r for r in q263_ljung_box(spark, SF_SMOKE).collect()}
+    for sym, p in series.items():
+        x = [b - a for a, b in zip(p, p[1:])]
+        n = len(x)
+        sxx = sum(v * v for v in x)
+        g = got[sym]
+        assert (g.n, g.sxx) == (n, sxx)
+        q = 0.0
+        for k in range(1, LB_LAGS + 1):
+            ck = sum(x[i] * x[i - k] for i in range(k, n))
+            assert getattr(g, f"c{k}") == ck
+            rho = ck / sxx
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert abs(g.q_lb - q) < 1e-9 * max(1.0, abs(q))
+
+
+def test_hill_tail_matches_python(spark):
+    """q264's Hill estimator must equal the direct top-k order-statistic
+    computation (ties broken by time then event id)."""
+    import math
+
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        HILL_K,
+        q264_hill_tail,
+    )
+
+    moves: dict[str, list] = {}
+    prev: dict[str, int] = {}
+    for r in _sorted_trades(spark):
+        if r.symbol in prev:
+            adp = abs(r.pc - prev[r.symbol])
+            if adp > 0:
+                moves.setdefault(r.symbol, []).append(
+                    (-adp, r.trade_time, r.event_id, adp)
+                )
+        prev[r.symbol] = r.pc
+    got = {r.symbol: r for r in q264_hill_tail(spark, SF_SMOKE).collect()}
+    for sym, mv in moves.items():
+        mv.sort()
+        top = [m[3] for m in mv[:HILL_K]]
+        xk1 = mv[HILL_K][3] if len(mv) > HILL_K else None
+        g = got[sym]
+        assert g.k_used == len(top)
+        assert g.xk1 == xk1
+        if xk1:
+            hinv = (sum(math.log(v) for v in top) - len(top) * math.log(xk1)) / len(top)
+            assert abs(g.hill_hinv_r - round(hinv, 6)) < 2e-6
+            assert abs(g.hill_alpha_r - round(1.0 / hinv, 6)) < 2e-6
+
+
+def test_hurst_rs_matches_python(spark):
+    """q265's per-scale mean ln(R/S) and the OLS Hurst slope must equal
+    the direct window fold (cross-multiplied R′/var′ included)."""
+    import math
+
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        HURST_SCALES,
+        q265_hurst_rs,
+    )
+
+    series: dict[str, list] = {}
+    for r in _sorted_trades(spark):
+        series.setdefault(r.symbol, []).append(r.pc)
+    got = {(r.symbol, r.w): r for r in q265_hurst_rs(spark, SF_SMOKE).collect()}
+    for sym, p in series.items():
+        x = [b - a for a, b in zip(p, p[1:])]
+        pts = []
+        for w in HURST_SCALES:
+            terms = []
+            for win in range(len(x) // w):
+                seg = x[win * w : (win + 1) * w]
+                s = sum(seg)
+                sxx = sum(v * v for v in seg)
+                ck = 0
+                devs = [0]
+                for v in seg:
+                    ck += v
+                    devs.append(w * ck - (len(devs)) * s)
+                rp = max(max(devs), 0) - min(min(devs), 0)
+                varp = w * sxx - s * s
+                if rp > 0 and varp > 0:
+                    terms.append(math.log(rp) - 0.5 * math.log(varp))
+            if terms:
+                m = sum(terms) / len(terms)
+                pts.append((math.log(w), m, len(terms)))
+                g = got[(sym, w)]
+                assert g.n_windows == len(terms)
+                assert abs(g.mean_lnrs_r - round(m, 6)) < 2e-6
+        n = len(pts)
+        slw = sum(a for a, _, _ in pts)
+        sm = sum(b for _, b, _ in pts)
+        slwm = sum(a * b for a, b, _ in pts)
+        slw2 = sum(a * a for a, _, _ in pts)
+        h = (n * slwm - slw * sm) / (n * slw2 - slw * slw)
+        for w in HURST_SCALES:
+            if (sym, w) in got:
+                assert abs(got[(sym, w)].hurst_r - round(h, 6)) < 2e-6
