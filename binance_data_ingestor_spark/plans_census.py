@@ -44,6 +44,9 @@ disjoint source pairs still emit jsd = ln 2.
 q226 (round 7) — two 1-ROW max-score aggregates (max authority, max
 hub) crossJoin-broadcast into the top-20 tables for the final
 normalizing division (the q88 shape).
+q252 (round 9) — the 1-ROW merged (n_docs, avgdl) statistics aggregate
+crossJoin-broadcast into the maintained df table (exactly q93's shape —
+the incremental twin inherits the adjudication).
 q227 (round 7) — the 1-ROW min/max balance span crossJoin-broadcast
 into the customer scan for integer micro-probability scaling (the
 q94/q129 span shape).
@@ -63,6 +66,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q129", "q138", "q139", "q143", "q152", "q155", "q168",
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
-        "q219", "q221", "q223", "q226", "q227", "q234",
+        "q219", "q221", "q223", "q226", "q227", "q234", "q252",
     }
 )
