@@ -1,0 +1,45 @@
+"""Merge two full-registry bench sweeps into the canonical
+BENCH_DETAIL.json — the round-7 'min across two idle sweeps' protocol
+made explicit: samples are concatenated per query (repeat-2 × 2 sweeps
+= 4 samples), min recomputed, box stamp taken from the SECOND (later)
+sweep.
+
+Usage: python scripts/merge_bench_detail.py A.json B.json [OUT.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    a_path, b_path = sys.argv[1], sys.argv[2]
+    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_DETAIL.json"
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    if set(a["samples"]) != set(b["samples"]):
+        raise SystemExit(
+            f"sweep query sets differ: only-in-A="
+            f"{sorted(set(a['samples']) - set(b['samples']))[:5]} "
+            f"only-in-B={sorted(set(b['samples']) - set(a['samples']))[:5]}"
+        )
+    samples = {
+        q: a["samples"][q] + b["samples"][q] for q in a["samples"]
+    }
+    merged = {
+        "sf": b["sf"],
+        "repeat": a.get("repeat", 2) + b.get("repeat", 2),
+        "box": b["box"],
+        "note": "min across two idle sweeps x repeat-2 (4 samples/query)",
+        "samples": samples,
+        "min": {q: min(ts) for q, ts in samples.items()},
+    }
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    total = sum(merged["min"].values())
+    print(f"wrote {out}: {len(samples)} queries, total of mins {total:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
