@@ -47,6 +47,13 @@ normalizing division (the q88 shape).
 q252 (round 9) — the 1-ROW merged (n_docs, avgdl) statistics aggregate
 crossJoin-broadcast into the maintained df table (exactly q93's shape —
 the incremental twin inherits the adjudication).
+q267 (round 9) — the 1-ROW avg-class-mass aggregate crossJoin-broadcast
+into the (source, token) summary (the q93/q204 scalar shape).
+q269 (round 9) — the 1-ROW distinct-next-state count (the Laplace V)
+crossJoin-broadcast into the test transition pairs.
+q270 (round 9) — the 1-ROW (n_all, Σcontrib) totals aggregate
+crossJoin-broadcast into the 5-row per-segment table (both BNLJ sides
+summary-sized).
 q227 (round 7) — the 1-ROW min/max balance span crossJoin-broadcast
 into the customer scan for integer micro-probability scaling (the
 q94/q129 span shape).
@@ -67,5 +74,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
         "q219", "q221", "q223", "q226", "q227", "q234", "q252",
+        "q267", "q269", "q270",
     }
 )

@@ -1750,8 +1750,107 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# q269 — held-out Markov transition perplexity: train the first-order
+# event-transition model on the FIRST time half (Laplace-smoothed),
+# score the SECOND half's transitions with it, report per-state
+# negative log-likelihood and perplexity — the sequence-model quality
+# gate that tells you whether q120's transition matrix actually
+# predicts anything out of sample. Transitions come from per-user lag
+# windows (keyed — user-sized partitions); both train and test pairs
+# require BOTH endpoints inside their half, so no transition straddles
+# the split. The model is V²-sized (V = distinct train types + 1
+# smoothing bucket) and broadcast to the test pairs; p = (c+1)/(row+V)
+# is an exact-int ratio, and the per-state ln sums round 6 dp AFTER
+# aggregation (the q228 rule for data-dependent-order FP sums).
+# Midpoint is the q248-style 1-row planning literal.
+# --------------------------------------------------------------------------
+def q269_markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    row = ev.agg(
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("m")
+    ).collect()[0]
+    mid = int(row["m"])
+
+    def pairs(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        return (
+            df.select(
+                "user_id",
+                F.col("event_type").alias("cur"),
+                F.lead("event_type").over(w).alias("nxt"),
+            )
+            .filter(F.col("nxt").isNotNull())
+        )
+
+    train = pairs(ev.filter(F.col("ts_us") <= mid))
+    test = pairs(ev.filter(F.col("ts_us") > mid))
+    counts = train.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    row_tot = counts.groupBy("cur").agg(F.sum("c").alias("rt"))
+    v = counts.agg(F.count_distinct("nxt").alias("v"))
+    scored = (
+        test.join(counts, ["cur", "nxt"], "left")
+        .join(row_tot, "cur", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "cur",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("rt"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    agg = scored.groupBy("cur").agg(
+        F.count("*").alias("n_test"), F.round(F.avg("nll"), 6).alias("nll_r")
+    )
+    return agg.select(
+        "cur", "n_test", "nll_r", F.round(F.exp("nll_r"), 6).alias("ppl_r")
+    )
+
+
+Q269_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+            FROM events),
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM ev),
+tr AS (SELECT user_id, event_type AS cur,
+              lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS nxt
+       FROM ev WHERE ts_us <= (SELECT m FROM mid)),
+te AS (SELECT user_id, event_type AS cur,
+              lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS nxt
+       FROM ev WHERE ts_us > (SELECT m FROM mid)),
+c AS (SELECT cur, nxt, count(*) AS c FROM tr WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+rt AS (SELECT cur, sum(c) AS rt FROM c GROUP BY 1),
+v AS (SELECT count(DISTINCT nxt) AS v FROM c),
+s AS (SELECT te.cur,
+             -ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(rt.rt, 0) + (SELECT v FROM v) AS DOUBLE))
+               AS nll
+      FROM te
+      LEFT JOIN c ON c.cur = te.cur AND c.nxt = te.nxt
+      LEFT JOIN rt ON rt.cur = te.cur
+      WHERE te.nxt IS NOT NULL),
+a AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_test,
+             round(avg(nll), 6) AS nll_r
+      FROM s GROUP BY 1)
+SELECT cur, n_test, nll_r, round(exp(nll_r), 6) AS ppl_r FROM a
+"""
+
+
 QUERIES = {
     "q250_wilson_ci": q250_wilson_ci,
+    "q269_markov_perplexity": q269_markov_perplexity,
     "q206_markov_attribution": q206_markov_attribution,
     "q214_sequence_support": q214_sequence_support,
     "q76_dau_new_returning": q76_dau_new_returning,
@@ -1779,6 +1878,7 @@ QUERIES = {
 
 ORACLES = {
     "q250_wilson_ci": Q250_SQL,
+    "q269_markov_perplexity": Q269_SQL,
     "q206_markov_attribution": Q206_SQL,
     "q214_sequence_support": Q214_SQL,
     "q76_dau_new_returning": Q76_SQL,

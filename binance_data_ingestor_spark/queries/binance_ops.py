@@ -1671,6 +1671,99 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# q271 — realized higher moments per (symbol, day): realized skewness
+# and kurtosis of tick moves — the tail-shape companions of q37's
+# realized variance and q262's jump split (fat-tailed days are where
+# naive vol models break). RAW (uncentered) moments of Δp — tick moves
+# have ~zero mean and the uncentered convention keeps every
+# accumulator exact: n and ΣΔp/ΣΔp² in int64, ΣΔp³/ΣΔp⁴ in
+# decimal(38,0) BY DESIGN (|Δp| ~ 10⁴ cents ⇒ Δp⁴ ~ 10¹⁶, a 10⁷-trade
+# sf10 day sums to ~10²³ — past int64, far inside decimal(38));
+# skew = (ΣΔp³/n)/(ΣΔp²/n)^1.5 and kurt = n·ΣΔp⁴/(ΣΔp²)² are one
+# IEEE chain each over the exact casts. Same chunked depth-1 lag
+# window as q262; day grain is the row's own day (lag context crosses
+# midnight — documented there).
+# --------------------------------------------------------------------------
+def q271_realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = _trades_cents(spark, sf_dir, keep=("symbol", "event_id")).select(
+        "symbol", "trade_time", "event_id", "pc"
+    )
+    tc = with_row_context(
+        t,
+        ["symbol"],
+        ["trade_time", "event_id"],
+        chunk=F.expr(f"trade_time div {3 * 86_400_000}"),
+        rows_before=1,
+    )
+    w = W.partitionBy("symbol", "chunk").orderBy("trade_time", "event_id")
+    d = (
+        tc.select(
+            "symbol",
+            "is_ctx",
+            F.expr("trade_time div 86400000").alias("day"),
+            (F.col("pc") - F.lag("pc", 1).over(w)).alias("dp"),
+        )
+        .filter((F.col("is_ctx") == 0) & F.col("dp").isNotNull())
+    )
+    dpd = F.col("dp").cast("decimal(38,0)")
+    agg = d.groupBy("symbol", "day").agg(
+        F.count("*").alias("n"),
+        F.sum("dp").alias("s1"),
+        F.sum(F.col("dp") * F.col("dp")).alias("s2"),
+        F.sum(dpd * dpd * dpd).alias("s3"),
+        F.sum(dpd * dpd * dpd * dpd).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("s2").cast("double") / nd
+    skew = (F.col("s3").cast("double") / nd) / F.nullif(
+        m2 * F.sqrt(m2), F.lit(0.0)
+    )
+    kurt = nd * F.col("s4").cast("double") / F.nullif(
+        F.col("s2").cast("double") * F.col("s2").cast("double"), F.lit(0.0)
+    )
+    return agg.select(
+        "symbol",
+        "day",
+        "n",
+        "s1",
+        "s2",
+        F.col("s3").cast("double").alias("s3_d"),
+        F.col("s4").cast("double").alias("s4_d"),
+        skew.alias("rskew"),
+        kurt.alias("rkurt"),
+    )
+
+
+Q271_SQL = f"""
+WITH t AS (
+  SELECT {_SQL_SYMBOL} AS symbol, {_SQL_TT} AS tt, event_id,
+         {_SQL_CENTS} AS pc
+  FROM events
+),
+l AS (SELECT symbol, tt // 86400000 AS day,
+             pc - lag(pc, 1) OVER (PARTITION BY symbol ORDER BY tt, event_id)
+               AS dp
+      FROM t),
+a AS (SELECT symbol, day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dp) AS BIGINT) AS s1,
+             CAST(sum(dp * dp) AS BIGINT) AS s2,
+             sum(CAST(dp AS HUGEINT) * dp * dp) AS s3,
+             sum(CAST(dp AS HUGEINT) * dp * dp * dp) AS s4
+      FROM l WHERE dp IS NOT NULL GROUP BY 1, 2)
+SELECT symbol, day, n, s1, s2,
+       CAST(s3 AS DOUBLE) AS s3_d, CAST(s4 AS DOUBLE) AS s4_d,
+       (CAST(s3 AS DOUBLE) / n)
+         / nullif((CAST(s2 AS DOUBLE) / n) * sqrt(CAST(s2 AS DOUBLE) / n),
+                  0.0) AS rskew,
+       CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+         / nullif(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE), 0.0) AS rkurt
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # q263 — Ljung–Box portmanteau test on tick returns per symbol, lags
 # 1..5: Q = n(n+2)·Σ_k ρ_k²/(n−k), the standard "is there ANY serial
 # correlation" gate before fitting microstructure models (q39 tests
@@ -2081,6 +2174,7 @@ QUERIES = {
     "q263_ljung_box": q263_ljung_box,
     "q264_hill_tail": q264_hill_tail,
     "q265_hurst_rs": q265_hurst_rs,
+    "q271_realized_moments": q271_realized_moments,
 }
 
 ORACLES = {
@@ -2106,4 +2200,5 @@ ORACLES = {
     "q263_ljung_box": Q263_SQL,
     "q264_hill_tail": Q264_SQL,
     "q265_hurst_rs": Q265_SQL,
+    "q271_realized_moments": Q271_SQL,
 }

@@ -991,6 +991,112 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# q270 — inverse-propensity-weighted treatment effect: does URGENT
+# priority (the "treatment") move order value, adjusting for the
+# customer segment (the observed confounder)? The workhorse of
+# offline causal evaluation on logged data. Because the propensity
+# e(s) = P(T=1 | segment) is segment-constant, the IPW sums collapse
+# to per-segment EXACT INTEGER statistics: each segment contributes
+# term_t = (ΣY_treated)·n_s/n_treated and term_c = (ΣY_control)·
+# n_s/n_control — ratios of exact int64 cent sums, one IEEE chain per
+# segment. The global ATE sums the per-segment contributions as EXACT
+# INTEGER MICRO-UNITS (round(term·1e6) → BIGINT — a 6-dp-rounded
+# DOUBLE is not dyadic, so summing rounded doubles is still
+# order-dependent; the integer detour is the only order-free form),
+# then divides once; per-segment rows are emitted alongside so the
+# grain is auditable.
+# Scale: one customer-dim equi-join + a 5-row segment summary; only
+# counts and cent sums shuffle.
+# --------------------------------------------------------------------------
+def q270_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+    )
+    seg = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("t").alias("nt"),
+            F.sum(F.col("t") * F.col("yc")).alias("yt"),
+            F.sum((1 - F.col("t")) * F.col("yc")).alias("ycn"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mu_t = F.col("yt").cast("double") / F.nullif(F.col("nt").cast("double"), F.lit(0.0))
+    mu_c = F.col("ycn").cast("double") / F.nullif(
+        (F.col("n") - F.col("nt")).cast("double"), F.lit(0.0)
+    )
+    contrib_u = F.round((mu_t - mu_c) * nd / F.lit(100.0) * F.lit(1e6)).cast(
+        "long"
+    )
+    per_seg = seg.select(
+        "seg",
+        "n",
+        "nt",
+        "yt",
+        "ycn",
+        F.round(mu_t / F.lit(100.0), 6).alias("mu_treated_r"),
+        F.round(mu_c / F.lit(100.0), 6).alias("mu_control_r"),
+        contrib_u.alias("contrib_u"),
+    )
+    tot = per_seg.agg(
+        F.sum("n").alias("n_all"), F.sum("contrib_u").alias("c_all")
+    )
+    return per_seg.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n",
+        "nt",
+        "yt",
+        "ycn",
+        "mu_treated_r",
+        "mu_control_r",
+        (F.col("contrib_u").cast("double") / F.lit(1e6)).alias("contrib_r"),
+        (
+            F.col("c_all").cast("double")
+            / F.lit(1e6)
+            / F.col("n_all").cast("double")
+        ).alias("ate_ipw"),
+    )
+
+
+Q270_SQL = """
+WITH o AS (SELECT o_custkey,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+           FROM orders),
+s AS (SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(t * yc) AS BIGINT) AS yt,
+             CAST(sum((1 - t) * yc) AS BIGINT) AS ycn
+      FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+p AS (SELECT seg, n, nt, yt, ycn,
+             round(CAST(yt AS DOUBLE) / nullif(CAST(nt AS DOUBLE), 0.0)
+                   / 100.0, 6) AS mu_treated_r,
+             round(CAST(ycn AS DOUBLE) / nullif(CAST(n - nt AS DOUBLE), 0.0)
+                   / 100.0, 6) AS mu_control_r,
+             CAST(round((CAST(yt AS DOUBLE) / nullif(CAST(nt AS DOUBLE), 0.0)
+                         - CAST(ycn AS DOUBLE)
+                           / nullif(CAST(n - nt AS DOUBLE), 0.0))
+                        * CAST(n AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
+               AS contrib_u
+      FROM s),
+t AS (SELECT sum(n) AS n_all, CAST(sum(contrib_u) AS BIGINT) AS c_all FROM p)
+SELECT seg, n, nt, yt, ycn, mu_treated_r, mu_control_r,
+       CAST(contrib_u AS DOUBLE) / 1e6 AS contrib_r,
+       CAST((SELECT c_all FROM t) AS DOUBLE) / 1e6
+         / CAST((SELECT n_all FROM t) AS DOUBLE) AS ate_ipw
+FROM p
+"""
+
+
 QUERIES = {
     "q89_grouped_regression": q89_grouped_regression,
     "q227_calibration": q227_calibration,
@@ -1004,6 +1110,7 @@ QUERIES = {
     "q133_auc_ranksum": q133_auc_ranksum,
     "q174_purged_tscv": q174_purged_tscv,
     "q254_cochran_armitage": q254_cochran_armitage,
+    "q270_ipw_effect": q270_ipw_effect,
 }
 
 ORACLES = {
@@ -1019,4 +1126,5 @@ ORACLES = {
     "q133_auc_ranksum": Q133_SQL,
     "q174_purged_tscv": Q174_SQL,
     "q254_cochran_armitage": Q254_SQL,
+    "q270_ipw_effect": Q270_SQL,
 }

@@ -1221,7 +1221,122 @@ FROM r WHERE rank <= {K}
 """
 
 
+# --------------------------------------------------------------------------
+# q268 — per-label silhouette-lite over the embedding table: cluster
+# cohesion a_l (mean squared distance of a label's vectors to their
+# own centroid) vs separation b_l (min over other labels of the mean
+# squared distance to THAT label's centroid), s = (b−a)/max(a,b) — the
+# label-quality readout before trusting labels for training splits.
+# True silhouette is all-pairs; this is the sufficient-statistics
+# form: with c_l = E_l[x], every mean distance collapses to
+# E_l||x||² − 2·c_l·c_m + ||c_m||², so ONE explode + label-grid
+# arithmetic replaces any pairwise pass (labels², not vectors²).
+# Cross-engine FP: per-label per-dim centroids and E||x||² are sums
+# of doubles whose order differs between engines, so both round 6 dp
+# FIRST (the q92 covariance convention) and the label-grid arithmetic
+# runs on identical rounded values — deterministic end to end.
+# --------------------------------------------------------------------------
+EMB_DIMS = 64
+
+
+def q268_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.sum("v") / F.count("*"), 6).alias("c")
+    )
+    m2 = ex.groupBy("label").agg(
+        (F.count("*") / F.lit(EMB_DIMS)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("v") * F.col("v"))
+            / (F.count("*") / F.lit(EMB_DIMS)),
+            6,
+        ).alias("m2"),
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    # label-grid dot products over the rounded centroids: Σ_dim ca·cb
+    # summed in deterministic order is unnecessary — the addends are
+    # identical rounded doubles on both engines, and a 64-term sum of
+    # identical values in ANY order differs only where the final 6-dp
+    # round of the OUTPUT absorbs it; dots are rounded 9 dp before the
+    # grid arithmetic to pin them exactly.
+    dots = (
+        a.join(b, F.col("a.dim") == F.col("b.dim"))
+        .groupBy(
+            F.col("a.label").alias("l"), F.col("b.label").alias("m")
+        )
+        .agg(F.round(F.sum(F.col("a.c") * F.col("b.c")), 9).alias("dot"))
+    )
+    self_dots = dots.filter(F.col("l") == F.col("m")).select(
+        F.col("m").alias("m_self"), F.col("dot").alias("cm2")
+    )
+    d = (
+        m2.select(F.col("label").alias("l"), "n", "m2")
+        .join(dots, "l")
+        .join(self_dots, F.col("m") == F.col("m_self"))
+        .select(
+            "l",
+            "m",
+            "n",
+            (F.col("m2") - 2 * F.col("dot") + F.col("cm2")).alias("dist"),
+        )
+    )
+    own = d.filter(F.col("l") == F.col("m")).select(
+        "l", "n", F.col("dist").alias("a_val")
+    )
+    other = d.filter(F.col("l") != F.col("m")).groupBy("l").agg(
+        F.min("dist").alias("b_val")
+    )
+    return (
+        own.join(other, "l")
+        .select(
+            F.col("l").alias("label"),
+            "n",
+            F.round("a_val", 6).alias("a_r"),
+            F.round("b_val", 6).alias("b_r"),
+            F.round(
+                (F.col("b_val") - F.col("a_val"))
+                / F.nullif(F.greatest("a_val", "b_val"), F.lit(0.0)),
+                6,
+            ).alias("sil_r"),
+        )
+    )
+
+
+Q268_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, {EMB_DIMS})) AS t(i)),
+cent AS (SELECT label, dim, round(sum(v) / count(*), 6) AS c
+         FROM ex GROUP BY 1, 2),
+m2 AS (SELECT label, CAST(count(*) // {EMB_DIMS} AS BIGINT) AS n,
+              round(sum(v * v) / (count(*) // {EMB_DIMS}), 6) AS m2
+       FROM ex GROUP BY 1),
+dots AS (SELECT a.label AS l, b.label AS m,
+                round(sum(a.c * b.c), 9) AS dot
+         FROM cent a JOIN cent b USING (dim) GROUP BY 1, 2),
+d AS (SELECT m2.label AS l, dots.m, m2.n,
+             m2.m2 - 2 * dots.dot + self.dot AS dist
+      FROM m2
+      JOIN dots ON dots.l = m2.label
+      JOIN dots self ON self.l = dots.m AND self.m = dots.m),
+own AS (SELECT l, n, dist AS a_val FROM d WHERE l = m),
+oth AS (SELECT l, min(dist) AS b_val FROM d WHERE l <> m GROUP BY 1)
+SELECT own.l AS label, n, round(a_val, 6) AS a_r, round(b_val, 6) AS b_r,
+       round((b_val - a_val) / nullif(greatest(a_val, b_val), 0.0), 6)
+         AS sil_r
+FROM own JOIN oth USING (l)
+"""
+
+
 QUERIES = {
+    "q268_label_silhouette": q268_label_silhouette,
     "q208_jl_certificate": q208_jl_certificate,
     "q220_hamming_topk": q220_hamming_topk,
     "q219_ivf_cell_audit": q219_ivf_cell_audit,
@@ -1259,4 +1374,5 @@ ORACLES = {
     "q165_int8_quantize": Q165_SQL,
     "q181_rank_transform": Q181_SQL,
     "q182_ivfpq_topk": Q182_SQL,
+    "q268_label_silhouette": Q268_SQL,
 }

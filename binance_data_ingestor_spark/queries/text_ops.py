@@ -1047,6 +1047,204 @@ SELECT q_id, doc_id, rank, bm25 FROM ranked WHERE rank <= {RETRIEVE_K}
 
 
 # --------------------------------------------------------------------------
+# q266 — ROUGE-1/ROUGE-2 recall over the near-dup pair set: for every
+# q44 Jaccard pair (shared session artifact), the clipped n-gram
+# recall of the HIGHER-id doc against the LOWER-id doc as reference —
+# the summarization-eval metric repurposed as a dedup-forensics
+# readout (ROUGE ≈ 1 ⇒ true near-copy; Jaccard-high/ROUGE-low ⇒
+# shared vocabulary but reordered content). Clipped overlap =
+# Σ_g min(count_cand(g), count_ref(g)); both numerator and the
+# reference length are exact int64, so each recall is ONE IEEE
+# division (no round — the exact-ratio rule). Gram tables are
+# pair-member-scoped via the join itself; the (pair, gram)
+# intermediate is bounded by pair count × doc length, never
+# corpus-sized.
+# --------------------------------------------------------------------------
+def q266_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs3(spark, sf_dir).select("id_a", "id_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def grams(n: int, cnt_col: str) -> DataFrame:
+        if n == 1:
+            g = docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("g")
+            )
+        else:
+            g = docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                        "transform(sequence(1, size(split(text, ' ')) - 1), "
+                        "i -> concat(element_at(split(text, ' '), i), ' ', "
+                        "element_at(split(text, ' '), i + 1))) "
+                        "ELSE array() END"
+                    )
+                ).alias("g"),
+            )
+        return g.groupBy("doc_id", "g").agg(F.count("*").alias(cnt_col))
+
+    def recall(n: int, out: str) -> DataFrame:
+        ga = grams(n, "ca")
+        gb = grams(n, "cb")
+        ref_len = ga.groupBy("doc_id").agg(F.sum("ca").alias("ref_len"))
+        ov = (
+            pairs.join(ga.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .join(
+                gb.withColumnRenamed("doc_id", "id_b"),
+                ["id_b", "g"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("ov"))
+        )
+        return (
+            pairs.join(ov, ["id_a", "id_b"], "left")
+            .join(ref_len.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.coalesce(F.col("ov"), F.lit(0)).cast("double")
+                    / F.col("ref_len").cast("double")
+                ).alias(out),
+            )
+        )
+
+    return recall(1, "rouge1").join(recall(2, "rouge2"), ["id_a", "id_b"])
+
+
+Q266_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 6) >= 0.2),
+g1 AS (SELECT doc_id, unnest(t) AS g FROM tok),
+c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+len1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ref_len FROM c1 GROUP BY 1),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> concat(t[i], ' ', t[i+1]))) AS g
+       FROM tok WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+len2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ref_len FROM c2 GROUP BY 1),
+ov1 AS (SELECT p.id_a, p.id_b,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM pairs p
+        JOIN c1 a ON a.doc_id = p.id_a
+        JOIN c1 b ON b.doc_id = p.id_b AND b.g = a.g
+        GROUP BY 1, 2),
+ov2 AS (SELECT p.id_a, p.id_b,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM pairs p
+        JOIN c2 a ON a.doc_id = p.id_a
+        JOIN c2 b ON b.doc_id = p.id_b AND b.g = a.g
+        GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(ov1.ov, 0) AS DOUBLE)
+         / CAST(len1.ref_len AS DOUBLE) AS rouge1,
+       CAST(coalesce(ov2.ov, 0) AS DOUBLE)
+         / CAST(len2.ref_len AS DOUBLE) AS rouge2
+FROM pairs p
+LEFT JOIN ov1 ON ov1.id_a = p.id_a AND ov1.id_b = p.id_b
+LEFT JOIN ov2 ON ov2.id_a = p.id_a AND ov2.id_b = p.id_b
+JOIN len1 ON len1.doc_id = p.id_a
+JOIN len2 ON len2.doc_id = p.id_a
+"""
+
+
+# --------------------------------------------------------------------------
+# q267 — class-based TF-IDF (c-TF-IDF, the BERTopic topic-labeling
+# formula): treat each SOURCE as one class document, score every
+# (source, token) by tf_{t,s} · ln(1 + A/df_t) where A = average
+# tokens per class and df_t = classes containing t, emit the top-10
+# label terms per source. The corpus collapses to the (source, token)
+# count summary in one pass (the only data-sized stage); df and A are
+# class-sized; the per-source rank window partitions on a real key.
+# A = total/n_sources stays one exact-int division; scores round 6 dp
+# BEFORE the rank (float-rank rule), ties break token ASC.
+# --------------------------------------------------------------------------
+CTFIDF_TOPK = 10
+
+
+def q267_class_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df, totals, and the scorer
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = tf.agg(
+        (
+            F.sum("tf").cast("double")
+            / F.count_distinct("source").cast("double")
+        ).alias("a")
+    )
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.lit(1.0) + F.col("a") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("score_r"),
+        )
+    )
+    wr = W.partitionBy("source").orderBy(F.desc("score_r"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= CTFIDF_TOPK)
+        .select("source", "token", "rank", "tf", "df", "score_r")
+    )
+
+
+Q267_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(sum(tf) AS DOUBLE)
+                   / CAST(count(DISTINCT source) AS DOUBLE) AS a FROM tf),
+scored AS (
+  SELECT source, token, tf, df,
+         round(CAST(tf AS DOUBLE)
+               * ln(1.0 + (SELECT a FROM stats) / CAST(df AS DOUBLE)), 6)
+           AS score_r
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT source, token, tf, df, score_r,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score_r DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT source, token, rank, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score_r
+FROM ranked WHERE rank <= {CTFIDF_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # q252 — incrementally-MAINTAINED BM25 index (the round-8 judge's
 # named stretch item): the corpus is split into the persisted BASE
 # (hash bucket < 95, the q153 convention) and today's DELTA increment
@@ -3961,6 +4159,8 @@ QUERIES = {
     "q72_chunking": q72_chunking,
     "q93_bm25_retrieval": q93_bm25_retrieval,
     "q252_incremental_bm25": q252_incremental_bm25,
+    "q267_class_tfidf": q267_class_tfidf,
+    "q266_rouge_pairs": q266_rouge_pairs,
     "q97_negative_sampling": q97_negative_sampling,
     "q98_unigram_surprisal": q98_unigram_surprisal,
     "q100_token_mi": q100_token_mi,
@@ -4025,6 +4225,8 @@ ORACLES = {
     "q72_chunking": Q72_SQL,
     "q93_bm25_retrieval": Q93_SQL,
     "q252_incremental_bm25": Q252_SQL,
+    "q267_class_tfidf": Q267_SQL,
+    "q266_rouge_pairs": Q266_SQL,
     "q97_negative_sampling": Q97_SQL,
     "q98_unigram_surprisal": Q98_SQL,
     "q100_token_mi": Q100_SQL,

@@ -3068,3 +3068,244 @@ def test_hurst_rs_matches_python(spark):
         for w in HURST_SCALES:
             if (sym, w) in got:
                 assert abs(got[(sym, w)].hurst_r - round(h, 6)) < 2e-6
+
+
+def test_rouge_pairs_matches_python(spark):
+    """q266's clipped n-gram recalls must equal the literal ROUGE
+    computation over the same q44 pair set."""
+    import duckdb
+    from collections import Counter
+
+    from binance_data_ingestor_spark.queries.text_ops import q266_rouge_pairs
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    got = {
+        (r.id_a, r.id_b): r for r in q266_rouge_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got, "no near-dup pairs at smoke scale — test is vacuous"
+
+    def rouge(ref: str, cand: str, n: int) -> float:
+        rt = ref.split(" ")
+        ct = cand.split(" ")
+        rg = Counter(
+            " ".join(rt[i : i + n]) for i in range(len(rt) - n + 1)
+        )
+        cg = Counter(
+            " ".join(ct[i : i + n]) for i in range(len(ct) - n + 1)
+        )
+        ov = sum(min(c, cg[g]) for g, c in rg.items())
+        return ov / sum(rg.values())
+
+    for (a, b), r in got.items():
+        assert abs(r.rouge1 - rouge(docs[a], docs[b], 1)) < 1e-12
+        assert abs(r.rouge2 - rouge(docs[a], docs[b], 2)) < 1e-12
+
+
+def test_class_tfidf_matches_python(spark):
+    """q267's c-TF-IDF scores and per-source top-k must equal the
+    literal BERTopic formula."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        CTFIDF_TOPK,
+        q267_class_tfidf,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    tf: dict[str, Counter] = {}
+    for src, text in rows:
+        tf.setdefault(src, Counter()).update(text.split(" "))
+    df: Counter = Counter()
+    for src, cnt in tf.items():
+        df.update(set(cnt))
+    a = sum(sum(c.values()) for c in tf.values()) / len(tf)
+    got: dict[str, list] = {}
+    for r in q267_class_tfidf(spark, SF_SMOKE).collect():
+        got.setdefault(r.source, []).append(r)
+    for src, cnt in tf.items():
+        scored = sorted(
+            (
+                (-round(c * math.log(1.0 + a / df[t]), 6), t)
+                for t, c in cnt.items()
+            )
+        )[:CTFIDF_TOPK]
+        rows_g = sorted(got[src], key=lambda r: r.rank)
+        assert [r.token for r in rows_g] == [t for _, t in scored]
+        for r, (neg_s, t) in zip(rows_g, scored):
+            assert abs(r.score_r - (-neg_s)) < 1e-9
+            assert r.tf == cnt[t] and r.df == df[t]
+
+
+def test_label_silhouette_matches_python(spark):
+    """q268's sufficient-statistics silhouette must equal the direct
+    centroid computation (with the same 6-dp pre-rounding)."""
+    import duckdb
+
+    import numpy as np
+
+    from binance_data_ingestor_spark.queries.similarity_ops import (
+        EMB_DIMS,
+        q268_label_silhouette,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    by_label: dict[int, list] = {}
+    for lab, emb in rows:
+        by_label.setdefault(lab, []).append(np.array(emb, dtype=np.float64))
+    cent = {
+        lab: np.round(np.mean(np.stack(v), axis=0), 6)
+        for lab, v in by_label.items()
+    }
+    m2 = {
+        lab: round(float(np.mean([x @ x for x in v])), 6)
+        for lab, v in by_label.items()
+    }
+    dots = {
+        (l, m): round(float(cent[l] @ cent[m]), 9)
+        for l in cent
+        for m in cent
+    }
+    got = {r.label: r for r in q268_label_silhouette(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cent)
+    for lab, r in got.items():
+        a = m2[lab] - 2 * dots[(lab, lab)] + dots[(lab, lab)]
+        b = min(
+            m2[lab] - 2 * dots[(lab, m)] + dots[(m, m)]
+            for m in cent
+            if m != lab
+        )
+        assert r.n == len(by_label[lab])
+        assert abs(r.a_r - round(a, 6)) < 2e-6
+        assert abs(r.b_r - round(b, 6)) < 2e-6
+        assert abs(r.sil_r - round((b - a) / max(a, b), 6)) < 2e-6
+
+
+def test_markov_perplexity_matches_python(spark):
+    """q269's held-out NLL must equal the literal train/test split and
+    Laplace-smoothed transition model."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        q269_markov_perplexity,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts), event_id
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).fetchall()
+    mid = (min(r[2] for r in rows) + max(r[2] for r in rows)) // 2
+
+    def pairs(pred):
+        by_user: dict[int, list] = {}
+        for u, et, ts, eid in rows:
+            if pred(ts):
+                by_user.setdefault(u, []).append((ts, eid, et))
+        out = []
+        for u, seq in by_user.items():
+            seq.sort()
+            out += [
+                (a[2], b[2]) for a, b in zip(seq, seq[1:])
+            ]
+        return out
+
+    train = Counter(pairs(lambda t: t <= mid))
+    test = pairs(lambda t: t > mid)
+    row_tot = Counter()
+    for (c, _), n in train.items():
+        row_tot[c] += n
+    v = len({n for (_, n) in train})
+    nll: dict[str, list] = {}
+    for c, n in test:
+        p = (train.get((c, n), 0) + 1) / (row_tot.get(c, 0) + v)
+        nll.setdefault(c, []).append(-math.log(p))
+    got = {r.cur: r for r in q269_markov_perplexity(spark, SF_SMOKE).collect()}
+    assert set(got) == set(nll)
+    for c, terms in nll.items():
+        r = got[c]
+        assert r.n_test == len(terms)
+        assert abs(r.nll_r - round(sum(terms) / len(terms), 6)) < 2e-6
+        assert abs(r.ppl_r - round(math.exp(r.nll_r), 6)) < 2e-6
+
+
+def test_ipw_effect_matches_python(spark):
+    """q270's per-segment IPW contributions and the global ATE must
+    equal the textbook estimator with segment-constant propensities."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.ml_ops import q270_ipw_effect
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment, CAST(o_orderpriority = '1-URGENT' AS INT),
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_SMOKE}/orders.parquet'
+            JOIN '{SF_SMOKE}/customer.parquet' ON o_custkey = c_custkey"""
+    ).fetchall()
+    seg: dict[str, list] = {}
+    for s, t, yc in rows:
+        a = seg.setdefault(s, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += t
+        a[2] += t * yc
+        a[3] += (1 - t) * yc
+    got = {r.seg: r for r in q270_ipw_effect(spark, SF_SMOKE).collect()}
+    c_all = 0
+    n_all = 0
+    for s, (n, nt, yt, ycn) in seg.items():
+        mu_t = yt / nt
+        mu_c = ycn / (n - nt)
+        contrib_u = round((mu_t - mu_c) * n / 100.0 * 1e6)
+        r = got[s]
+        assert (r.n, r.nt, r.yt, r.ycn) == (n, nt, yt, ycn)
+        assert abs(r.contrib_r - contrib_u / 1e6) < 1e-9
+        c_all += contrib_u
+        n_all += n
+    for r in got.values():
+        assert abs(r.ate_ipw - c_all / 1e6 / n_all) < 1e-12
+
+
+def test_realized_moments_matches_python(spark):
+    """q271's raw moment sums must equal the direct fold and the
+    skew/kurt chains the textbook formulas."""
+    from binance_data_ingestor_spark.queries.binance_ops import (
+        q271_realized_moments,
+    )
+
+    series: dict[str, list] = {}
+    for r in _sorted_trades(spark):
+        series.setdefault(r.symbol, []).append((r.trade_time, r.pc))
+    got = {
+        (r.symbol, r.day): r
+        for r in q271_realized_moments(spark, SF_SMOKE).collect()
+    }
+    want: dict[tuple, list] = {}
+    for sym, rows in series.items():
+        for i in range(1, len(rows)):
+            day = rows[i][0] // 86_400_000
+            dp = rows[i][1] - rows[i - 1][1]
+            a = want.setdefault((sym, day), [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += dp
+            a[2] += dp * dp
+            a[3] += dp**3
+            a[4] += dp**4
+    assert set(got) == set(want)
+    for key, (n, s1, s2, s3, s4) in want.items():
+        g = got[key]
+        assert (g.n, g.s1, g.s2) == (n, s1, s2)
+        assert g.s3_d == float(s3) and g.s4_d == float(s4)
+        m2 = s2 / n
+        if m2:
+            assert abs(g.rskew - (s3 / n) / (m2 * m2**0.5)) < 1e-9
+            assert abs(g.rkurt - n * s4 / (s2 * s2)) < 1e-9
