@@ -64,13 +64,12 @@ def _modules():
 #     round-9-start registry) merged with the 31 CHEAPEST of the 44
 #     r04-VINTAGE names whose last green driver row is round 4
 #     (five rounds old).
-# Round-10 window plan: 3 sentinels + the 12 round-9-new names
-# (q252/q253/q254/q255/q257/q259/q260/q261/q262/q263/q264/q265 —
-# certify the round after they land) + the remaining 13 r04-vintage
-# names (q69/q130/q133/q186/q175/q98/q116/q117/q132/q148/q86/q184/q26,
-# ~17.7 s total), retiring the r04 vintage entirely = 28 names; the
-# remaining ~22 slots go to the oldest r05-vintage names
-# cheapest-first.
+# Round-10 window plan: 3 sentinels + the 18 round-9-new names
+# (q252-q255, q257, q259-q271 — certify the round after they land) +
+# the remaining 13 r04-vintage names (q69/q130/q133/q186/q175/q98/
+# q116/q117/q132/q148/q86/q184/q26, ~17.7 s total), retiring the r04
+# vintage entirely = 34 names; the remaining ~16 slots go to the
+# oldest r05-vintage names cheapest-first.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
