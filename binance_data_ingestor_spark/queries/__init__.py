@@ -54,73 +54,80 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-9 rotation (after round 8's 50/50-green window brought cumulative
-# certification to 235/235 of the round-8-start registry):
+# Round-10 rotation (after round 9's 50/50-green window brought cumulative
+# certification to 251/251 of the round-9-start registry):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 47-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
-#     cannot cost the round its goal: the 16 round-8-new names
-#     (q236-q251 — never driver-scored; "certify the round after it
-#     lands" convention; green ⇒ cumulative 251/251 of the
-#     round-9-start registry) merged with the 31 CHEAPEST of the 44
-#     r04-VINTAGE names whose last green driver row is round 4
-#     (five rounds old).
-# Round-10 window plan: 3 sentinels + the 18 round-9-new names
-# (q252-q255, q257, q259-q271 — certify the round after they land) +
-# the remaining 13 r04-vintage names (q69/q130/q133/q186/q175/q98/
-# q116/q117/q132/q148/q86/q184/q26, ~17.7 s total), retiring the r04
-# vintage entirely = 34 names; the remaining ~16 slots go to the
-# oldest r05-vintage names cheapest-first.
+#   - the 31-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
+#     cannot cost the round its goal: the 18 round-9-new names
+#     (q252-q255, q257, q259-q271 — never driver-scored; "certify the
+#     round after it lands" convention) merged with the LAST 13
+#     r04-vintage names (q69/q130/q133/q186/q175/q98/q116/q117/q132/
+#     q148/q86/q184/q26 — green ⇒ the r04 vintage is RETIRED and
+#     cumulative certification reaches 269/269 of the round-10-start
+#     registry);
+#   - 16 re-cert slots: the cheapest r05-vintage names (oldest
+#     remaining vintage), cheapest-first.
+#   Est. window cost 58.3 s of BENCH_DETAIL mins. Note: the window
+#   carries exactly TWO streaming certificates (q259 never-scored,
+#   q26 r04-retirement) — both are goal-mandatory this round; the
+#   round-9 judge's "don't stack streaming certs" note is observed by
+#   keeping the other ten out.
+# Round-11 window plan: 3 sentinels + the round-10-new names (certify
+# the round after they land) + the remaining 31 r05-vintage names
+# cheapest-first (retiring r05 if they fit; q34/q33/q31/q30/q22/q20
+# and the rest of the r05 list from CORRECTNESS_r05 minus the 16
+# re-certified below).
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q168_benford_audit",
-    "q128_k_anonymity",
-    "q97_negative_sampling",
-    "q112_max_drawdown",
-    "q79_value_histogram",
-    "q140_purge_audit",
-    "q136_corr_matrix",
-    "q185_hard_negatives",
-    "q114_chi_square",
-    "q245_assortativity",
-    "q250_wilson_ci",
-    "q85_equidepth_bins",
-    "q237_amihud",
-    "q120_transition_matrix",
-    "q121_funnel_timing",
-    "q176_woe_iv",
-    "q111_ewma",
-    "q107_rolling_distinct_users",
-    "q115_snapshot_diff",
-    "q101_token_entropy",
-    "q156_windowed_funnel",
-    "q100_token_mi",
-    "q94_psi_drift",
-    "q139_event_trigrams",
-    "q95_winsorize",
-    "q134_skew_report",
-    "q119_incremental_agg",
-    "q87_grouped_split",
-    "q84_block_dedup_reconstruct",
-    "q141_d7_retention",
-    "q183_epoch_shuffle",
-    "q137_session_entry_exit",
-    "q68_decontaminate",
-    "q162_multi_touch_attribution",
-    "q249_term_burstiness",
-    "q246_ar1_halflife",
-    "q247_nucleus_vocab",
-    "q240_rendezvous_shards",
-    "q241_haar_energy",
-    "q236_vpin",
-    "q243_edge_support",
-    "q248_cvm_drift",
-    "q244_variance_ratio",
-    "q239_weighted_percentiles",
-    "q242_conformal",
-    "q238_spearman",
-    "q251_stream_vpin",
+    "q260_theil_sen",
+    "q261_mann_kendall",
+    "q254_cochran_armitage",
+    "q257_average_precision",
+    "q268_label_silhouette",
+    "q270_ipw_effect",
+    "q130_ndcg_eval",
+    "q186_knn_label_eval",
+    "q267_class_tfidf",
+    "q253_kendall_tau",
+    "q269_markov_perplexity",
+    "q133_auc_ranksum",
+    "q69_repetition",
+    "q98_unigram_surprisal",
+    "q175_cramers_v",
+    "q271_realized_moments",
+    "q132_decile_lift",
+    "q116_countmin",
+    "q117_bigram_surprisal",
+    "q263_ljung_box",
+    "q148_concurrent_sessions",
+    "q262_bipower_variation",
+    "q255_wasserstein_drift",
+    "q252_incremental_bm25",
+    "q86_column_profile",
+    "q184_salted_hot_join",
+    "q264_hill_tail",
+    "q265_hurst_rs",
+    "q266_rouge_pairs",
+    "q259_stream_lsh_compaction",
+    "q26_stream_sessions",
+    "q61_frame_sample",
+    "q59_token_budget_mix",
+    "q07_semi_anti",
+    "q113_seasonal_backtest",
+    "q28_range_join",
+    "q05_pivot_status",
+    "q12_percentiles",
+    "q48_rolling_fingerprint",
+    "q11_global_topk",
+    "q62_byte_histogram",
+    "q14_salted_agg",
+    "q23_lag_lead",
+    "q125_grouping_sets",
+    "q32_trades_normalize",
+    "q19_disjunctive_revenue",
+    "q29_multires_rollup",
 ]
 
 
