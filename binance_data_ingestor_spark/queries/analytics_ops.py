@@ -1759,9 +1759,13 @@ FROM a
 # predicts anything out of sample. Transitions come from per-user lag
 # windows (keyed — user-sized partitions); both train and test pairs
 # require BOTH endpoints inside their half, so no transition straddles
-# the split. The model is V²-sized (V = distinct train types + 1
-# smoothing bucket) and broadcast to the test pairs; p = (c+1)/(row+V)
-# is an exact-int ratio, and the per-state ln sums round 6 dp AFTER
+# the split. The model is V²-sized (V = distinct train next-states) and
+# broadcast to the test pairs; p = (c+1)/(row+V+1) is an exact-int
+# ratio — the +1 in the denominator is the OPEN-VOCABULARY bucket, so
+# the smoothed distribution over the V observed states plus one unseen
+# bucket sums to exactly 1 (round-9 ADVICE: the earlier form divided by
+# rt+V, which over-allocates when an unseen test next-state appears).
+# The per-state ln sums round 6 dp AFTER
 # aggregation (the q228 rule for data-dependent-order FP sums).
 # Midpoint is the q248-style 1-row planning literal.
 # --------------------------------------------------------------------------
@@ -1802,9 +1806,9 @@ def q269_markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 -F.log(
                     (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("rt"), F.lit(0)) + F.col("v")).cast(
-                        "double"
-                    )
+                    / (
+                        F.coalesce(F.col("rt"), F.lit(0)) + F.col("v") + 1
+                    ).cast("double")
                 )
             ).alias("nll"),
         )
@@ -1835,7 +1839,7 @@ rt AS (SELECT cur, sum(c) AS rt FROM c GROUP BY 1),
 v AS (SELECT count(DISTINCT nxt) AS v FROM c),
 s AS (SELECT te.cur,
              -ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
-                 / CAST(coalesce(rt.rt, 0) + (SELECT v FROM v) AS DOUBLE))
+                 / CAST(coalesce(rt.rt, 0) + (SELECT v FROM v) + 1 AS DOUBLE))
                AS nll
       FROM te
       LEFT JOIN c ON c.cur = te.cur AND c.nxt = te.nxt

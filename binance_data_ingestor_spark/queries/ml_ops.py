@@ -1005,7 +1005,11 @@ FROM a
 # DOUBLE is not dyadic, so summing rounded doubles is still
 # order-dependent; the integer detour is the only order-free form),
 # then divides once; per-segment rows are emitted alongside so the
-# grain is auditable.
+# grain is auditable. DEGENERATE SEGMENTS (zero treated or zero
+# control rows — contrib_u NULL) are excluded from BOTH the numerator
+# and the denominator n_all (round-9 ADVICE: counting their n while
+# dropping their null contribution silently shrank the ATE toward 0;
+# the estimator is now the IPW effect over estimable segments only).
 # Scale: one customer-dim equi-join + a 5-row segment summary; only
 # counts and cent sums shuffle.
 # --------------------------------------------------------------------------
@@ -1047,7 +1051,10 @@ def q270_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib_u.alias("contrib_u"),
     )
     tot = per_seg.agg(
-        F.sum("n").alias("n_all"), F.sum("contrib_u").alias("c_all")
+        F.sum(
+            F.when(F.col("contrib_u").isNotNull(), F.col("n"))
+        ).alias("n_all"),
+        F.sum("contrib_u").alias("c_all"),
     )
     return per_seg.crossJoin(F.broadcast(tot)).select(
         "seg",
@@ -1088,7 +1095,8 @@ p AS (SELECT seg, n, nt, yt, ycn,
                         * CAST(n AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
                AS contrib_u
       FROM s),
-t AS (SELECT sum(n) AS n_all, CAST(sum(contrib_u) AS BIGINT) AS c_all FROM p)
+t AS (SELECT sum(n) FILTER (WHERE contrib_u IS NOT NULL) AS n_all,
+             CAST(sum(contrib_u) AS BIGINT) AS c_all FROM p)
 SELECT seg, n, nt, yt, ycn, mu_treated_r, mu_control_r,
        CAST(contrib_u AS DOUBLE) / 1e6 AS contrib_r,
        CAST((SELECT c_all FROM t) AS DOUBLE) / 1e6

@@ -1260,18 +1260,36 @@ def q268_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cent.alias("a")
     b = cent.alias("b")
-    # label-grid dot products over the rounded centroids: Σ_dim ca·cb
-    # summed in deterministic order is unnecessary — the addends are
-    # identical rounded doubles on both engines, and a 64-term sum of
-    # identical values in ANY order differs only where the final 6-dp
-    # round of the OUTPUT absorbs it; dots are rounded 9 dp before the
-    # grid arithmetic to pin them exactly.
+    # label-grid dot products over the rounded centroids, folded in
+    # PINNED dim order (round-9 ADVICE): the per-dim products are
+    # identical rounded doubles on both engines, but a free-order
+    # 64-term sum can land a knife-edge value on a .5e-9 boundary that
+    # the 9-dp round then flips. sort_array over (dim, product)
+    # structs + a left fold from 0.0 makes the addition order
+    # dim 0..63 on BOTH engines (DuckDB: list(... ORDER BY dim) +
+    # list_reduce), matching the repo's fixed-order-IEEE discipline.
     dots = (
         a.join(b, F.col("a.dim") == F.col("b.dim"))
         .groupBy(
             F.col("a.label").alias("l"), F.col("b.label").alias("m")
         )
-        .agg(F.round(F.sum(F.col("a.c") * F.col("b.c")), 9).alias("dot"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("a.dim").alias("dim"),
+                                (F.col("a.c") * F.col("b.c")).alias("p"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["p"],
+                ),
+                9,
+            ).alias("dot")
+        )
     )
     self_dots = dots.filter(F.col("l") == F.col("m")).select(
         F.col("m").alias("m_self"), F.col("dot").alias("cm2")
@@ -1319,7 +1337,8 @@ m2 AS (SELECT label, CAST(count(*) // {EMB_DIMS} AS BIGINT) AS n,
               round(sum(v * v) / (count(*) // {EMB_DIMS}), 6) AS m2
        FROM ex GROUP BY 1),
 dots AS (SELECT a.label AS l, b.label AS m,
-                round(sum(a.c * b.c), 9) AS dot
+                round(list_reduce(list(a.c * b.c ORDER BY a.dim),
+                                  (x, y) -> x + y), 9) AS dot
          FROM cent a JOIN cent b USING (dim) GROUP BY 1, 2),
 d AS (SELECT m2.label AS l, dots.m, m2.n,
              m2.m2 - 2 * dots.dot + self.dot AS dist

@@ -24,6 +24,18 @@ def main() -> None:
             f"{sorted(set(a['samples']) - set(b['samples']))[:5]} "
             f"only-in-B={sorted(set(b['samples']) - set(a['samples']))[:5]}"
         )
+    # Round-9 ADVICE: pooling sweeps from different scale factors would
+    # silently stamp b's sf over mixed samples — refuse; a box mismatch
+    # is legal (drift comparison) but worth a loud warning.
+    if a["sf"] != b["sf"]:
+        raise SystemExit(f"sweep scale factors differ: {a['sf']} vs {b['sf']}")
+    if a.get("box") != b.get("box"):
+        print(
+            f"WARNING: sweeps ran on different boxes "
+            f"({a.get('box')} vs {b.get('box')}); min-pooling across "
+            f"boxes mixes hardware states",
+            file=sys.stderr,
+        )
     samples = {
         q: a["samples"][q] + b["samples"][q] for q in a["samples"]
     }

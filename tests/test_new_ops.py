@@ -3228,7 +3228,9 @@ def test_markov_perplexity_matches_python(spark):
     v = len({n for (_, n) in train})
     nll: dict[str, list] = {}
     for c, n in test:
-        p = (train.get((c, n), 0) + 1) / (row_tot.get(c, 0) + v)
+        # +1: the open-vocabulary bucket (distribution sums to 1 over
+        # the V observed next-states plus one unseen bucket).
+        p = (train.get((c, n), 0) + 1) / (row_tot.get(c, 0) + v + 1)
         nll.setdefault(c, []).append(-math.log(p))
     got = {r.cur: r for r in q269_markov_perplexity(spark, SF_SMOKE).collect()}
     assert set(got) == set(nll)
@@ -3263,11 +3265,16 @@ def test_ipw_effect_matches_python(spark):
     c_all = 0
     n_all = 0
     for s, (n, nt, yt, ycn) in seg.items():
+        r = got[s]
+        assert (r.n, r.nt, r.yt, r.ycn) == (n, nt, yt, ycn)
+        if nt == 0 or nt == n:
+            # degenerate segment: no treated or no control rows —
+            # excluded from numerator AND denominator (round-9 ADVICE).
+            assert r.contrib_r is None
+            continue
         mu_t = yt / nt
         mu_c = ycn / (n - nt)
         contrib_u = round((mu_t - mu_c) * n / 100.0 * 1e6)
-        r = got[s]
-        assert (r.n, r.nt, r.yt, r.ycn) == (n, nt, yt, ycn)
         assert abs(r.contrib_r - contrib_u / 1e6) < 1e-9
         c_all += contrib_u
         n_all += n
