@@ -3071,9 +3071,13 @@ def test_hurst_rs_matches_python(spark):
 
 
 def test_rouge_pairs_matches_python(spark):
-    """q266's clipped n-gram recalls must equal the literal ROUGE
-    computation over the same q44 pair set."""
+    """q266's pair set must equal an INDEPENDENT Python MinHash-LSH
+    (8 md5 hashes, 4 bands × 2 rows — the q45 candidate definition;
+    the q233-style machine check for the round-10 pair-linear
+    re-point), and its clipped n-gram recalls must equal the literal
+    ROUGE computation over that pair set."""
     import duckdb
+    import hashlib
     from collections import Counter
 
     from binance_data_ingestor_spark.queries.text_ops import q266_rouge_pairs
@@ -3086,7 +3090,35 @@ def test_rouge_pairs_matches_python(spark):
     got = {
         (r.id_a, r.id_b): r for r in q266_rouge_pairs(spark, SF_SMOKE).collect()
     }
-    assert got, "no near-dup pairs at smoke scale — test is vacuous"
+    assert got, "no candidate pairs at smoke scale — test is vacuous"
+
+    # independent LSH: min-md5 signatures over distinct 3-gram shingles
+    buckets: dict[tuple, list] = {}
+    for doc_id, text in docs.items():
+        t = text.split(" ")
+        shingles = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+        if not shingles:
+            continue
+        mh = [
+            min(
+                hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                for s in shingles
+            )
+            for k in range(8)
+        ]
+        for band in range(4):
+            key = (band, mh[2 * band] + "|" + mh[2 * band + 1])
+            buckets.setdefault(key, []).append(doc_id)
+    want_pairs = {
+        (a, b)
+        for ids in buckets.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert set(got) == want_pairs
 
     def rouge(ref: str, cand: str, n: int) -> float:
         rt = ref.split(" ")
