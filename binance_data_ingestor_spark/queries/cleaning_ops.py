@@ -296,12 +296,134 @@ JOIN pooled p
 """
 
 
+# --------------------------------------------------------------------------
+# q272 — multi-pattern PII detect/redact census: per customer segment,
+# how many emails / phone numbers / 16-digit account numbers the
+# detector finds, and what fraction of the text the redaction removes
+# — the cleaning-stage audit every LLM-data pipeline runs before
+# release (counts by PII class, redaction rate, residual length).
+# The driver corpus carries no ORGANIC PII (documents are closed-vocab
+# words; props is {"k": N}), so the query first RENDERS a
+# deterministic contact card per customer from real columns — the same
+# stance as the multimodal family's deterministic fake decode: the
+# deliverable is the vectorized multi-pattern regexp machinery
+# (regexp_count × 3 patterns + chained regexp_replace redaction, all
+# codegen'd, zero UDFs) and the per-segment census aggregation, not
+# the card text. Patterns stay in the Java-regex ∩ RE2 dialect subset
+# (module header); redaction chains email → phone → account so the
+# narrower digit patterns cannot eat a wider match first. Counts are
+# exact int64; the redaction rate is ONE IEEE division rounded 6 dp.
+# Scale: narrow select over the customer scan + one 5-row groupBy.
+# --------------------------------------------------------------------------
+EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PAT = r"\+1-[0-9]{3}-[0-9]{4}"
+ACCT_PAT = r"\b[0-9]{16}\b"
+REDACTED = "[PII]"
+
+
+def q272_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    card = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" ph +1-"),
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" mail user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit(".example.com acct "),
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % F.lit(10_000_000_000_000_000))
+            .cast("string"),
+            16,
+            "0",
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(card, EMAIL_PAT, REDACTED), PHONE_PAT, REDACTED
+        ),
+        ACCT_PAT,
+        REDACTED,
+    )
+    per_row = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.regexp_count(card, F.lit(EMAIL_PAT)).alias("e"),
+        F.regexp_count(card, F.lit(PHONE_PAT)).alias("p"),
+        F.regexp_count(card, F.lit(ACCT_PAT)).alias("a"),
+        F.length(card).alias("len_raw"),
+        F.length(redacted).alias("len_red"),
+    )
+    agg = per_row.groupBy("seg").agg(
+        F.count("*").alias("n_cards"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("a").alias("n_accts"),
+        F.sum("len_raw").alias("chars_raw"),
+        F.sum("len_red").alias("chars_redacted"),
+    )
+    return agg.select(
+        "seg",
+        "n_cards",
+        "n_emails",
+        "n_phones",
+        "n_accts",
+        "chars_raw",
+        "chars_redacted",
+        F.round(
+            F.lit(1.0)
+            - F.col("chars_redacted").cast("double")
+            / F.col("chars_raw").cast("double"),
+            6,
+        ).alias("redact_rate_r"),
+    )
+
+
+_CARD_SQL = (
+    "concat('contact ', c_name, ' ph +1-', "
+    "lpad(CAST(c_nationkey AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), "
+    "' mail user', CAST(c_custkey AS VARCHAR), '@', lower(c_mktsegment), "
+    "'.example.com acct ', "
+    "lpad(CAST((c_custkey * 7919) % 10000000000000000 AS VARCHAR), 16, '0'))"
+)
+
+Q272_SQL = f"""
+WITH c AS (SELECT c_mktsegment AS seg, {_CARD_SQL} AS card FROM customer),
+r AS (SELECT seg, card,
+             len(regexp_extract_all(card, '{EMAIL_PAT}')) AS e,
+             len(regexp_extract_all(card, '{PHONE_PAT}')) AS p,
+             len(regexp_extract_all(card, '{ACCT_PAT}')) AS a,
+             length(card) AS len_raw,
+             length(regexp_replace(regexp_replace(regexp_replace(card,
+                 '{EMAIL_PAT}', '{REDACTED}', 'g'),
+                 '{PHONE_PAT}', '{REDACTED}', 'g'),
+                 '{ACCT_PAT}', '{REDACTED}', 'g')) AS len_red
+      FROM c),
+g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_cards,
+             CAST(sum(e) AS BIGINT) AS n_emails,
+             CAST(sum(p) AS BIGINT) AS n_phones,
+             CAST(sum(a) AS BIGINT) AS n_accts,
+             CAST(sum(len_raw) AS BIGINT) AS chars_raw,
+             CAST(sum(len_red) AS BIGINT) AS chars_redacted
+      FROM r GROUP BY 1)
+SELECT seg, n_cards, n_emails, n_phones, n_accts, chars_raw, chars_redacted,
+       round(1.0 - CAST(chars_redacted AS DOUBLE) / CAST(chars_raw AS DOUBLE),
+             6) AS redact_rate_r
+FROM g
+"""
+
+
 QUERIES = {
     "q207_quantile_normalize": q207_quantile_normalize,
     "q80_text_scrub": q80_text_scrub,
     "q81_pii_mask": q81_pii_mask,
     "q84_block_dedup_reconstruct": q84_block_dedup_reconstruct,
     "q95_winsorize": q95_winsorize,
+    "q272_pii_census": q272_pii_census,
 }
 
 ORACLES = {
@@ -310,4 +432,5 @@ ORACLES = {
     "q81_pii_mask": Q81_SQL,
     "q84_block_dedup_reconstruct": Q84_SQL,
     "q95_winsorize": Q95_SQL,
+    "q272_pii_census": Q272_SQL,
 }

@@ -1354,8 +1354,115 @@ FROM own JOIN oth USING (l)
 """
 
 
+# --------------------------------------------------------------------------
+# q275 — per-dimension embedding BATCH-DRIFT census (linear-kernel
+# MMD): split the embedding table into two deterministic md5
+# hash-batches of vec_id (the reproducible stand-in for "yesterday's
+# ingestion vs today's"), and report, per dimension, the two batch
+# means, their gap, the gap's squared contribution, and the total
+# linear-kernel MMD² = ‖μ_A − μ_B‖² with each dim's share — the
+# embedding-space analogue of q94's PSI: WHICH dimensions moved, not
+# just whether the batch moved. Sufficient statistics only (per-dim
+# sums — the vectors never pair up); means round 6 dp FIRST (q92
+# convention) so the downstream arithmetic runs on identical doubles,
+# and MMD² folds the 64 per-dim contributions in PINNED dim order
+# (q268's sort_array + left-fold discipline; DuckDB list_reduce over
+# list(... ORDER BY dim)) — deterministic with NO terminal rounding.
+# Scale: one explode + a 64-row summary; the MMD² total is a 1-row
+# broadcast crossing (census-adjudicated).
+# --------------------------------------------------------------------------
+def q275_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hash_bucket_sql
+
+    ex = _emb(spark, sf_dir).select(
+        F.expr(hash_bucket_sql("spark", "vec_id", 2)).alias("b"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    d = ex.groupBy("dim").agg(
+        F.count_if(F.col("b") == 0).alias("cnt_a"),
+        F.count_if(F.col("b") == 1).alias("cnt_b"),
+        F.round(
+            F.sum(F.when(F.col("b") == 0, F.col("v")))
+            / F.count_if(F.col("b") == 0),
+            6,
+        ).alias("mu_a_r"),
+        F.round(
+            F.sum(F.when(F.col("b") == 1, F.col("v")))
+            / F.count_if(F.col("b") == 1),
+            6,
+        ).alias("mu_b_r"),
+    )
+    c = d.select(
+        "dim",
+        F.col("cnt_a").alias("n_a"),
+        F.col("cnt_b").alias("n_b"),
+        "mu_a_r",
+        "mu_b_r",
+        (F.col("mu_a_r") - F.col("mu_b_r")).alias("delta"),
+        (
+            (F.col("mu_a_r") - F.col("mu_b_r"))
+            * (F.col("mu_a_r") - F.col("mu_b_r"))
+        ).alias("contrib"),
+    ).localCheckpoint(eager=False)  # feeds the 1-row fold + the output
+    tot = c.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("contrib").alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("mmd2")
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_a",
+        "n_b",
+        "mu_a_r",
+        "mu_b_r",
+        "delta",
+        "contrib",
+        "mmd2",
+        F.round(F.col("contrib") / F.col("mmd2"), 6).alias("share_r"),
+    )
+
+
+def _q275_sql() -> str:
+    from ..operators.text import hash_bucket_sql
+
+    return f"""
+WITH ex AS (
+  SELECT {hash_bucket_sql("duckdb", "vec_id", 2)} AS b, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)),
+d AS (SELECT dim,
+             CAST(count(*) FILTER (WHERE b = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE b = 1) AS BIGINT) AS n_b,
+             round(sum(v) FILTER (WHERE b = 0)
+                   / count(*) FILTER (WHERE b = 0), 6) AS mu_a_r,
+             round(sum(v) FILTER (WHERE b = 1)
+                   / count(*) FILTER (WHERE b = 1), 6) AS mu_b_r
+      FROM ex GROUP BY 1),
+c AS (SELECT dim, n_a, n_b, mu_a_r, mu_b_r,
+             mu_a_r - mu_b_r AS delta,
+             (mu_a_r - mu_b_r) * (mu_a_r - mu_b_r) AS contrib
+      FROM d),
+m AS (SELECT list_reduce(list(contrib ORDER BY dim), (x, y) -> x + y)
+        AS mmd2 FROM c)
+SELECT dim, n_a, n_b, mu_a_r, mu_b_r, delta, contrib,
+       (SELECT mmd2 FROM m) AS mmd2,
+       round(contrib / (SELECT mmd2 FROM m), 6) AS share_r
+FROM c
+"""
+
+
+Q275_SQL = _q275_sql()
+
+
 QUERIES = {
     "q268_label_silhouette": q268_label_silhouette,
+    "q275_embedding_drift": q275_embedding_drift,
     "q208_jl_certificate": q208_jl_certificate,
     "q220_hamming_topk": q220_hamming_topk,
     "q219_ivf_cell_audit": q219_ivf_cell_audit,
@@ -1394,4 +1501,5 @@ ORACLES = {
     "q181_rank_transform": Q181_SQL,
     "q182_ivfpq_topk": Q182_SQL,
     "q268_label_silhouette": Q268_SQL,
+    "q275_embedding_drift": Q275_SQL,
 }

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     contamination,
     exact_dedup,
     minhash_lsh_candidates,
+    minhash_signature,
     ngram_jaccard_pairs,
     simhash16,
     simhash16_sql,
@@ -1185,6 +1186,179 @@ LEFT JOIN ov1 ON ov1.id_a = p.id_a AND ov1.id_b = p.id_b
 LEFT JOIN ov2 ON ov2.id_a = p.id_a AND ov2.id_b = p.id_b
 JOIN len1 ON len1.doc_id = p.id_a
 JOIN len2 ON len2.doc_id = p.id_a
+"""
+
+
+# --------------------------------------------------------------------------
+# q273 — MinHash ESTIMATE-accuracy certificate: for every q45 LSH
+# candidate pair, the signature-agreement Jaccard estimate
+# (#agreeing components / 8) next to the EXACT Jaccard of the shingle
+# sets and the absolute estimation error. q151 audits WHICH true
+# pairs the banding catches (recall); this audits how well the
+# signature ESTIMATES similarity on the pairs it emits — the second
+# half of the trust argument before acting on sketch scores at
+# 100 TB (e.g. q55's curation keeps/drops by estimated similarity).
+# Exactness: the estimate k/8 is a DYADIC rational (exact in binary,
+# no rounding needed); exact Jaccard is one IEEE division rounded
+# 6 dp; the error is |dyadic − rounded|, rounded 6 dp. The exact
+# intersection is PAIR-MEMBER-SCOPED through the candidate join
+# (q266's shape — pair-linear, never all-pairs); signatures reuse the
+# session shingle artifact.
+# --------------------------------------------------------------------------
+def q273_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles3(spark, sf_dir)
+    pairs = _lsh_pairs3(spark, sf_dir).select("id_a", "id_b")
+    sig = sh.groupBy("doc_id").agg(*minhash_signature(8))
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(8)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), 1).otherwise(0)
+        for k in range(8)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", n_agree.cast("long").alias("n_agree")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ia = pairs.join(
+        sh.withColumnRenamed("doc_id", "id_a"), "id_a"
+    )
+    inter = (
+        ia.join(sh.withColumnRenamed("doc_id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("inter")
+    ).cast("double")
+    est_d = F.col("n_agree").cast("double") / F.lit(8.0)
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            est_d.alias("est"),
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("un"),
+            F.round(j, 6).alias("jaccard_r"),
+            F.round(F.abs(est_d - F.round(j, 6)), 6).alias("abs_err_r"),
+        )
+    )
+
+
+Q273_SQL = f"""
+WITH {_minhash_pair_ctes()},
+agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST({" + ".join(f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(8))}
+              AS BIGINT) AS n_agree
+  FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT g.id_a, g.id_b, g.n_agree,
+       CAST(g.n_agree AS DOUBLE) / 8.0 AS est,
+       coalesce(i.inter, 0) AS inter,
+       sa.sz + sb.sz - coalesce(i.inter, 0) AS un,
+       round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+             / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE), 6)
+         AS jaccard_r,
+       round(abs(CAST(g.n_agree AS DOUBLE) / 8.0
+                 - round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                         / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE),
+                         6)), 6) AS abs_err_r
+FROM agree g
+LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+JOIN sizes sa ON sa.doc_id = g.id_a
+JOIN sizes sb ON sb.doc_id = g.id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# q276 — held-out contamination RATE per source: with the same
+# deterministic 5% hash-bucket eval split as q68, what fraction of
+# each source's distinct eval 4-gram TYPES already occurs anywhere in
+# the train half — the number a pipeline quotes when it says "the
+# benchmark is ≤x% contaminated by the corpus" (q68 flags WHICH train
+# docs overlap, doc grain; this is the rate census at source grain —
+# and the EXACT-join audit whose probabilistic scale form is q149's
+# bloom filter, run on a sample to calibrate the bloom's false-positive
+# allowance before trusting it at 100 TB). Counts are exact distinct
+# int64; the rate is ONE IEEE division rounded 6 dp. Scale shape: one
+# shingle pass (distinct types per side), a gram-keyed equi-join —
+# postings-sized, never doc-pairs.
+# --------------------------------------------------------------------------
+def q276_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(hash_bucket_sql("spark", "doc_id", 100))
+    sh = _exploded_shingles(docs, "text", "doc_id", DECON_N).join(
+        docs.select(
+            "doc_id", "source", bucket.alias("__b")
+        ),
+        "doc_id",
+    )
+    ev = (
+        sh.filter(F.col("__b") < EVAL_PCT)
+        .select("source", "shingle")
+        .distinct()
+    )
+    tr = (
+        sh.filter(F.col("__b") >= EVAL_PCT)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "shingle", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_eval_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_eval_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_eval_grams").cast("double"),
+                6,
+            ).alias("contam_rate_r"),
+        )
+    )
+
+
+Q276_SQL = f"""
+WITH tok AS (SELECT doc_id, source,
+                    {hash_bucket_sql("duckdb", "doc_id", 100)} AS b,
+                    string_split(text, ' ') AS t
+             FROM documents),
+sh AS (SELECT doc_id, source, b,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))))
+                AS shingle
+       FROM tok WHERE len(t) >= {DECON_N}),
+ev AS (SELECT DISTINCT source, shingle FROM sh WHERE b < {EVAL_PCT}),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE b >= {EVAL_PCT})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_eval_grams,
+       CAST(count(tr.shingle) AS BIGINT) AS n_contaminated,
+       round(CAST(count(tr.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS contam_rate_r
+FROM ev LEFT JOIN tr USING (shingle)
+GROUP BY 1
 """
 
 
@@ -4188,6 +4362,8 @@ QUERIES = {
     "q252_incremental_bm25": q252_incremental_bm25,
     "q267_class_tfidf": q267_class_tfidf,
     "q266_rouge_pairs": q266_rouge_pairs,
+    "q273_minhash_estimate": q273_minhash_estimate,
+    "q276_contamination_rate": q276_contamination_rate,
     "q97_negative_sampling": q97_negative_sampling,
     "q98_unigram_surprisal": q98_unigram_surprisal,
     "q100_token_mi": q100_token_mi,
@@ -4254,6 +4430,8 @@ ORACLES = {
     "q252_incremental_bm25": Q252_SQL,
     "q267_class_tfidf": Q267_SQL,
     "q266_rouge_pairs": Q266_SQL,
+    "q273_minhash_estimate": Q273_SQL,
+    "q276_contamination_rate": Q276_SQL,
     "q97_negative_sampling": Q97_SQL,
     "q98_unigram_surprisal": Q98_SQL,
     "q100_token_mi": Q100_SQL,

@@ -3348,3 +3348,181 @@ def test_realized_moments_matches_python(spark):
         if m2:
             assert abs(g.rskew - (s3 / n) / (m2 * m2**0.5)) < 1e-9
             assert abs(g.rkurt - n * s4 / (s2 * s2)) < 1e-9
+
+
+def test_pii_census_matches_python(spark):
+    """q272's per-segment PII counts and redaction rate must equal a
+    literal Python re pass over the same rendered contact cards."""
+    import duckdb
+    import re
+
+    from binance_data_ingestor_spark.queries.cleaning_ops import (
+        q272_pii_census,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment, c_name, c_nationkey, c_custkey
+            FROM '{SF_SMOKE}/customer.parquet'"""
+    ).fetchall()
+    email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    phone = re.compile(r"\+1-[0-9]{3}-[0-9]{4}")
+    acct = re.compile(r"\b[0-9]{16}\b")
+    agg: dict[str, list] = {}
+    for seg, name, nk, ck in rows:
+        card = (
+            f"contact {name} ph +1-{nk:03d}-{ck % 10000:04d}"
+            f" mail user{ck}@{seg.lower()}.example.com acct "
+            f"{(ck * 7919) % 10**16:016d}"
+        )
+        red = acct.sub(
+            "[PII]", phone.sub("[PII]", email.sub("[PII]", card))
+        )
+        a = agg.setdefault(seg, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(email.findall(card))
+        a[2] += len(phone.findall(card))
+        a[3] += len(acct.findall(card))
+        a[4] += len(card)
+        a[5] += len(red)
+    got = {r.seg: r for r in q272_pii_census(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for seg, (n, e, p, a_, raw, red_) in agg.items():
+        r = got[seg]
+        assert (
+            r.n_cards,
+            r.n_emails,
+            r.n_phones,
+            r.n_accts,
+            r.chars_raw,
+            r.chars_redacted,
+        ) == (n, e, p, a_, raw, red_)
+        # every card must have fired all three detectors
+        assert e == n and p == n and a_ == n
+        assert abs(r.redact_rate_r - round(1.0 - red_ / raw, 6)) < 2e-6
+
+
+def test_minhash_estimate_matches_python(spark):
+    """q273's signature-agreement estimate and exact Jaccard must equal
+    the literal md5-minhash + set computation per candidate pair."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q273_minhash_estimate,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    shingles = {}
+    for doc_id, text in docs.items():
+        t = text.split(" ")
+        s = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        if s:
+            shingles[doc_id] = s
+    sigs = {
+        d: [
+            min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in sh)
+            for k in range(8)
+        ]
+        for d, sh in shingles.items()
+    }
+    got = {
+        (r.id_a, r.id_b): r
+        for r in q273_minhash_estimate(spark, SF_SMOKE).collect()
+    }
+    assert got, "no candidate pairs at smoke scale — test is vacuous"
+    for (a, b), r in got.items():
+        agree = sum(1 for k in range(8) if sigs[a][k] == sigs[b][k])
+        inter = len(shingles[a] & shingles[b])
+        un = len(shingles[a] | shingles[b])
+        assert r.n_agree == agree
+        assert r.est == agree / 8  # dyadic — exact
+        assert (r.inter, r.un) == (inter, un)
+        assert abs(r.jaccard_r - round(inter / un, 6)) < 2e-6
+        assert abs(r.abs_err_r - round(abs(agree / 8 - round(inter / un, 6)), 6)) < 2e-6
+        # candidate pairs agree on ≥1 full band by construction
+        assert any(
+            sigs[a][2 * band] == sigs[b][2 * band]
+            and sigs[a][2 * band + 1] == sigs[b][2 * band + 1]
+            for band in range(4)
+        )
+
+
+def test_embedding_drift_matches_python(spark):
+    """q275's per-dim batch means, MMD² and shares must equal the
+    literal hash-split computation (pinned-order fold)."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.similarity_ops import (
+        q275_embedding_drift,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    sums = {0: [0.0] * 64, 1: [0.0] * 64}
+    cnts = {0: 0, 1: 0}
+    for vec_id, emb in rows:
+        b = int(hashlib.md5(str(vec_id).encode()).hexdigest()[:4], 16) % 2
+        cnts[b] += 1
+        for d, v in enumerate(emb):
+            sums[b][d] += float(v)
+    mu = {
+        b: [round(s / cnts[b], 6) for s in sums[b]] for b in (0, 1)
+    }
+    contribs = [
+        (mu[0][d] - mu[1][d]) * (mu[0][d] - mu[1][d]) for d in range(64)
+    ]
+    mmd2 = 0.0
+    for c in contribs:  # pinned dim order
+        mmd2 += c
+    got = {r.dim: r for r in q275_embedding_drift(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(64))
+    for d in range(64):
+        r = got[d]
+        assert (r.n_a, r.n_b) == (cnts[0], cnts[1])
+        assert r.mu_a_r == mu[0][d] and r.mu_b_r == mu[1][d]
+        assert r.delta == mu[0][d] - mu[1][d]
+        assert r.contrib == contribs[d]
+        assert r.mmd2 == mmd2
+        assert abs(r.share_r - round(contribs[d] / mmd2, 6)) < 2e-6
+
+
+def test_contamination_rate_matches_python(spark):
+    """q276's per-source eval-gram contamination must equal the literal
+    set computation over the same 5% hash split."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q276_contamination_rate,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    ev: dict[str, set] = {}
+    tr: set = set()
+    for doc_id, source, text in rows:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        t = text.split(" ")
+        grams = {" ".join(t[i : i + 4]) for i in range(len(t) - 3)}
+        if b < 5:
+            ev.setdefault(source, set()).update(grams)
+        else:
+            tr.update(grams)
+    got = {
+        r.source: r for r in q276_contamination_rate(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {s for s, g in ev.items() if g}
+    for source, grams in ev.items():
+        if not grams:
+            continue
+        hit = len(grams & tr)
+        r = got[source]
+        assert (r.n_eval_grams, r.n_contaminated) == (len(grams), hit)
+        assert abs(r.contam_rate_r - round(hit / len(grams), 6)) < 2e-6
