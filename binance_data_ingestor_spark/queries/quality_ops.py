@@ -1265,8 +1265,532 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q274 — Benjamini–Hochberg FDR over a DRIFT-TEST FAMILY: the repo now
+# ships many per-group drift tests (q114 χ², q248 CvM, q255 W₁, q261
+# Mann–Kendall…) — running them across groups every day is a multiple-
+# comparisons problem, and BH is the standard control. Family here:
+# per event_type, a two-proportion z-test of the type's SHARE of
+# traffic between the two time halves (pooled-variance z from five
+# exact int64 counts). p-values come from the Abramowitz–Stegun
+# 7.1.26 erfc polynomial — one FIXED-ORDER IEEE chain both engines
+# evaluate identically (the only libm calls are exp/sqrt, absorbed by
+# the 9-dp round, the q269/q93 precedent); p_r = round(p, 9) is the
+# value BH ranks, so both engines sort the same doubles. Rejection
+# uses the q-value identity (reject ⟺ qval = min_{j≥i} m·p_(j)/j ≤ α)
+# — no second pass over the summary. Ranks/cummins run over the
+# m-row family summary via bounded_ordered_window (bounded by the
+# event-type vocabulary).
+# Scale: one data-sized groupBy to the m-row family; everything after
+# is summary arithmetic.
+# --------------------------------------------------------------------------
+BH_ALPHA = 0.1
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+def q274_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import bounded_ordered_window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    row = ev.agg(
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("m")
+    ).collect()[0]
+    mid = int(row["m"])
+    s = ev.groupBy("event_type").agg(
+        F.count_if(F.col("ts_us") <= mid).alias("a"),
+        F.count_if(F.col("ts_us") > mid).alias("b"),
+    )
+    tot = s.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count("*").alias("m"),
+    )
+    w = s.crossJoin(F.broadcast(tot))
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    tad = F.col("ta").cast("double")
+    tbd = F.col("tb").cast("double")
+    pa = ad / tad
+    pb = bd / tbd
+    pp = (ad + bd) / (tad + tbd)
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / tad + F.lit(1.0) / tbd)
+    )
+    z = (pa - pb) / F.nullif(se, F.lit(0.0))
+    x = F.abs(z) / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERFC_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(v) for v in _ERFC_A)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    p = poly * F.exp(-x * x)
+    scored = w.select(
+        "event_type",
+        "a",
+        "b",
+        "m",
+        F.round(z, 6).alias("z_r"),
+        F.round(p, 9).alias("p_r"),
+    )
+    rk = F.row_number().over(
+        bounded_ordered_window(  # bounded: one row per event type
+            "event_type", F.asc("p_r"), F.asc("event_type")
+        )
+    )
+    ranked = scored.withColumn("rank", rk)
+    qv = (
+        F.col("m").cast("double")
+        * F.col("p_r")
+        / F.col("rank").cast("double")
+    )
+    from pyspark.sql import Window as _W
+
+    qwin = (
+        _W.partitionBy(
+            F.pmod(F.hash(F.col("event_type")), F.lit(1))
+        )
+        .orderBy("rank")
+        .rowsBetween(_W.currentRow, _W.unboundedFollowing)
+    )
+    out = ranked.withColumn("qval", F.min(qv).over(qwin))
+    return out.select(
+        "event_type",
+        "a",
+        "b",
+        "z_r",
+        "p_r",
+        "rank",
+        F.round("qval", 6).alias("qval_r"),
+        F.when(F.col("qval") <= F.lit(BH_ALPHA), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+Q274_SQL = f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM ev),
+s AS (SELECT event_type,
+             count(*) FILTER (WHERE ts_us <= (SELECT m FROM mid)) AS a,
+             count(*) FILTER (WHERE ts_us > (SELECT m FROM mid)) AS b
+      FROM ev GROUP BY 1),
+tot AS (SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS m FROM s),
+zc AS (SELECT event_type, a, b, m,
+              (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+              / nullif(sqrt(((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                             / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+                            * (1.0 - (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                                     / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+                            * (1.0 / CAST(ta AS DOUBLE)
+                               + 1.0 / CAST(tb AS DOUBLE))), 0.0) AS z
+       FROM s CROSS JOIN tot),
+xc AS (SELECT event_type, a, b, m, z, abs(z) / {_SQRT2} AS x FROM zc),
+tc AS (SELECT *, 1.0 / (1.0 + {_ERFC_P} * x) AS t FROM xc),
+pc AS (SELECT event_type, a, b, m, round(z, 6) AS z_r,
+              round((((({_ERFC_A[4]} * t + {_ERFC_A[3]}) * t
+                       + {_ERFC_A[2]}) * t + {_ERFC_A[1]}) * t
+                     + {_ERFC_A[0]}) * t * exp(-x * x), 9) AS p_r
+       FROM tc),
+r AS (SELECT *, row_number() OVER (ORDER BY p_r, event_type) AS rank FROM pc),
+q AS (SELECT *, min(CAST(m AS DOUBLE) * p_r / CAST(rank AS DOUBLE))
+                  OVER (ORDER BY rank
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS qval
+      FROM r)
+SELECT event_type, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, z_r, p_r,
+       CAST(rank AS BIGINT) AS rank, round(qval, 6) AS qval_r,
+       CAST(CASE WHEN qval <= {BH_ALPHA} THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# q277 — Anderson–Darling two-sample drift per event_type (the
+# tail-sensitive companion of q169 KS / q248 CvM / q255 W₁: AD weights
+# ECDF gaps by 1/(F(1−F)), so it catches TAIL drift the others
+# down-weight). Scholz–Stephens midrank form (their A²akN, k=2) on the
+# (event_type, value) count summary: with per-block counts a_j/b_j,
+# inclusive cumsums CA/CB, the midrank quantities are INTEGERS after
+# doubling — ca2 = 2CA−a (=2M_aj), B2 = ca2+cb2 (=2B_j) — giving
+# term_j = (l_j/N)·(N·ca2 − na·B2)²/(B2(2N−B2) − N·l_j) per sample,
+# all from exact int64 (the ¼ factors cancel exactly). Each term is a
+# deterministic double (identical int inputs, identical op order);
+# cross-block summation is made ORDER-FREE by the q255/q270 integer
+# micro-unit detour: round(term·1e6) → decimal(38,0) sum, ONE final
+# IEEE chain A² = ((N−1)/N)·(Σa/na + Σb/nb)/1e6. A single-value type
+# hits den = 0 with numerator 0: nullif makes it NULL and the sum
+# skips it on both engines (a 0/0 block contributes nothing).
+# Scale: the q248 shape exactly — one data-sized groupBy, two
+# bucket-offset cumsums, summary-sized arithmetic.
+# --------------------------------------------------------------------------
+def q277_ad_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    row = ev.agg(
+        F.floor((F.min("ts_us") + F.max("ts_us")) / 2).alias("m")
+    ).collect()[0]
+    mid = int(row["m"])
+    summary = (
+        ev.groupBy("event_type", "value")
+        .agg(
+            F.count_if(F.col("ts_us") <= mid).alias("a"),
+            F.count_if(F.col("ts_us") > mid).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # span + two cumsums + totals
+    )
+    bkt = with_range_bucket(summary, F.col("value"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        bkt, ["event_type"], [F.asc("value")], "a",
+        bucket=F.col("__rb"), out_col="ca",
+    )
+    cum = with_global_cumsum(
+        cum, ["event_type"], [F.asc("value")], "b",
+        bucket=F.col("__rb"), out_col="cb",
+    ).drop("__rb")
+    tot = summary.groupBy("event_type").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    j = cum.join(tot, "event_type")
+    nn = F.col("na") + F.col("nb")
+    l = F.col("a") + F.col("b")
+    ca2 = 2 * F.col("ca") - F.col("a")
+    cb2 = 2 * F.col("cb") - F.col("b")
+    b2 = ca2 + cb2
+    xa = nn * ca2 - F.col("na") * b2
+    xb = nn * cb2 - F.col("nb") * b2
+    den = b2 * (2 * nn - b2) - nn * l
+    ld = l.cast("double")
+    nd = nn.cast("double")
+    dend = F.nullif(den, F.lit(0)).cast("double")
+    term_a = ld * xa.cast("double") * xa.cast("double") / nd / dend
+    term_b = ld * xb.cast("double") * xb.cast("double") / nd / dend
+    agg = j.groupBy("event_type", "na", "nb").agg(
+        F.count("*").alias("n_values"),
+        F.sum(F.round(term_a * 1e6).cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.round(term_b * 1e6).cast("decimal(38,0)")).alias("sb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ntd = nad + nbd
+    a2 = (
+        (ntd - F.lit(1.0))
+        / ntd
+        * (
+            F.col("sa").cast("double") / nad
+            + F.col("sb").cast("double") / nbd
+        )
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "event_type", "na", "nb", "n_values", F.round(a2, 6).alias("a2_r")
+    )
+
+
+Q277_SQL = """
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM ev),
+s AS (SELECT event_type, value,
+             count(*) FILTER (WHERE ts_us <= (SELECT m FROM mid)) AS a,
+             count(*) FILTER (WHERE ts_us > (SELECT m FROM mid)) AS b
+      FROM ev GROUP BY 1, 2),
+c AS (SELECT event_type, a, b,
+             sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING)),
+t AS (SELECT event_type, sum(a) AS na, sum(b) AS nb FROM s GROUP BY 1),
+terms AS (
+  SELECT c.event_type, na, nb,
+         CAST(a + b AS DOUBLE)
+           * CAST((na + nb) * (2 * ca - a) - na * ((2 * ca - a) + (2 * cb - b))
+                  AS DOUBLE)
+           * CAST((na + nb) * (2 * ca - a) - na * ((2 * ca - a) + (2 * cb - b))
+                  AS DOUBLE)
+           / CAST(na + nb AS DOUBLE)
+           / CAST(nullif(((2 * ca - a) + (2 * cb - b))
+                           * (2 * (na + nb) - ((2 * ca - a) + (2 * cb - b)))
+                         - (na + nb) * (a + b), 0) AS DOUBLE) AS term_a,
+         CAST(a + b AS DOUBLE)
+           * CAST((na + nb) * (2 * cb - b) - nb * ((2 * ca - a) + (2 * cb - b))
+                  AS DOUBLE)
+           * CAST((na + nb) * (2 * cb - b) - nb * ((2 * ca - a) + (2 * cb - b))
+                  AS DOUBLE)
+           / CAST(na + nb AS DOUBLE)
+           / CAST(nullif(((2 * ca - a) + (2 * cb - b))
+                           * (2 * (na + nb) - ((2 * ca - a) + (2 * cb - b)))
+                         - (na + nb) * (a + b), 0) AS DOUBLE) AS term_b
+  FROM c JOIN t USING (event_type)),
+g AS (SELECT event_type, na, nb, count(*) AS n_values,
+             sum(CAST(round(term_a * 1e6) AS HUGEINT)) AS sa,
+             sum(CAST(round(term_b * 1e6) AS HUGEINT)) AS sb
+      FROM terms GROUP BY 1, 2, 3)
+SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(n_values AS BIGINT) AS n_values,
+       round((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / 1e6, 6) AS a2_r
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q278 — Brown–Forsythe variance-homogeneity test across order
+# priorities: are price SPREADS equal across groups, not just means?
+# (The robust Levene variant — deviations from the group MEDIAN, so
+# heavy tails don't fake a variance difference.) The pipeline gate
+# before pooling segments into one training stratum. Exactness
+# discipline: the group median is the ⌈(n+1)/2⌉-th order statistic
+# (first block whose inclusive cumsum ≥ (n+1)/2 — the UPPER middle
+# for even n; deterministic integer cents, and BF is insensitive to
+# the middle convention) found via the q248-style
+# bucket-offset cumsum over the (group, cents) summary — never a
+# per-group sort. Deviations z = |cents − med| are INTEGERS: S_g = Σz
+# stays int64, Q_g = Σz² accumulates in decimal(38,0) by design.
+# The k-row group summary then folds to the F statistic with the
+# q268 pinned-order discipline (sort_array + left fold / DuckDB
+# list(… ORDER BY g) + list_reduce): num = Σ n_g(z̄_g − z̄)²,
+# den = Σ (Q_g − S_g²/n_g), F = ((N−k)/(k−1))·num/den — per-group
+# terms are identical doubles on both engines, the fold order is
+# pinned, no terminal rounding needed on the fold itself.
+# Scale: one data-sized groupBy + cumsum; k-row arithmetic after.
+# --------------------------------------------------------------------------
+def q278_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_cumsum, with_range_bucket
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    summary = (
+        o.groupBy("g", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # cumsum + totals + deviation pass
+    )
+    bkt = with_range_bucket(summary, F.col("cents"), bucket_col="__rb")
+    cum = with_global_cumsum(
+        bkt, ["g"], [F.asc("cents")], "c", bucket=F.col("__rb"), out_col="cu"
+    ).drop("__rb")
+    tot = summary.groupBy("g").agg(F.sum("c").alias("n"))
+    med = (
+        cum.join(tot, "g")
+        .filter(F.col("cu") >= (F.col("n") + 1).cast("long") / 2)
+        .groupBy("g", "n")
+        .agg(F.min("cents").alias("med"))
+    )
+    z = F.abs(F.col("cents") - F.col("med"))
+    stats = (
+        summary.join(med, "g")
+        .groupBy("g", "n", "med")
+        .agg(
+            F.sum(F.col("c") * z).alias("s"),
+            F.sum(
+                (F.col("c") * z).cast("decimal(38,0)") * z
+            ).alias("q"),
+        )
+    )
+    tot2 = stats.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.count("*").alias("k"),
+    )
+    w = stats.crossJoin(F.broadcast(tot2))
+    nd = F.col("n").cast("double")
+    zbar_g = F.col("s").cast("double") / nd
+    zbar = F.col("s_tot").cast("double") / F.col("n_tot").cast("double")
+    terms = w.select(
+        "g",
+        "n",
+        "med",
+        "s",
+        "n_tot",
+        "k",
+        F.round(zbar_g, 6).alias("mean_absdev_r"),
+        (nd * (zbar_g - zbar) * (zbar_g - zbar)).alias("tn"),
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nd
+        ).alias("td"),
+    ).localCheckpoint(eager=False)  # feeds the fold + the output rows
+    fold = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g"), F.col("tn").alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("num"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g"), F.col("td").alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("den"),
+    )
+    out = terms.crossJoin(F.broadcast(fold))
+    ntd = F.col("n_tot").cast("double")
+    kd = F.col("k").cast("double")
+    f_stat = (
+        (ntd - kd)
+        / (kd - F.lit(1.0))
+        * F.col("num")
+        / F.nullif(F.col("den"), F.lit(0.0))
+    )
+    return out.select(
+        "g",
+        "n",
+        "med",
+        "s",
+        "mean_absdev_r",
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n_tot") - F.col("k")).alias("df2"),
+        F.round(f_stat, 6).alias("f_r"),
+    )
+
+
+Q278_SQL = """
+WITH o AS (SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+s AS (SELECT g, cents, count(*) AS c FROM o GROUP BY 1, 2),
+c AS (SELECT g, cents, c,
+             sum(c) OVER (PARTITION BY g ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cu
+      FROM s),
+t AS (SELECT g, sum(c) AS n FROM s GROUP BY 1),
+med AS (SELECT c.g, t.n, min(cents) AS med
+        FROM c JOIN t ON t.g = c.g
+        WHERE cu >= CAST(t.n + 1 AS DOUBLE) / 2
+        GROUP BY 1, 2),
+st AS (SELECT s.g, med.n, med.med,
+              CAST(sum(c * abs(cents - med)) AS BIGINT) AS sdev,
+              sum(CAST(c * abs(cents - med) AS HUGEINT)
+                  * abs(cents - med)) AS q
+       FROM s JOIN med ON med.g = s.g
+       GROUP BY 1, 2, 3),
+t2 AS (SELECT sum(n) AS n_tot, sum(sdev) AS s_tot, count(*) AS k FROM st),
+terms AS (
+  SELECT g, n, med, sdev, n_tot, k,
+         round(CAST(sdev AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_absdev_r,
+         CAST(n AS DOUBLE)
+           * (CAST(sdev AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+           * (CAST(sdev AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS tn,
+         CAST(q AS DOUBLE)
+           - CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+             / CAST(n AS DOUBLE) AS td
+  FROM st CROSS JOIN t2),
+fold AS (SELECT list_reduce(list(tn ORDER BY g), (x, y) -> x + y) AS num,
+                list_reduce(list(td ORDER BY g), (x, y) -> x + y) AS den
+         FROM terms)
+SELECT g, CAST(n AS BIGINT) AS n, med, sdev AS s, mean_absdev_r,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n_tot - k AS BIGINT) AS df2,
+       round((CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))
+             / (CAST(k AS DOUBLE) - 1.0)
+             * (SELECT num FROM fold)
+             / nullif((SELECT den FROM fold), 0.0), 6) AS f_r
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# q280 — ε-differentially-private count release with a utility
+# certificate: the (priority × status) contingency counts of orders,
+# released with Laplace(1/ε) noise — the mechanism a pipeline applies
+# before sharing corpus statistics externally — next to the TRUE count
+# and the realized absolute error, so the release's utility is
+# machine-checkable (the sketch-certificate discipline applied to
+# privacy: every noisy number ships its exact counterpart; in a real
+# release the true column is withheld, here it IS the certificate).
+# Reproducibility: production DP releases need a seeded noise stream
+# for audit replay; noise here is the inverse-CDF transform
+# X = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) of a DETERMINISTIC md5-uniform
+# u = hex8(md5('dp:'+cell))/2³² — the same per-digit-lookup idiom as
+# hash_bucket_sql, provably identical on both engines; the one ln is
+# absorbed by the 6-dp round (q269/q93 precedent). Sensitivity of a
+# disjoint-cell count vector is 1, so scale b = 1/ε per cell.
+# Scale: one data-sized groupBy to the ~15-cell summary.
+# --------------------------------------------------------------------------
+DP_EPS = 0.5
+
+
+def _hex_u32(dialect: str, key_expr: str) -> str:
+    """First 8 md5 hex digits of ``key_expr`` as an integer in
+    [0, 2³²) — same portable per-digit lookup as hash_bucket_sql."""
+    from ..operators.text import HEX_DIGITS
+
+    pos = "instr" if dialect == "spark" else "strpos"
+    d = [
+        f"CAST({pos}('{HEX_DIGITS}', substring(md5({key_expr}), {i + 1}, 1)) - 1"
+        f" AS BIGINT)"
+        for i in range(8)
+    ]
+    out = d[0]
+    for x in d[1:]:
+        out = f"({out} * 16 + {x})"
+    return out
+
+
+def q280_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cells = o.groupBy("prio", "status").agg(F.count("*").alias("n_true"))
+    key = "concat('dp:', prio, '|', status)"
+    u = F.expr(_hex_u32("spark", key)).cast("double") / F.lit(4294967296.0)
+    noise = (
+        F.lit(-1.0 / DP_EPS)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return cells.select(
+        "prio",
+        "status",
+        "n_true",
+        F.lit(DP_EPS).alias("epsilon"),
+        F.round(F.col("n_true").cast("double") + noise, 6).alias("noisy_r"),
+        F.round(F.abs(noise), 6).alias("abs_err_r"),
+    )
+
+
+Q280_SQL = f"""
+WITH cells AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                      count(*) AS n_true
+               FROM orders GROUP BY 1, 2),
+u AS (SELECT prio, status, n_true,
+             CAST({_hex_u32("duckdb", "concat('dp:', prio, '|', status)")}
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM cells),
+nz AS (SELECT prio, status, n_true,
+              {-1.0 / DP_EPS} * sign(u - 0.5)
+                * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+       FROM u)
+SELECT prio, status, CAST(n_true AS BIGINT) AS n_true,
+       {DP_EPS} AS epsilon,
+       round(CAST(n_true AS DOUBLE) + noise, 6) AS noisy_r,
+       round(abs(noise), 6) AS abs_err_r
+FROM nz
+"""
+
+
 QUERIES = {
     "q91_constraint_audit": q91_constraint_audit,
+    "q274_bh_fdr": q274_bh_fdr,
+    "q277_ad_drift": q277_ad_drift,
+    "q278_brown_forsythe": q278_brown_forsythe,
+    "q280_dp_counts": q280_dp_counts,
     "q234_effective_rank": q234_effective_rank,
     "q92_embedding_covariance": q92_embedding_covariance,
     "q94_psi_drift": q94_psi_drift,
@@ -1285,6 +1809,10 @@ QUERIES = {
 
 ORACLES = {
     "q91_constraint_audit": Q91_SQL,
+    "q274_bh_fdr": Q274_SQL,
+    "q277_ad_drift": Q277_SQL,
+    "q278_brown_forsythe": Q278_SQL,
+    "q280_dp_counts": Q280_SQL,
     "q234_effective_rank": Q234_SQL,
     "q92_embedding_covariance": Q92_SQL,
     "q94_psi_drift": Q94_SQL,

@@ -3526,3 +3526,190 @@ def test_contamination_rate_matches_python(spark):
         r = got[source]
         assert (r.n_eval_grams, r.n_contaminated) == (len(grams), hit)
         assert abs(r.contam_rate_r - round(hit / len(grams), 6)) < 2e-6
+
+
+def test_bh_fdr_matches_python(spark):
+    """q274's z, p (A&S erfc chain), ranks, q-values and rejections
+    must equal the literal BH step-up over the same family."""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        q274_bh_fdr,
+        BH_ALPHA,
+        _ERFC_P,
+        _ERFC_A,
+        _SQRT2,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_type, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    mid = (min(r[1] for r in rows) + max(r[1] for r in rows)) // 2
+    cnt: dict[str, list] = {}
+    for et, ts in rows:
+        a = cnt.setdefault(et, [0, 0])
+        a[0 if ts <= mid else 1] += 1
+    ta = sum(v[0] for v in cnt.values())
+    tb = sum(v[1] for v in cnt.values())
+    m = len(cnt)
+
+    def p_of(a, b):
+        pa, pb = a / ta, b / tb
+        pp = (a + b) / (ta + tb)
+        se = math.sqrt(pp * (1.0 - pp) * (1.0 / ta + 1.0 / tb))
+        z = (pa - pb) / se
+        x = abs(z) / _SQRT2
+        t = 1.0 / (1.0 + _ERFC_P * x)
+        a1, a2, a3, a4, a5 = _ERFC_A
+        poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+        return z, round(poly * math.exp(-x * x), 9)
+
+    scored = sorted(
+        ((et, *p_of(a, b), a, b) for et, (a, b) in cnt.items()),
+        key=lambda r: (r[2], r[0]),
+    )
+    got = {r.event_type: r for r in q274_bh_fdr(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cnt)
+    qvals = {}
+    running = float("inf")
+    for i in range(len(scored) - 1, -1, -1):
+        et, z, p, a, b = scored[i]
+        running = min(running, m * p / (i + 1))
+        qvals[et] = (i + 1, running)
+    for et, z, p, a, b in scored:
+        r = got[et]
+        rank, qv = qvals[et]
+        assert (r.a, r.b, r.rank) == (a, b, rank)
+        assert abs(r.z_r - round(z, 6)) < 2e-6
+        assert abs(r.p_r - p) < 2e-9
+        assert abs(r.qval_r - round(qv, 6)) < 2e-6
+        assert r.rejected == (1 if qv <= BH_ALPHA else 0)
+    # the family must be non-trivial: at least one rejection and one
+    # acceptance would be ideal, but at minimum the p-values must span
+    assert len({r.p_r for r in got.values()}) > 1
+
+
+def test_ad_drift_matches_python(spark):
+    """q277's A² must equal the literal Scholz–Stephens midrank
+    computation (integer-doubled quantities, µ-unit term sums)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.quality_ops import q277_ad_drift
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, value, epoch_us(ts)
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).fetchall()
+    mid = (min(r[2] for r in rows) + max(r[2] for r in rows)) // 2
+    by_type: dict[str, dict] = {}
+    for et, v, ts in rows:
+        d = by_type.setdefault(et, {})
+        c = d.setdefault(v, [0, 0])
+        c[0 if ts <= mid else 1] += 1
+    got = {r.event_type: r for r in q277_ad_drift(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_type)
+    for et, blocks in by_type.items():
+        na = sum(a for a, _ in blocks.values())
+        nb = sum(b for _, b in blocks.values())
+        N = na + nb
+        ca = cb = 0
+        sa = sb = 0
+        for v in sorted(blocks):
+            a, b = blocks[v]
+            ca += a
+            cb += b
+            l = a + b
+            ca2, cb2 = 2 * ca - a, 2 * cb - b
+            b2 = ca2 + cb2
+            den = b2 * (2 * N - b2) - N * l
+            if den == 0:
+                continue
+            xa = N * ca2 - na * b2
+            xb = N * cb2 - nb * b2
+            sa += round(float(l) * float(xa) * float(xa) / N / den * 1e6)
+            sb += round(float(l) * float(xb) * float(xb) / N / den * 1e6)
+        a2 = (N - 1.0) / N * (sa / na + sb / nb) / 1e6
+        r = got[et]
+        assert (r.na, r.nb, r.n_values) == (na, nb, len(blocks))
+        assert abs(r.a2_r - round(a2, 6)) < 2e-6
+
+
+def test_brown_forsythe_matches_python(spark):
+    """q278's group medians, deviation sums and F must equal the
+    literal Brown–Forsythe computation."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        q278_brown_forsythe,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[str, list] = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    stats = {}
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1] if n % 2 else xs[n // 2]  # ceil((n+1)/2)
+        z = [abs(x - med) for x in xs]
+        stats[g] = (n, med, sum(z), sum(v * v for v in z))
+    N = sum(s[0] for s in stats.values())
+    S = sum(s[2] for s in stats.values())
+    k = len(stats)
+    zbar = S / N
+    num = den = 0.0
+    for g in sorted(stats):
+        n, med, s, q = stats[g]
+        num += n * (s / n - zbar) * (s / n - zbar)
+        den += q - s * s / n
+    f = (N - k) / (k - 1) * num / den
+    got = {r.g: r for r in q278_brown_forsythe(spark, SF_SMOKE).collect()}
+    assert set(got) == set(stats)
+    for g, (n, med, s, q) in stats.items():
+        r = got[g]
+        assert (r.n, r.med, r.s, r.df1, r.df2) == (n, med, s, k - 1, N - k)
+        assert abs(r.mean_absdev_r - round(s / n, 6)) < 2e-6
+        assert abs(r.f_r - round(f, 6)) < 2e-6
+
+
+def test_dp_counts_matches_python(spark):
+    """q280's seeded Laplace noise must equal the literal inverse-CDF
+    transform of the md5 uniform, and the release must be non-trivial
+    (non-zero noise on every cell)."""
+    import duckdb
+    import hashlib
+    import math
+
+    from binance_data_ingestor_spark.queries.quality_ops import (
+        q280_dp_counts,
+        DP_EPS,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, o_orderstatus, count(*)
+            FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    got = {
+        (r.prio, r.status): r for r in q280_dp_counts(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {(p, s) for p, s, _ in rows}
+    for p, s, n in rows:
+        u = (
+            int(hashlib.md5(f"dp:{p}|{s}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        noise = (
+            -(1.0 / DP_EPS)
+            * math.copysign(1.0, u - 0.5)
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        ) if u != 0.5 else 0.0
+        r = got[(p, s)]
+        assert r.n_true == n and r.epsilon == DP_EPS
+        assert abs(r.noisy_r - round(n + noise, 6)) < 2e-6
+        assert abs(r.abs_err_r - round(abs(noise), 6)) < 2e-6
+        assert r.abs_err_r > 0.0
