@@ -1751,6 +1751,144 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# q279 — STREAMING Wilson counters (the THIRTEENTH streaming≡batch
+# certificate): q250's (n, k) per-segment counters folded by a real
+# Structured Streaming stateful operator
+# (streaming/stateful.flag_counter_stream) over a 3-micro-batch file
+# replay of the customer-grain responder flags, then asserted EXACTLY
+# multiset-equal to the batch counters (exceptAll both ways — integer
+# counts, no tolerance) before the Wilson chain is emitted against
+# q250's own oracle (the q211↔q209 pattern: the streaming twin's
+# ORACLE IS the batch query's from-scratch SQL). The (n, k) monoid is
+# commutative/associative, so the final snapshot is order-independent
+# (the q199/q209 equality argument); what the certificate actually
+# exercises is the STATE CARRY across micro-batches — maxFilesPerTrigger
+# = 1 over 3 time-staggered files puts every segment in every batch,
+# so a fold that restarts per batch under-counts measurably (teeth
+# test builds that break and pins the divergence). State per key = two
+# longs; output is segment-grained no matter the customer count.
+# --------------------------------------------------------------------------
+def q279_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import flag_counter_stream
+    from .util import replay_input, stagger_replay_mtimes
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    responders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select(
+        "seg",
+        F.col("o_custkey").isNotNull().cast("long").alias("y"),
+        # deterministic event time from the key — customers have no
+        # timestamp; any monotone-in-file-order stamp serves the
+        # watermark contract. +1000 ms: the streaming engine's initial
+        # watermark is 0 and the late filter is STRICT (a row at
+        # ts == watermark is dropped), so no event time may touch the
+        # epoch (measured: a ts=0 row vanishes silently).
+        F.timestamp_millis(F.col("c_custkey") + 1000).alias("ts"),
+    )
+
+    def _write(w: str) -> None:
+        (
+            flagged.repartitionByRange(3, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(f"{w}/in")
+        )
+        stagger_replay_mtimes(f"{w}/in")
+
+    data = replay_input(spark, sf_dir, "q279", _write)
+    work = tempfile.mkdtemp(prefix="q279_")
+    stream = (
+        spark.readStream.schema("seg string, y long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")  # three real micro-batches
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{_os.path.basename(work)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            flag_counter_stream(stream, ["seg"], flag_col="y")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q279 streaming replay timed out after 600 s")
+        snap = spark.table(name).collect()
+        mx: dict[str, int] = {}
+        fin: dict[str, tuple] = {}
+        for r in snap:
+            if r.n_processed >= mx.get(r.seg, -1):
+                mx[r.seg] = r.n_processed
+                fin[r.seg] = (r.n, r.k)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    streamed = spark.createDataFrame(
+        sorted((s, n, k) for s, (n, k) in fin.items()),
+        "seg string, n long, k long",
+    )
+    batch = (
+        flagged.groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
+        .localCheckpoint(eager=False)  # both exceptAll sides + emission
+    )
+    n_diff = (
+        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q279: streaming Wilson counters diverged from the batch "
+            f"count/sum on {n_diff} rows - refusing to emit either result"
+        )
+    z = F.lit(WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                p * (F.lit(1.0) - p) / n
+                + z * z / (F.lit(4.0) * n * n),
+            )
+        )
+        / denom
+    )
+    return batch.select(
+        "seg",
+        "n",
+        "k",
+        p.alias("p_r"),
+        (center - half).alias("lo_r"),
+        (center + half).alias("hi_r"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q269 — held-out Markov transition perplexity: train the first-order
 # event-transition model on the FIRST time half (Laplace-smoothed),
 # score the SECOND half's transitions with it, report per-state
@@ -1854,6 +1992,7 @@ SELECT cur, n_test, nll_r, round(exp(nll_r), 6) AS ppl_r FROM a
 
 QUERIES = {
     "q250_wilson_ci": q250_wilson_ci,
+    "q279_stream_wilson": q279_stream_wilson,
     "q269_markov_perplexity": q269_markov_perplexity,
     "q206_markov_attribution": q206_markov_attribution,
     "q214_sequence_support": q214_sequence_support,
@@ -1882,6 +2021,7 @@ QUERIES = {
 
 ORACLES = {
     "q250_wilson_ci": Q250_SQL,
+    "q279_stream_wilson": Q250_SQL,
     "q269_markov_perplexity": Q269_SQL,
     "q206_markov_attribution": Q206_SQL,
     "q214_sequence_support": Q214_SQL,

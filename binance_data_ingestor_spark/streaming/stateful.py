@@ -999,6 +999,111 @@ def xor_digest_stream(
     return raw
 
 
+# ---------------------------------------------------------------------------
+# Streaming per-key flag counters — the (n, k) counting monoid behind
+# q250's Wilson interval, folded as a real stateful operator (the
+# THIRTEENTH streaming≡batch certificate's stream side).
+# ---------------------------------------------------------------------------
+
+FLAG_COUNTER_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("k", LongType())]
+)
+
+
+def _flag_counter_stream_fn(flag_col: str, n_keys: int, idle_state_ttl_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        n, k = (0, 0)
+        if state.exists:
+            n0, k0 = state.get
+            n, k = int(n0), int(k0)
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # fold the Arrow batch vectorized, then carry the scalars:
+            # the CARRIED (n, k) is the whole certificate — a fold that
+            # restarts per micro-batch passes single-batch replays and
+            # silently under-counts multi-batch ones (teeth test builds
+            # exactly that break and measures the divergence)
+            n += len(pdf)
+            k += int(pdf[flag_col].to_numpy(dtype="int64").sum())
+
+        yield pd.DataFrame(
+            {
+                **{f"__k{i}": [key[i]] for i in range(n_keys)},
+                "n": [n],
+                "k": [k],
+                "n_processed": [n],
+            }
+        )
+        state.update((n, k))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_state_ttl_ms
+        )
+
+    return fn
+
+
+def flag_counter_stream(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    flag_col: str,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming per-key (rows seen, flags set) counters — the counting
+    monoid under q250's Wilson interval as a stateful operator.
+
+    (n, k) addition is commutative and associative, so the final
+    streaming snapshot equals the batch ``count(*)/sum(flag)`` EXACTLY
+    whatever the batch/file/arrival order (the q199/q209 monoid
+    equality argument, for the simplest monoid after XOR). Per-key
+    state is two longs — O(1) memory on an unbounded stream; idle keys
+    drop after ``idle_state_ttl_ms`` of event time (their last emitted
+    snapshot is already final).
+
+    Emission contract (append mode): one post-batch snapshot row per
+    key per data batch, monotone in ``n_processed`` — consumers keep
+    the row with the highest ``n_processed`` per key. Output:
+    *keys, n, k, n_processed.
+    """
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            StructField(f"__k{i}", in_schema[kcol].dataType)
+            for i, kcol in enumerate(keys)
+        ]
+        + [
+            StructField("n", LongType()),
+            StructField("k", LongType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    raw = (
+        events.select(*keys, flag_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _flag_counter_stream_fn(flag_col, len(keys), idle_state_ttl_ms),
+            out_schema,
+            FLAG_COUNTER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    for i, kcol in enumerate(keys):
+        raw = raw.withColumnRenamed(f"__k{i}", kcol)
+    return raw
+
+
 VPIN_OUTPUT_SCHEMA = StructType(
     [
         StructField("symbol", StringType()),

@@ -3713,3 +3713,138 @@ def test_dp_counts_matches_python(spark):
         assert abs(r.noisy_r - round(n + noise, 6)) < 2e-6
         assert abs(r.abs_err_r - round(abs(noise), 6)) < 2e-6
         assert r.abs_err_r > 0.0
+
+
+def test_stream_wilson_teeth_broken_fold_diverges(spark):
+    """q279's certificate must have teeth: a counter fold that RESTARTS
+    per micro-batch (drops carried state) under-counts every segment on
+    the same 3-batch replay, so the exceptAll gate would refuse it."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from binance_data_ingestor_spark.queries.util import (
+        load,
+        replay_input,
+        stagger_replay_mtimes,
+    )
+
+    sf = SF_SMOKE
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    responders = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = cust.join(
+        responders, cust["c_custkey"] == responders["o_custkey"], "left"
+    ).select(
+        "seg",
+        F.col("o_custkey").isNotNull().cast("long").alias("y"),
+        F.timestamp_millis(F.col("c_custkey") + 1000).alias("ts"),
+    )
+
+    def _write(w: str) -> None:
+        (
+            flagged.repartitionByRange(3, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(f"{w}/in")
+        )
+        stagger_replay_mtimes(f"{w}/in")
+
+    data = replay_input(spark, sf, "q279", _write)  # same artifact as q279
+
+    def broken_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # THE BREAK: carried state ignored — each micro-batch restarts
+        n, k = 0, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            k += int(pdf["y"].sum())
+        yield pd.DataFrame(
+            {"seg": [key[0]], "n": [n], "k": [k], "n_processed": [n]}
+        )
+        state.update((n, k))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 86_400_000)
+
+    out_schema = StructType(
+        [
+            StructField("seg", StringType()),
+            StructField("n", LongType()),
+            StructField("k", LongType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    st_schema = StructType(
+        [StructField("n", LongType()), StructField("k", LongType())]
+    )
+    work = tempfile.mkdtemp(prefix="q279teeth_")
+    name = f"teeth_{os.path.basename(work)}"
+    stream = (
+        spark.readStream.schema("seg string, y long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{data}/in")
+    )
+    try:
+        q = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy("seg")
+            .applyInPandasWithState(
+                broken_fn,
+                out_schema,
+                st_schema,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        snap = spark.table(name).collect()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+
+    mx: dict[str, int] = {}
+    fin: dict[str, tuple] = {}
+    for r in snap:
+        if r.n_processed >= mx.get(r.seg, -1):
+            mx[r.seg] = r.n_processed
+            fin[r.seg] = (r.n, r.k)
+    batch = {
+        r.seg: (r.n, r.k)
+        for r in flagged.groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
+        .collect()
+    }
+    assert set(fin) == set(batch)
+    # every segment appears in ≥2 micro-batches, so EVERY final broken
+    # counter under-counts — the q279 exceptAll gate catches all 5 rows
+    n_div = sum(1 for s in batch if fin[s] != batch[s])
+    assert n_div == len(batch), (fin, batch)
+    for s in batch:
+        assert fin[s][0] < batch[s][0]
