@@ -61,6 +61,15 @@ q234 (round 7) — the 1-ROW vector-count aggregate crossJoin-broadcast
 into the 2,080-row covariance-pair table (the q94/q129 scalar shape;
 the data itself never joins — it reduced to task-bounded partial sums
 upstream).
+q274 (round 10) — the 1-ROW family totals aggregate (ta, tb, m)
+crossJoin-broadcast into the m-row test summary (the q114 family
+shape).
+q275 (round 10) — the 1-ROW pinned-order MMD² fold crossJoin-broadcast
+into the 64-row per-dim table (both BNLJ sides summary-sized, the
+q270 shape).
+q278 (round 10) — TWO 1-ROW aggregates (the (N, ΣS, k) totals, then
+the pinned-order num/den folds) crossJoin-broadcast into the k-row
+group summary (the q270/q226 shape).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -74,6 +83,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
         "q219", "q221", "q223", "q226", "q227", "q234", "q252",
-        "q267", "q269", "q270",
+        "q267", "q269", "q270", "q274", "q275", "q278",
     }
 )
