@@ -29,10 +29,15 @@ def main() -> None:
     # is legal (drift comparison) but worth a loud warning.
     if a["sf"] != b["sf"]:
         raise SystemExit(f"sweep scale factors differ: {a['sf']} vs {b['sf']}")
-    if a.get("box") != b.get("box"):
+    def _box_id(d):
+        box = d.get("box") or {}
+        # the stamp includes the sweep date — identity is hw/kernel only
+        return {k: box.get(k) for k in ("node", "release", "cpus")}
+
+    if _box_id(a) != _box_id(b):
         print(
             f"WARNING: sweeps ran on different boxes "
-            f"({a.get('box')} vs {b.get('box')}); min-pooling across "
+            f"({_box_id(a)} vs {_box_id(b)}); min-pooling across "
             f"boxes mixes hardware states",
             file=sys.stderr,
         )
