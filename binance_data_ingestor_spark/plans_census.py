@@ -70,6 +70,9 @@ q270 shape).
 q278 (round 10) — TWO 1-ROW aggregates (the (N, ΣS, k) totals, then
 the pinned-order num/den folds) crossJoin-broadcast into the k-row
 group summary (the q270/q226 shape).
+q281 (round 10) — TWO 1-ROW aggregates (the edge-count m, then the
+pinned-order modularity fold) crossJoin-broadcast into the
+communities-sized term table (the q278 shape).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -83,6 +86,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q169", "q173", "q174", "q175", "q176", "q177", "q180",
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
         "q219", "q221", "q223", "q226", "q227", "q234", "q252",
-        "q267", "q269", "q270", "q274", "q275", "q278",
+        "q267", "q269", "q270", "q274", "q275", "q278", "q281",
     }
 )

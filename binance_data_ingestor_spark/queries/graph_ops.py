@@ -193,8 +193,18 @@ def q200_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_sql(rounds: int) -> str:
+    return (
+        f"WITH {_lpa_ctes(rounds)}"
+        f"\nSELECT node AS part, lab AS community FROM l{rounds}"
+    )
+
+
+def _lpa_ctes(rounds: int) -> str:
+    """CTE chain ending in ``l{rounds} (node, lab)`` — shared by
+    Q200_SQL and Q281_SQL so the modularity oracle scores exactly
+    q200's communities."""
     parts = [
-        """WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        """pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
        FROM pr a JOIN pr b
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -213,14 +223,113 @@ l{i} AS MATERIALIZED (SELECT c.dst AS node, min(c.lab) AS lab
        FROM c{i} c JOIN m{i} m ON c.dst = m.dst AND c.cnt = m.mc
        GROUP BY 1)"""
         )
-    parts.append(
-        f"""
-SELECT node AS part, lab AS community FROM l{rounds}"""
-    )
     return "".join(parts)
 
 
 Q200_SQL = _lpa_sql(_LPA_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# q281 — MODULARITY certificate for the q200 label-propagation
+# communities: Newman's Q = Σ_c [ e_c/m − (d_c/2m)² ] over the same
+# co-purchase graph — the number that says whether the community
+# structure LPA found is real (Q ≫ 0) or no better than the degree-
+# preserving null model (Q ≈ 0). Every clustering the pipeline ships
+# should carry this score; it is the q151/q273 certificate discipline
+# applied to graph partitions. Exactness: e_c (intra-community
+# edges), d_c (total degree) and m are exact int64 from equi-joins on
+# the checkpointed edge list; each community's term is one IEEE chain
+# over identical ints, and the global Q folds the community terms in
+# PINNED community-id order (q268 discipline). The oracle rebuilds the
+# SAME communities via the shared _lpa_ctes chain, so the driver
+# compare certifies LPA determinism AND the modularity arithmetic.
+# Scale: degrees and intra-edge counts are one shuffle each on the
+# edge list; the community summary is communities-sized; m and the
+# fold are 1-row broadcast crossings (census-adjudicated).
+# --------------------------------------------------------------------------
+def q281_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    _, pairs = copurchase_pairs(spark, sf_dir)
+    edges = pairs.select("u", "v")
+    comm = label_propagation(edges, _LPA_ROUNDS)  # (node, community)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    cstats = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"), F.sum("deg").alias("d_tot"))
+    )
+    cu = comm.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        edges.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("e_intra"))
+    )
+    m1 = edges.agg(F.count("*").alias("m"))
+    base = (
+        cstats.join(intra, "community", "left")
+        .na.fill({"e_intra": 0})
+        .crossJoin(F.broadcast(m1))
+    )
+    md = F.col("m").cast("double")
+    qc = F.col("e_intra").cast("double") / md - (
+        F.col("d_tot").cast("double") / (F.lit(2.0) * md)
+    ) * (F.col("d_tot").cast("double") / (F.lit(2.0) * md))
+    terms = base.select(
+        "community", "n_nodes", "d_tot", "e_intra", "m", qc.alias("qc")
+    ).localCheckpoint(eager=False)  # feeds the fold + the output rows
+    fold = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("community"), F.col("qc").alias("p"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("q_mod")
+    )
+    return (
+        terms.crossJoin(F.broadcast(fold))
+        .select(
+            "community", "n_nodes", "d_tot", "e_intra", "m", "qc", "q_mod"
+        )
+    )
+
+
+Q281_SQL = f"""
+WITH {_lpa_ctes(_LPA_ROUNDS)},
+comm AS (SELECT node, lab AS community FROM l{_LPA_ROUNDS}),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+cstats AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(deg) AS BIGINT) AS d_tot
+           FROM comm JOIN deg USING (node) GROUP BY 1),
+intra AS (SELECT a.community, CAST(count(*) AS BIGINT) AS e_intra
+          FROM p
+          JOIN comm a ON a.node = p.u
+          JOIN comm b ON b.node = p.v AND b.community = a.community
+          GROUP BY 1),
+mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+terms AS (
+  SELECT community, n_nodes, d_tot, coalesce(e_intra, 0) AS e_intra, m,
+         CAST(coalesce(e_intra, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+           - (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+             * (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS qc
+  FROM cstats LEFT JOIN intra USING (community) CROSS JOIN mtot),
+fold AS (SELECT list_reduce(list(qc ORDER BY community), (x, y) -> x + y)
+           AS q_mod FROM terms)
+SELECT community, n_nodes, d_tot, e_intra, m, qc,
+       (SELECT q_mod FROM fold) AS q_mod
+FROM terms
+"""
 
 
 # --------------------------------------------------------------------------
@@ -605,6 +714,7 @@ QUERIES = {
     "q105_triangle_count": q105_triangle_count,
     "q158_kcore": q158_kcore,
     "q200_label_propagation": q200_label_propagation,
+    "q281_modularity": q281_modularity,
     "q201_bfs_hub_distance": q201_bfs_hub_distance,
     "q215_link_prediction": q215_link_prediction,
     "q226_hits": q226_hits,
@@ -617,6 +727,7 @@ ORACLES = {
     "q105_triangle_count": Q105_SQL,
     "q158_kcore": Q158_SQL,
     "q200_label_propagation": Q200_SQL,
+    "q281_modularity": Q281_SQL,
     "q201_bfs_hub_distance": Q201_SQL,
     "q215_link_prediction": Q215_SQL,
     "q226_hits": Q226_SQL,

@@ -2187,6 +2187,84 @@ FROM ranked GROUP BY query
 
 
 # --------------------------------------------------------------------------
+# q283 — reciprocal rank (completes the ranking-eval triad: q130 NDCG
+# grades the whole gain profile, q257 AP the full precision-recall
+# sweep, RR the FIRST hit — the metric for known-item search and RAG
+# context windows where only the top answer matters). Same scorer,
+# query set and relevance rule as q257; the first relevant position
+# is min(pos) FILTER rel=1 over the same tie-broken rank window
+# (postings-sized partitions, real keys); RR = 1/pos is ONE IEEE
+# division (no round — exact-ratio rule); queries with no relevant
+# doc emit NULL rr (documented, identical on both engines).
+# --------------------------------------------------------------------------
+def q283_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    qlit = F.array(*[F.lit(q) for q in _NDCG_QUERIES])
+    tf = (
+        toks.filter(F.array_contains(qlit, F.col("token")))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.select(
+        F.col("token").alias("query"),
+        "doc_id",
+        (F.col("tf") / (F.col("tf") + 0.5 + 1.5 * F.col("dl") / 100.0)).alias(
+            "score"
+        ),
+        (F.col("tf") >= _AP_REL_TF).cast("long").alias("rel"),
+    )
+    wr = W.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "query", "rel", F.row_number().over(wr).alias("pos")
+    )
+    return ranked.groupBy("query").agg(
+        F.sum("rel").alias("n_rel"),
+        F.count("*").alias("n_ranked"),
+        F.min(F.when(F.col("rel") == 1, F.col("pos"))).alias("first_rel_pos"),
+        (
+            F.lit(1.0)
+            / F.min(F.when(F.col("rel") == 1, F.col("pos"))).cast("double")
+        ).alias("rr"),
+    )
+
+
+Q283_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, dl, count(*) AS tf FROM toks
+       WHERE token IN ({_NDCG_IN}) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT token AS query, doc_id,
+         tf / (tf + 0.5 + 1.5 * dl / 100.0) AS score,
+         CASE WHEN tf >= {_AP_REL_TF} THEN 1 ELSE 0 END AS rel
+  FROM tf
+),
+ranked AS (
+  SELECT query, rel,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id ASC) AS pos
+  FROM scored
+)
+SELECT query,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CAST(count(*) AS BIGINT) AS n_ranked,
+       CAST(min(CASE WHEN rel = 1 THEN pos END) AS BIGINT) AS first_rel_pos,
+       1.0 / CAST(min(CASE WHEN rel = 1 THEN pos END) AS DOUBLE) AS rr
+FROM ranked GROUP BY query
+"""
+
+
+# --------------------------------------------------------------------------
 # q138 — skip-gram co-occurrence PMI (word2vec preprocessing): token
 # pairs within a ±2-position window per document, PMI from pair and
 # unigram counts, top-30 by rounded PMI among pairs seen ≥5 times.
@@ -4364,6 +4442,7 @@ QUERIES = {
     "q266_rouge_pairs": q266_rouge_pairs,
     "q273_minhash_estimate": q273_minhash_estimate,
     "q276_contamination_rate": q276_contamination_rate,
+    "q283_reciprocal_rank": q283_reciprocal_rank,
     "q97_negative_sampling": q97_negative_sampling,
     "q98_unigram_surprisal": q98_unigram_surprisal,
     "q100_token_mi": q100_token_mi,
@@ -4432,6 +4511,7 @@ ORACLES = {
     "q266_rouge_pairs": Q266_SQL,
     "q273_minhash_estimate": Q273_SQL,
     "q276_contamination_rate": Q276_SQL,
+    "q283_reciprocal_rank": Q283_SQL,
     "q97_negative_sampling": Q97_SQL,
     "q98_unigram_surprisal": Q98_SQL,
     "q100_token_mi": Q100_SQL,

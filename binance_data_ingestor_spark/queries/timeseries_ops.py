@@ -1137,7 +1137,102 @@ FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q282 — SEASONAL STRENGTH per event_type: the variance-decomposition
+# readout 1 − SS_within/SS_total against the hour-of-day profile — the
+# gate a pipeline checks BEFORE fitting seasonal models (q113 backtests
+# a seasonal baseline, q212 flags seasonal outliers; this quantifies
+# whether the seasonality is even there). Exactness: values become
+# integer micro-units vu = round(value·1e6) (both engines round the
+# same double); with per-(type, hour) exact sums S_h/n_h and global
+# S/n/Q = Σvu² (Q in decimal(38,0) BY DESIGN — vu² alone is ~1e18),
+# SS_total = Q − S²/n and SS_within = Q − Σ_h S_h²/n_h need NO row
+# pass: the whole statistic is sufficient-statistics arithmetic. The
+# 24 per-hour S_h²/n_h terms are identical doubles on both engines and
+# fold in PINNED hour order (q268 discipline); one IEEE chain each for
+# the two SS values and the strength, rounded 6 dp.
+# Scale: one data-sized groupBy to the (type, hour) summary.
+# --------------------------------------------------------------------------
+def q282_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 1e6).cast("long").alias("vu"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_h"), F.sum("vu").alias("s_h")
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vu").alias("s"),
+        F.sum(F.col("vu").cast("decimal(38,0)") * F.col("vu")).alias("q"),
+    )
+    between = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("hr"),
+                        (
+                            F.col("s_h").cast("double")
+                            * F.col("s_h").cast("double")
+                            / F.col("n_h").cast("double")
+                        ).alias("p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("sb"),
+    )
+    j = glob.join(between, "event_type")
+    qd = F.col("q").cast("double")
+    sst = qd - F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssw = qd - F.col("sb")
+    strength = F.lit(1.0) - ssw / F.nullif(sst, F.lit(0.0))
+    return j.select(
+        "event_type",
+        "n",
+        "n_hours",
+        F.round(sst / F.lit(1e12), 6).alias("sst_r"),
+        F.round(ssw / F.lit(1e12), 6).alias("ssw_r"),
+        F.round(strength, 6).alias("strength_r"),
+    )
+
+
+Q282_SQL = """
+WITH ev AS (SELECT event_type, extract(hour FROM ts) AS hr,
+                   CAST(round(value * 1e6) AS BIGINT) AS vu
+            FROM events),
+h AS (SELECT event_type, hr, count(*) AS n_h, sum(vu) AS s_h
+      FROM ev GROUP BY 1, 2),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS s,
+             sum(CAST(vu AS HUGEINT) * vu) AS q
+      FROM ev GROUP BY 1),
+b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             list_reduce(list(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                              / CAST(n_h AS DOUBLE) ORDER BY hr),
+                         (x, y) -> x + y) AS sb
+      FROM h GROUP BY 1)
+SELECT g.event_type, n, n_hours,
+       round((CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / 1e12, 6) AS sst_r,
+       round((CAST(q AS DOUBLE) - sb) / 1e12, 6) AS ssw_r,
+       round(1.0 - (CAST(q AS DOUBLE) - sb)
+                   / nullif(CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE), 0.0), 6) AS strength_r
+FROM g JOIN b ON b.event_type = g.event_type
+"""
+
+
 QUERIES = {
+    "q282_seasonal_strength": q282_seasonal_strength,
     "q82_gapfill_locf": q82_gapfill_locf,
     "q203_sax_motifs": q203_sax_motifs,
     "q212_seasonal_mad_outliers": q212_seasonal_mad_outliers,
@@ -1156,6 +1251,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q282_seasonal_strength": Q282_SQL,
     "q82_gapfill_locf": Q82_SQL,
     "q203_sax_motifs": Q203_SQL,
     "q212_seasonal_mad_outliers": Q212_SQL,

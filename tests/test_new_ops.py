@@ -3848,3 +3848,153 @@ def test_stream_wilson_teeth_broken_fold_diverges(spark):
     assert n_div == len(batch), (fin, batch)
     for s in batch:
         assert fin[s][0] < batch[s][0]
+
+
+def test_modularity_matches_python(spark):
+    """q281's per-community terms and global Q must equal the literal
+    Newman modularity of the SAME label-prop communities."""
+    from binance_data_ingestor_spark.queries.graph_ops import (
+        q281_modularity,
+        _LPA_ROUNDS,
+    )
+    from binance_data_ingestor_spark.queries.util import copurchase_pairs
+    from binance_data_ingestor_spark.operators.graph import label_propagation
+
+    _, pairs = copurchase_pairs(spark, SF_SMOKE)
+    edges = [(r.u, r.v) for r in pairs.select("u", "v").collect()]
+    comm = {
+        r.node: r.community
+        for r in label_propagation(
+            pairs.select("u", "v"), _LPA_ROUNDS
+        ).collect()
+    }
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    d_tot: dict[int, int] = {}
+    n_nodes: dict[int, int] = {}
+    for node, c in comm.items():
+        d_tot[c] = d_tot.get(c, 0) + deg.get(node, 0)
+        n_nodes[c] = n_nodes.get(c, 0) + 1
+    e_intra: dict[int, int] = {}
+    for u, v in edges:
+        if comm[u] == comm[v]:
+            e_intra[comm[u]] = e_intra.get(comm[u], 0) + 1
+    qc = {
+        c: e_intra.get(c, 0) / m - (d_tot[c] / (2 * m)) ** 2 for c in d_tot
+    }
+    q_mod = 0.0
+    for c in sorted(qc):  # pinned community order
+        q_mod += qc[c]
+    got = {r.community: r for r in q281_modularity(spark, SF_SMOKE).collect()}
+    assert set(got) == set(d_tot)
+    for c, r in got.items():
+        assert (r.n_nodes, r.d_tot, r.e_intra, r.m) == (
+            n_nodes[c],
+            d_tot[c],
+            e_intra.get(c, 0),
+            m,
+        )
+        assert abs(r.qc - qc[c]) < 1e-15
+        assert r.q_mod == q_mod
+    # exactness invariants of the sufficient statistics: degrees sum
+    # to 2m and intra edges cannot exceed m (at smoke scale LPA
+    # collapses to ONE community and Q is exactly 0 — that degenerate
+    # identity is itself part of the check; sf0.01 yields ~350
+    # communities and a positive Q)
+    assert sum(d_tot.values()) == 2 * m
+    assert sum(e_intra.values()) <= m
+    if len(d_tot) == 1:
+        assert q_mod == 0.0
+
+
+def test_seasonal_strength_matches_python(spark):
+    """q282's SS decomposition must equal the literal sufficient-
+    statistics computation over the same µ-unit values."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.timeseries_ops import (
+        q282_seasonal_strength,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, extract(hour FROM ts),
+                   CAST(round(value * 1e6) AS BIGINT)
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).fetchall()
+    per: dict[str, dict] = {}
+    for et, hr, vu in rows:
+        d = per.setdefault(et, {"n": 0, "s": 0, "q": 0, "h": {}})
+        d["n"] += 1
+        d["s"] += vu
+        d["q"] += vu * vu
+        hh = d["h"].setdefault(hr, [0, 0])
+        hh[0] += 1
+        hh[1] += vu
+    got = {
+        r.event_type: r
+        for r in q282_seasonal_strength(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for et, d in per.items():
+        sst = d["q"] - d["s"] * d["s"] / d["n"]
+        sb = 0.0
+        for hr in sorted(d["h"]):  # pinned hour order
+            n_h, s_h = d["h"][hr]
+            sb += float(s_h) * float(s_h) / n_h
+        ssw = d["q"] - sb
+        r = got[et]
+        assert (r.n, r.n_hours) == (d["n"], len(d["h"]))
+        assert abs(r.sst_r - round(sst / 1e12, 6)) < 2e-6
+        assert abs(r.ssw_r - round(ssw / 1e12, 6)) < 2e-6
+        assert abs(r.strength_r - round(1.0 - ssw / sst, 6)) < 2e-6
+
+
+def test_reciprocal_rank_matches_python(spark):
+    """q283's first-relevant position must equal the literal scan of
+    the same tie-broken ranking (and agree with q257's relevance)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q283_reciprocal_rank,
+        _NDCG_QUERIES,
+        _AP_REL_TF,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r.query: r for r in q283_reciprocal_rank(spark, SF_SMOKE).collect()
+    }
+    for q in _NDCG_QUERIES:
+        scored = []
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            tf = toks.count(q)
+            if tf:
+                dl = len(toks)
+                scored.append(
+                    (-(tf / (tf + 0.5 + 1.5 * dl / 100.0)), doc_id, tf)
+                )
+        if not scored:
+            assert q not in got
+            continue
+        scored.sort()
+        r = got[q]
+        assert r.n_ranked == len(scored)
+        first = next(
+            (
+                i + 1
+                for i, (_, _, tf) in enumerate(scored)
+                if tf >= _AP_REL_TF
+            ),
+            None,
+        )
+        assert r.first_rel_pos == first
+        if first is None:
+            assert r.rr is None
+        else:
+            assert r.rr == 1.0 / first
