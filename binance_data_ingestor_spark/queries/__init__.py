@@ -54,80 +54,75 @@ def _modules():
 
 
 # The driver scores registry entries FRONT-FIRST under a ~50-query budget.
-# Round-10 rotation (after round 9's 50/50-green window brought cumulative
-# certification to 251/251 of the round-9-start registry):
+# Round-11 rotation (after round 10's 50/50-green window brought cumulative
+# certification to 269/281 — the r04 vintage retired):
 #   - 3 cross-family sentinels re-scored every round (q01/q21/q25);
-#   - the 31-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
-#     cannot cost the round its goal: the 18 round-9-new names
-#     (q252-q255, q257, q259-q271 — never driver-scored; "certify the
-#     round after it lands" convention) merged with the LAST 13
-#     r04-vintage names (q69/q130/q133/q186/q175/q98/q116/q117/q132/
-#     q148/q86/q184/q26 — green ⇒ the r04 vintage is RETIRED and
-#     cumulative certification reaches 269/269 of the round-10-start
-#     registry);
-#   - 16 re-cert slots: the cheapest r05-vintage names (oldest
-#     remaining vintage), cheapest-first.
-#   Est. window cost 58.3 s of BENCH_DETAIL mins. Note: the window
-#   carries exactly TWO streaming certificates (q259 never-scored,
-#   q26 r04-retirement) — both are goal-mandatory this round; the
-#   round-9 judge's "don't stack streaming certs" note is observed by
-#   keeping the other ten out.
-# Round-11 window plan: 3 sentinels + the round-10-new names (certify
-# the round after they land) + the remaining 31 r05-vintage names
-# cheapest-first (retiring r05 if they fit; q34/q33/q31/q30/q22/q20
-# and the rest of the r05 list from CORRECTNESS_r05 minus the 16
-# re-certified below).
+#   - the 43-name GOAL BLOCK, cheapest-first so a runtime-budgeted cut
+#     cannot cost the round its goal: the 12 round-10-new names
+#     (q272-q283 — never driver-scored; "certify the round after it
+#     lands" convention) merged with ALL 31 remaining r05-vintage names
+#     (green => the r05 vintage is RETIRED and cumulative certification
+#     reaches 281/281 of the round-11-start registry);
+#   - 4 re-cert slots: the cheapest r06-vintage names (oldest vintage
+#     once r05 retires), cheapest-first.
+#   Est. window cost 61.0 s of BENCH_DETAIL mins. The window carries
+#   exactly TWO streaming certificates (q279 never-scored, q187
+#   r05-retirement) — both goal-mandatory; the "don't stack streaming
+#   certs" note is observed by keeping the rest out.
+# Round-12 window plan: 3 sentinels + the round-11-new names (certify
+# the round after they land) + the cheapest remaining r06-vintage
+# names (47 minus the 4 re-certified below) to begin retiring r06.
 PRIORITY = [
     "q01_pricing_summary",
     "q21_tumbling_ohlcv",
     "q25_asof_join",
-    "q260_theil_sen",
-    "q261_mann_kendall",
-    "q254_cochran_armitage",
-    "q257_average_precision",
-    "q268_label_silhouette",
-    "q270_ipw_effect",
-    "q130_ndcg_eval",
-    "q186_knn_label_eval",
-    "q267_class_tfidf",
-    "q253_kendall_tau",
-    "q269_markov_perplexity",
-    "q133_auc_ranksum",
-    "q69_repetition",
-    "q98_unigram_surprisal",
-    "q175_cramers_v",
-    "q271_realized_moments",
-    "q132_decile_lift",
-    "q116_countmin",
-    "q117_bigram_surprisal",
-    "q263_ljung_box",
-    "q148_concurrent_sessions",
-    "q262_bipower_variation",
-    "q255_wasserstein_drift",
-    "q252_incremental_bm25",
-    "q86_column_profile",
-    "q184_salted_hot_join",
-    "q264_hill_tail",
-    "q265_hurst_rs",
-    "q266_rouge_pairs",
-    "q259_stream_lsh_compaction",
-    "q26_stream_sessions",
-    "q61_frame_sample",
-    "q59_token_budget_mix",
-    "q07_semi_anti",
-    "q113_seasonal_backtest",
-    "q28_range_join",
-    "q05_pivot_status",
-    "q12_percentiles",
-    "q48_rolling_fingerprint",
-    "q11_global_topk",
-    "q62_byte_histogram",
-    "q14_salted_agg",
-    "q23_lag_lead",
-    "q125_grouping_sets",
-    "q32_trades_normalize",
-    "q19_disjunctive_revenue",
-    "q29_multires_rollup",
+    "q280_dp_counts",
+    "q10_enrich_scalar",
+    "q08_set_ops",
+    "q282_seasonal_strength",
+    "q17_small_qty_revenue",
+    "q13_cube",
+    "q02_shipping_priority",
+    "q18_big_orders",
+    "q272_pii_census",
+    "q275_embedding_drift",
+    "q03_regional_revenue",
+    "q274_bh_fdr",
+    "q126_window_analytics",
+    "q57_tfidf_retrieval",
+    "q09_distinct_agg",
+    "q33_klines_normalize",
+    "q104_rolling_corr",
+    "q103_skyline",
+    "q122_nation_volume",
+    "q127_array_hof",
+    "q190_quantile_sketch_certificate",
+    "q15_local_supplier_revenue",
+    "q123_market_share",
+    "q283_reciprocal_rank",
+    "q109_recursive_hierarchy",
+    "q129_poisson_bootstrap",
+    "q34_envelope_filter",
+    "q135_depth_weighted_mid",
+    "q273_minhash_estimate",
+    "q37_realized_vol",
+    "q276_contamination_rate",
+    "q281_modularity",
+    "q16_approx_distinct",
+    "q277_ad_drift",
+    "q55_curation_pipeline",
+    "q278_brown_forsythe",
+    "q144_dup_spans",
+    "q187_stream_heavy_hitters",
+    "q188_bpe_train",
+    "q22_rolling_24h",
+    "q279_stream_wilson",
+    "q189_bpe_encode",
+    "q99_pagerank",
+    "q44_ngram_jaccard",
+    "q42_fingerprint",
+    "q41_lang_id",
+    "q80_text_scrub",
 ]
 
 
