@@ -417,6 +417,116 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q287 — ORGANIC-corpus PII false-positive certificate (the round-10
+# judge's completion of q272): q272 demonstrates the detector machinery
+# on rendered synthetic cards but never touches real text, so the
+# "corpus carries no organic PII" stance was documented, not measured.
+# This query MEASURES it: the same three detectors (email / phone /
+# 16-digit account — patterns shared with q272, one definition) sweep
+# `documents.text` per source and report exact hit counts — the
+# expected-zero false-positive certificate a cleaning stage quotes
+# before skipping redaction. A POSITIVE-CONTROL channel re-scans the
+# same docs with a deterministic PII suffix injected (one email, one
+# phone, one account per doc), so an all-zero organic row is evidence
+# the corpus is clean, not that the detector is dead: the control rows
+# carry exact per-doc hit counts (n_emails = n_docs etc.) computed by
+# the SAME expression tree. Counts are exact int64; the one rate is a
+# single IEEE division rounded 6 dp. Scale: two row-local regex passes
+# over the documents scan + one 2×sources-row groupBy — zero shuffle
+# growth, no UDFs (regexp_count is codegen'd).
+# --------------------------------------------------------------------------
+def q287_pii_organic_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    suffix = F.concat(
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com ph +1-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct "),
+        F.lpad(
+            ((F.col("doc_id") * 7919) % F.lit(10_000_000_000_000_000))
+            .cast("string"),
+            16,
+            "0",
+        ),
+    )
+
+    def channel(name: str, body) -> DataFrame:
+        return docs.select(
+            F.lit(name).alias("channel"),
+            "source",
+            F.regexp_count(body, F.lit(EMAIL_PAT)).alias("e"),
+            F.regexp_count(body, F.lit(PHONE_PAT)).alias("p"),
+            F.regexp_count(body, F.lit(ACCT_PAT)).alias("a"),
+        )
+
+    per_row = channel("organic", F.col("text")).unionByName(
+        channel("control", F.concat(F.col("text"), suffix))
+    )
+    return (
+        per_row.groupBy("channel", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("a").alias("n_accts"),
+            F.sum(
+                ((F.col("e") + F.col("p") + F.col("a")) > 0).cast("long")
+            ).alias("n_flagged_docs"),
+        )
+        .select(
+            "channel",
+            "source",
+            "n_docs",
+            "n_emails",
+            "n_phones",
+            "n_accts",
+            "n_flagged_docs",
+            F.round(
+                F.col("n_flagged_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("flag_rate_r"),
+        )
+    )
+
+
+_Q287_SUFFIX_SQL = (
+    "concat(' reach user', CAST(doc_id AS VARCHAR), '@corp.example.com ph +1-', "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' acct ', "
+    "lpad(CAST((doc_id * 7919) % 10000000000000000 AS VARCHAR), 16, '0'))"
+)
+
+Q287_SQL = f"""
+WITH bodies AS (
+  SELECT 'organic' AS channel, source, text AS body FROM documents
+  UNION ALL
+  SELECT 'control' AS channel, source,
+         concat(text, {_Q287_SUFFIX_SQL}) AS body
+  FROM documents),
+r AS (SELECT channel, source,
+             len(regexp_extract_all(body, '{EMAIL_PAT}')) AS e,
+             len(regexp_extract_all(body, '{PHONE_PAT}')) AS p,
+             len(regexp_extract_all(body, '{ACCT_PAT}')) AS a
+      FROM bodies),
+g AS (SELECT channel, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(e) AS BIGINT) AS n_emails,
+             CAST(sum(p) AS BIGINT) AS n_phones,
+             CAST(sum(a) AS BIGINT) AS n_accts,
+             CAST(sum(CASE WHEN e + p + a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged_docs
+      FROM r GROUP BY 1, 2)
+SELECT channel, source, n_docs, n_emails, n_phones, n_accts, n_flagged_docs,
+       round(CAST(n_flagged_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS flag_rate_r
+FROM g
+"""
+
+
 QUERIES = {
     "q207_quantile_normalize": q207_quantile_normalize,
     "q80_text_scrub": q80_text_scrub,
@@ -424,6 +534,7 @@ QUERIES = {
     "q84_block_dedup_reconstruct": q84_block_dedup_reconstruct,
     "q95_winsorize": q95_winsorize,
     "q272_pii_census": q272_pii_census,
+    "q287_pii_organic_fp": q287_pii_organic_fp,
 }
 
 ORACLES = {
@@ -433,4 +544,5 @@ ORACLES = {
     "q84_block_dedup_reconstruct": Q84_SQL,
     "q95_winsorize": Q95_SQL,
     "q272_pii_census": Q272_SQL,
+    "q287_pii_organic_fp": Q287_SQL,
 }

@@ -4031,3 +4031,64 @@ def test_reciprocal_rank_matches_python(spark):
             assert r.rr is None
         else:
             assert r.rr == 1.0 / first
+
+
+def test_pii_organic_fp_matches_python(spark):
+    """q287's organic false-positive counts and positive-control counts
+    must equal a literal Python re pass over documents.text, and the
+    control channel must prove the detectors are live (every doc fires
+    all three on the injected suffix)."""
+    import duckdb
+    import re
+
+    from binance_data_ingestor_spark.queries.cleaning_ops import (
+        q287_pii_organic_fp,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    phone = re.compile(r"\+1-[0-9]{3}-[0-9]{4}")
+    acct = re.compile(r"\b[0-9]{16}\b")
+    agg: dict[tuple, list] = {}
+    for doc_id, source, text in rows:
+        suffix = (
+            f" reach user{doc_id}@corp.example.com ph"
+            f" +1-{doc_id % 1000:03d}-{doc_id % 10000:04d} acct"
+            f" {(doc_id * 7919) % 10**16:016d}"
+        )
+        for channel, body in (
+            ("organic", text),
+            ("control", text + suffix),
+        ):
+            e = len(email.findall(body))
+            p = len(phone.findall(body))
+            a = len(acct.findall(body))
+            acc = agg.setdefault((channel, source), [0, 0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += e
+            acc[2] += p
+            acc[3] += a
+            acc[4] += 1 if e + p + a > 0 else 0
+    got = {
+        (r.channel, r.source): r
+        for r in q287_pii_organic_fp(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, e, p, a, flagged) in agg.items():
+        r = got[key]
+        assert (
+            r.n_docs,
+            r.n_emails,
+            r.n_phones,
+            r.n_accts,
+            r.n_flagged_docs,
+        ) == (n, e, p, a, flagged)
+        assert abs(r.flag_rate_r - round(flagged / n, 6)) < 2e-6
+        if key[0] == "control":
+            # the detectors are live: every control doc fires all three
+            assert e >= n and p >= n and a >= n and flagged == n
+        else:
+            # the measured organic claim: the corpus carries no PII
+            assert (e, p, a, flagged) == (0, 0, 0, 0)
