@@ -473,3 +473,74 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def bfd_pack(
+    df: DataFrame,
+    *,
+    capacity: int,
+    group_col: str = "source",
+    len_col: str = "cap_len",
+    order_cols: tuple[str, ...] = ("h", "doc_id"),
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing, one packing domain per group.
+
+    The real LLM-pretraining layout step q58's concat-and-chunk
+    approximates: items sorted by length DESC are placed into the open
+    bin with the SMALLEST residual that still fits (ties: lowest bin
+    id); no fit opens a new bin. Deterministic by contract — the order
+    inside a length tie is `order_cols` (an md5 column + id, never
+    partition order), so reruns, engines, and partitionings agree
+    bin-for-bin.
+
+    Scale shape: packing is embarrassingly parallel ACROSS groups (bins
+    never span groups) and inherently sequential WITHIN one — exactly a
+    per-shard `applyInPandas`. At 100 TB the group key is
+    `pmod(hash(doc_id), k)` with k sized so one shard's (id, len) pairs
+    fit an executor (lengths only — text never enters the kernel); here
+    the demo key is the corpus `source`. The in-kernel best-fit pick is
+    a bisect on a (residual, bin_id)-sorted list: O(n log n) compares +
+    O(bins) memmove per item, no O(n·bins) scan.
+
+    Emits one row per bin: group, bin_id (creation order), n_docs,
+    used_tokens, waste = capacity − used.
+    """
+    from bisect import insort_left, bisect_left
+
+    out_schema = (
+        f"{group_col} string, bin_id long, n_docs long, "
+        "used_tokens long, waste long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [len_col, *order_cols], ascending=[False] + [True] * len(order_cols)
+        )
+        group = pdf[group_col].iloc[0]
+        residuals: list[int] = []   # by bin_id
+        counts: list[int] = []
+        open_bins: list[tuple[int, int]] = []  # sorted (residual, bin_id)
+        for ln in pdf[len_col].to_numpy():
+            ln = int(ln)
+            i = bisect_left(open_bins, (ln, -1))
+            if i < len(open_bins):
+                res, bid = open_bins.pop(i)
+                residuals[bid] = res - ln
+                counts[bid] += 1
+                insort_left(open_bins, (res - ln, bid))
+            else:
+                bid = len(residuals)
+                residuals.append(capacity - ln)
+                counts.append(1)
+                insort_left(open_bins, (capacity - ln, bid))
+        return pd.DataFrame(
+            {
+                group_col: group,
+                "bin_id": range(len(residuals)),
+                "n_docs": counts,
+                "used_tokens": [capacity - r for r in residuals],
+                "waste": residuals,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(pack, out_schema)

@@ -4399,8 +4399,237 @@ LIMIT {BURSTY_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q284 — best-fit-decreasing sequence packing with a waste certificate:
+# the packing layout real LLM pipelines run where q58's concat-and-chunk
+# splits documents across chunk boundaries — BFD keeps every doc whole
+# and fills each fixed-capacity bin with the best-fitting remnant.
+# Items are (doc, token-length-capped-at-C) sorted length DESC (md5 +
+# doc_id tie-break); best fit = open bin with the SMALLEST residual
+# ≥ len, ties to the lowest bin id; no fit opens a new bin. One output
+# row per bin: occupancy, waste = C − occupancy, fill rate. The waste
+# certificate: the direct-Python test pins BFD's whole-bin waste far
+# below the pad-to-context baseline (n_docs·C − Σlen — what unpacked
+# training pays) and the bin count near the ceil(Σlen/C) lower bound;
+# q71's bucketed padding waste sits between the two. Scale shape: packing domains
+# (here `source`; `pmod(hash(doc_id), k)` at 100 TB) pack in parallel
+# via applyInPandas over (id, len) pairs only — text never enters the
+# kernel; within a domain the kernel is the sequential O(n log n)
+# bisect BFD (operators/text.bfd_pack). The oracle UNROLLS the same
+# deterministic BFD order as a DuckDB recursive CTE over the identical
+# (len DESC, md5, doc_id) sequence — a step-for-step replay, so the
+# driver compare certifies the placement rule itself, not just totals.
+# --------------------------------------------------------------------------
+BFD_CAPACITY = 256
+
+
+def q284_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bfd_pack
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.least(
+            F.size(F.split(F.col("text"), " ")), F.lit(BFD_CAPACITY)
+        ).alias("cap_len"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    bins = bfd_pack(docs, capacity=BFD_CAPACITY, group_col="source")
+    return bins.select(
+        "source",
+        "bin_id",
+        "n_docs",
+        "used_tokens",
+        "waste",
+        F.round(
+            F.col("used_tokens").cast("double") / F.lit(float(BFD_CAPACITY)), 6
+        ).alias("fill_rate_r"),
+    )
+
+
+Q284_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT source,
+         least(len(string_split(text, ' ')), {BFD_CAPACITY}) AS len,
+         row_number() OVER (
+           ORDER BY source,
+                    least(len(string_split(text, ' ')), {BFD_CAPACITY}) DESC,
+                    md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents),
+st AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS src,
+         CAST([] AS BIGINT[]) AS res, CAST([] AS BIGINT[]) AS cnt
+  UNION ALL
+  SELECT d.rn, d.source,
+         CASE WHEN best_i IS NULL THEN list_append(res0, {BFD_CAPACITY} - d.len)
+              ELSE list_concat(list_concat(
+                     list_slice(res0, 1, best_i - 1),
+                     [res0[best_i] - d.len]),
+                     list_slice(res0, best_i + 1, len(res0))) END,
+         CASE WHEN best_i IS NULL THEN list_append(cnt0, 1)
+              ELSE list_concat(list_concat(
+                     list_slice(cnt0, 1, best_i - 1),
+                     [cnt0[best_i] + 1]),
+                     list_slice(cnt0, best_i + 1, len(cnt0))) END
+  FROM (
+    SELECT d.rn, d.source, d.len, res0, cnt0,
+           CASE WHEN len(cands) = 0 THEN NULL
+                ELSE list_sort(cands)[1].i END AS best_i
+    FROM (
+      SELECT d.rn, d.source, d.len,
+             CASE WHEN st.src IS NULL OR d.source <> st.src
+                  THEN CAST([] AS BIGINT[]) ELSE st.res END AS res0,
+             CASE WHEN st.src IS NULL OR d.source <> st.src
+                  THEN CAST([] AS BIGINT[]) ELSE st.cnt END AS cnt0
+      FROM st JOIN docs d ON d.rn = st.rn + 1) d,
+    LATERAL (SELECT list_filter(
+               list_transform(res0, (r, i) -> {{'r': r, 'i': i}}),
+               x -> x.r >= d.len) AS cands) l
+  ) d
+),
+fin AS (
+  SELECT src, res, cnt,
+         row_number() OVER (PARTITION BY src ORDER BY rn DESC) AS rr
+  FROM st WHERE src IS NOT NULL)
+SELECT src AS source, i - 1 AS bin_id, cnt[i] AS n_docs,
+       {BFD_CAPACITY} - res[i] AS used_tokens, res[i] AS waste,
+       round(CAST({BFD_CAPACITY} - res[i] AS DOUBLE) / {BFD_CAPACITY}.0, 6)
+         AS fill_rate_r
+FROM fin, unnest(generate_series(1, len(res))) AS t(i)
+WHERE rr = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q285 — temperature-scaled mixture sampling: the data-mixing knob every
+# multilingual/multi-source pretraining run turns (Lample & Conneau
+# 2019's p_l ∝ mass_l^τ). Where q152 samples to FIXED target weights,
+# here the weights DERIVE from the data: per-language token mass m_l is
+# tempered to w_l = m_l^τ / Σ m_k^τ — τ<1 upsamples low-resource
+# languages — then a 20%-of-corpus doc budget is apportioned by
+# largest-remainder (q152's exact-quota machinery) and selection inside
+# each language is md5-rank order (reproducible, never RNG). τ is
+# pinned at 0.5 so m^τ = sqrt(int64) is CORRECTLY-ROUNDED IEEE on both
+# engines (a general τ runs the same plan via pow(); only the
+# cross-engine exactness argument changes); the Σ m^τ denominator folds
+# in PINNED lang order (q275 convention), so every weight, floor, and
+# remainder comparison is bit-identical across engines. Scale shape:
+# one groupBy for the 5-row mass summary, broadcast quotas, and the
+# bucketed distributed rank for selection — no data-sized window.
+# --------------------------------------------------------------------------
+TEMP_BUDGET_FRAC = 0.2
+
+
+def q285_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import (
+        bounded_ordered_window,
+        with_global_rank,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").alias("avail"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("mass"),
+    )
+    s = counts.select(
+        "lang", "avail", "mass", F.sqrt(F.col("mass").cast("double")).alias("sl")
+    )
+    den = s.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("lang", F.col("sl").alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("d")
+    )
+    total = docs.agg(
+        F.floor(F.count("*") * TEMP_BUDGET_FRAC).cast("long").alias("budget")
+    )
+    alloc = (
+        s.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "avail",
+            (F.col("sl") / F.col("d")).alias("w"),
+            F.floor(F.col("budget") * F.col("sl") / F.col("d"))
+            .cast("long")
+            .alias("base"),
+            (
+                F.col("budget") * F.col("sl") / F.col("d")
+                - F.floor(F.col("budget") * F.col("sl") / F.col("d"))
+            ).alias("rem"),
+            "budget",
+        )
+    )
+    deficit = alloc.agg((F.first("budget") - F.sum("base")).alias("d"))
+    wr = bounded_ordered_window("lang", F.desc("rem"), F.asc("lang"))
+    quotas = (
+        alloc.crossJoin(F.broadcast(deficit))
+        .withColumn("pri", F.row_number().over(wr))
+        .select(
+            "lang",
+            F.round("w", 6).alias("w_r"),
+            F.least(
+                F.col("base")
+                + F.when(F.col("pri") <= F.col("d"), 1).otherwise(0),
+                F.col("avail"),
+            ).alias("quota"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = with_global_rank(
+        docs.select("doc_id", "lang").withColumn("h", h),
+        ["lang"],
+        ["h", "doc_id"],
+        bucket=F.conv(F.substring("h", 1, 2), 16, 10).cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rank") <= F.col("quota"))
+        .select("lang", "doc_id", "quota", "w_r")
+    )
+
+
+Q285_SQL = f"""
+WITH cnt AS (SELECT lang, count(*) AS avail,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS mass
+             FROM documents GROUP BY 1),
+s AS (SELECT lang, avail, sqrt(CAST(mass AS DOUBLE)) AS sl FROM cnt),
+den AS (SELECT list_reduce(list(sl ORDER BY lang), (x, y) -> x + y) AS d
+        FROM s),
+tot AS (SELECT CAST(floor(count(*) * {TEMP_BUDGET_FRAC}) AS BIGINT) AS budget
+        FROM documents),
+alloc AS (
+  SELECT lang, avail, budget, sl / (SELECT d FROM den) AS w,
+         CAST(floor(budget * (sl / (SELECT d FROM den))) AS BIGINT) AS base,
+         budget * (sl / (SELECT d FROM den))
+           - floor(budget * (sl / (SELECT d FROM den))) AS rem
+  FROM s CROSS JOIN tot),
+quotas AS (
+  SELECT lang, round(w, 6) AS w_r,
+         least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                                <= budget - (SELECT sum(base) FROM alloc)
+                           THEN 1 ELSE 0 END,
+               avail) AS quota
+  FROM alloc),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+SELECT r.lang, r.doc_id, q.quota, q.w_r
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rk <= q.quota
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
+    "q284_bfd_packing": q284_bfd_packing,
+    "q285_temperature_mixture": q285_temperature_mixture,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
     "q247_nucleus_vocab": q247_nucleus_vocab,
@@ -4470,6 +4699,8 @@ QUERIES = {
 
 ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
+    "q284_bfd_packing": Q284_SQL,
+    "q285_temperature_mixture": Q285_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
     "q247_nucleus_vocab": Q247_SQL,

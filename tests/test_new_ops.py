@@ -4092,3 +4092,134 @@ def test_pii_organic_fp_matches_python(spark):
         else:
             # the measured organic claim: the corpus carries no PII
             assert (e, p, a, flagged) == (0, 0, 0, 0)
+
+
+def test_bfd_packing_matches_python(spark):
+    """q284's bins must equal a literal (naive linear-scan) Python BFD
+    over the same deterministic order, and the BFD layout must waste
+    fewer tokens than q71's pad-to-bucket-max baseline on this corpus."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        BFD_CAPACITY as C,
+        q284_bfd_packing,
+        q71_length_buckets,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    items = sorted(
+        (
+            src,
+            -min(len(text.split(" ")), C),
+            hashlib.md5(str(doc_id).encode()).hexdigest(),
+            doc_id,
+        )
+        for src, doc_id, text in rows
+    )
+    bins: dict[str, list[list[int]]] = {}  # src -> [residual, n_docs]
+    for src, neg_len, _h, _i in items:
+        ln = -neg_len
+        bb = bins.setdefault(src, [])
+        # naive best-fit scan: smallest residual >= ln, lowest index
+        best = None
+        for i, (res, _n) in enumerate(bb):
+            if res >= ln and (best is None or res < bb[best][0]):
+                best = i
+        if best is None:
+            bb.append([C - ln, 1])
+        else:
+            bb[best][0] -= ln
+            bb[best][1] += 1
+    got = {
+        (r.source, r.bin_id): r
+        for r in q284_bfd_packing(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (src, i): (res, n)
+        for src, bb in bins.items()
+        for i, (res, n) in enumerate(bb)
+    }
+    assert set(got) == set(want)
+    for key, (res, n) in want.items():
+        r = got[key]
+        assert (r.n_docs, r.used_tokens, r.waste) == (n, C - res, res)
+        assert abs(r.fill_rate_r - round((C - res) / C, 6)) < 2e-6
+    # the waste certificate: BFD's whole-bin waste sits far below the
+    # pad-to-context baseline (one doc per C-token row) that no-packing
+    # training pays, and the bin count is near the ceil(total/C) lower
+    # bound; q71's bucketed padding waste is reported for reference
+    total = sum(-neg for _s, neg, _h, _i in items)
+    n_bins = sum(len(bb) for bb in bins.values())
+    bfd_waste = sum(res for bb in bins.values() for res, _ in bb)
+    naive_waste = len(items) * C - total
+    assert bfd_waste < 0.1 * naive_waste
+    assert n_bins <= 1.25 * (-(-total // C) + len(bins))  # +1 tail/source
+    pad_waste = sum(
+        r.padding_waste for r in q71_length_buckets(spark, SF_SMOKE).collect()
+    )
+    assert 0 < pad_waste < naive_waste
+
+
+def test_temperature_mixture_matches_python(spark):
+    """q285's tempered quotas and selected docs must equal the literal
+    Python apportionment (sqrt-mass weights, largest remainder, md5
+    rank), and τ=0.5 must upsample low-mass languages vs raw share."""
+    import duckdb
+    import hashlib
+    import math
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        TEMP_BUDGET_FRAC,
+        q285_temperature_mixture,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, len(string_split(text, ' ')) "
+        f"FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    mass: dict[str, int] = {}
+    avail: dict[str, int] = {}
+    for _d, lang, n in rows:
+        mass[lang] = mass.get(lang, 0) + n
+        avail[lang] = avail.get(lang, 0) + 1
+    langs = sorted(mass)
+    denom = 0.0
+    for lg in langs:  # pinned-order fold
+        denom += math.sqrt(mass[lg])
+    budget = math.floor(len(rows) * TEMP_BUDGET_FRAC)
+    w = {lg: math.sqrt(mass[lg]) / denom for lg in langs}
+    base = {lg: math.floor(budget * w[lg]) for lg in langs}
+    rem = {lg: budget * w[lg] - base[lg] for lg in langs}
+    deficit = budget - sum(base.values())
+    order = sorted(langs, key=lambda lg: (-rem[lg], lg))
+    quota = {
+        lg: min(
+            base[lg] + (1 if order.index(lg) < deficit else 0), avail[lg]
+        )
+        for lg in langs
+    }
+    picked = set()
+    for lg in langs:
+        ids = sorted(
+            (d for d, l, _n in rows if l == lg),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        picked |= {(lg, d) for d in ids[: quota[lg]]}
+    got = q285_temperature_mixture(spark, SF_SMOKE).collect()
+    assert {(r.lang, r.doc_id) for r in got} == picked
+    for r in got:
+        assert r.quota == quota[r.lang]
+        assert abs(r.w_r - round(w[r.lang], 6)) < 2e-6
+    assert sum(quota.values()) <= budget
+    # temperature property: every below-average-mass language's tempered
+    # weight exceeds its raw mass share, and vice versa for the largest
+    total_mass = sum(mass.values())
+    for lg in langs:
+        raw = mass[lg] / total_mass
+        if raw < 1 / len(langs):
+            assert w[lg] > raw
+    top = max(langs, key=lambda lg: mass[lg])
+    assert w[top] < mass[top] / total_mass
