@@ -1460,8 +1460,150 @@ FROM c
 Q275_SQL = _q275_sql()
 
 
+# --------------------------------------------------------------------------
+# q286 — cross-corpus ANN retrieval join with a per-query recall
+# certificate: corpus A (a 10% md5-hash slice of vec_ids — the "query"
+# corpus) retrieves from corpus B (the disjoint remainder — the
+# "index" corpus) through B's IVF cells, and every query ships its own
+# recall@k against the exact brute-force top-k over the same index.
+# This is q153's incremental-dedup shape generalized to retrieval: the
+# query corpus NEVER self-joins and never compares against itself —
+# only against B's probed cells. Scale shape: the index side is
+# assigned to cells once (batched GEMM against the tiny seed-13
+# centroid table — at 100 TB the cell is the partition key); each
+# query probes its 2 best cells, so retrieval touches n_probe/n_cells
+# of B. The exact branch (operators/similarity.brute_force_topk: one
+# GEMM pass, per-task running top-k, |partitions|·|Q|·k shuffle rows)
+# is the certificate — production bounds it to a hash-slice of queries
+# and drops it once recall is pinned (q171/q190 stance). Cos scores
+# round 6 dp (q50/q53 convention); top-1 gap is a difference of the
+# rounded values.
+# --------------------------------------------------------------------------
+XC_QUERY_PCT = 10  # hash bucket < this → query corpus A
+XC_K = 5
+XC_SEED = 13
+
+
+def q286_cross_corpus_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hash_bucket_sql
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "hb", F.expr(hash_bucket_sql("spark", "vec_id", 100))
+    )
+    qs = emb.filter(F.col("hb") < XC_QUERY_PCT).select("vec_id", "embedding")
+    idx = emb.filter(F.col("hb") >= XC_QUERY_PCT).select("vec_id", "embedding")
+    ann = ivf_topk(
+        idx, qs, k=XC_K, n_centroids=8, n_probe=2, dim=DIM, seed=XC_SEED
+    ).localCheckpoint(eager=False)  # two consumers: hits + top-1
+    exact = brute_force_topk(idx, qs, k=XC_K).localCheckpoint(eager=False)
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    top1e = exact.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_exact"),
+        F.col("cos_sim").alias("ec"),
+    )
+    top1a = ann.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_ann"),
+        F.col("cos_sim").alias("ac"),
+    )
+    return (
+        top1e.join(top1a, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(float(XC_K)),
+                6,
+            ).alias("recall_r"),
+            "top1_exact",
+            "top1_ann",
+            F.round(F.col("ec") - F.col("ac"), 6).alias("top1_gap_r"),
+        )
+    )
+
+
+def _q286_sql() -> str:
+    from ..operators.text import hash_bucket_sql
+
+    cents = centroids(DIM, 8, seed=XC_SEED)
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    def rcos(v: str) -> str:
+        return (
+            f"round(list_inner_product({v}, c) /"
+            f" (sqrt(list_inner_product({v}, {v}))"
+            f" * sqrt(list_inner_product(c, c))), 6)"
+        )
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             {hash_bucket_sql("duckdb", "vec_id", 100)} AS hb
+      FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE hb < {XC_QUERY_PCT}),
+idx AS (SELECT vec_id AS neighbor_id, v AS cv FROM e
+        WHERE hb >= {XC_QUERY_PCT}),
+escored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos FROM idx CROSS JOIN q),
+eranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM escored),
+etop AS (SELECT * FROM eranked WHERE rank <= {XC_K}),
+isims AS (SELECT neighbor_id, cv,
+                 list_transform(cl, c -> {rcos('cv')}) AS s
+          FROM idx CROSS JOIN cents),
+assigned AS (
+  SELECT neighbor_id, cv, list_position(s, list_max(s)) - 1 AS cell
+  FROM isims),
+qsims AS (SELECT query_id, qv,
+                 list_transform(cl, c -> {rcos('qv')}) AS s
+          FROM q CROSS JOIN cents),
+qcells AS (
+  SELECT query_id, qv, j - 1 AS cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s[j] DESC, j ASC) AS pr
+  FROM (SELECT query_id, qv, s, unnest(range(1, 9)) AS j FROM qsims) t),
+probes AS (SELECT query_id, qv, cell FROM qcells WHERE pr <= 2),
+ascored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM assigned JOIN probes USING (cell)),
+aranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM ascored),
+atop AS (SELECT * FROM aranked WHERE rank <= {XC_K}),
+hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM etop e JOIN atop a USING (query_id, neighbor_id)
+         GROUP BY 1)
+SELECT e.query_id,
+       coalesce(h.n_hit, 0) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {XC_K}.0, 6) AS recall_r,
+       e.neighbor_id AS top1_exact,
+       a.neighbor_id AS top1_ann,
+       round(round(e.cos, 6) - round(a.cos, 6), 6) AS top1_gap_r
+FROM etop e
+LEFT JOIN (SELECT * FROM atop WHERE rank = 1) a USING (query_id)
+LEFT JOIN hits h USING (query_id)
+WHERE e.rank = 1
+"""
+
+
+Q286_SQL = _q286_sql()
+
+
 QUERIES = {
     "q268_label_silhouette": q268_label_silhouette,
+    "q286_cross_corpus_ann": q286_cross_corpus_ann,
     "q275_embedding_drift": q275_embedding_drift,
     "q208_jl_certificate": q208_jl_certificate,
     "q220_hamming_topk": q220_hamming_topk,
@@ -1484,6 +1626,7 @@ QUERIES = {
 
 ORACLES = {
     "q208_jl_certificate": Q208_SQL,
+    "q286_cross_corpus_ann": Q286_SQL,
     "q220_hamming_topk": Q220_SQL,
     "q219_ivf_cell_audit": Q219_SQL,
     "q185_hard_negatives": Q185_SQL,

@@ -10,6 +10,8 @@ portable SQL; see operators/dedup.py).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -4626,10 +4628,98 @@ WHERE r.rk <= q.quota
 """
 
 
+# --------------------------------------------------------------------------
+# q288 — hashed-linear quality classifier (the fastText serving shape
+# every curation pipeline runs as its quality-filter stage): tokens
+# hash into D=256 weight buckets (q205's feature-hashing bucket
+# function — one definition), a BROADCAST literal weight vector is
+# gathered per bucket, and each document scores Σ tf·w — kept when the
+# score is positive. Weights here are seeded integer µ-unit literals
+# (a production classifier trains them with SGD and ships the SAME
+# serving plan: hash → broadcast gather → sum → threshold — the
+# multimodal fake-decode stance, documented); integer weights make
+# every score an exact int64, so the threshold can never flip on
+# accumulation order. Scale shape: one explode + groupBy at (doc,
+# bucket) grain, a 256-row broadcast join, a map-side-combinable doc
+# aggregate, and a |sources|-row census — no UDFs, no data-sized
+# state.
+# --------------------------------------------------------------------------
+QC_BUCKETS = 256
+_QC_RNG = random.Random(29)
+QC_WEIGHTS = [_QC_RNG.randint(-1000, 1000) for _ in range(QC_BUCKETS)]
+
+
+def q288_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "tok"
+        ),
+    )
+    weights = spark.createDataFrame(
+        list(enumerate(QC_WEIGHTS)), "bucket int, w long"
+    )
+    scored = (
+        tok.withColumn(
+            "bucket",
+            F.expr(hash_bucket_sql("spark", "tok", QC_BUCKETS)).cast("int"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("long")).alias("n_kept"),
+        F.round(
+            F.sum((F.col("score") > 0).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("keep_rate_r"),
+        F.sum("score").alias("sum_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+def _q288_sql() -> str:
+    w_rows = ", ".join(f"({b}, {w})" for b, w in enumerate(QC_WEIGHTS))
+    return f"""
+WITH wts(bucket, w) AS (VALUES {w_rows}),
+tok AS (SELECT doc_id, source,
+               unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents),
+tf AS (SELECT doc_id, source,
+              CAST({hash_bucket_sql("duckdb", "tok", QC_BUCKETS)} AS INT)
+                AS bucket,
+              count(*) AS tf
+       FROM tok GROUP BY 1, 2, 3),
+scored AS (SELECT doc_id, source,
+                  CAST(sum(tf * w) AS BIGINT) AS score
+           FROM tf JOIN wts USING (bucket) GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate_r,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM scored GROUP BY source
+"""
+
+
+Q288_SQL = _q288_sql()
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q284_bfd_packing": q284_bfd_packing,
     "q285_temperature_mixture": q285_temperature_mixture,
+    "q288_quality_classifier": q288_quality_classifier,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
     "q247_nucleus_vocab": q247_nucleus_vocab,
@@ -4701,6 +4791,7 @@ ORACLES = {
     "q183_epoch_shuffle": Q183_SQL,
     "q284_bfd_packing": Q284_SQL,
     "q285_temperature_mixture": Q285_SQL,
+    "q288_quality_classifier": Q288_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
     "q247_nucleus_vocab": Q247_SQL,

@@ -4223,3 +4223,131 @@ def test_temperature_mixture_matches_python(spark):
             assert w[lg] > raw
     top = max(langs, key=lambda lg: mass[lg])
     assert w[top] < mass[top] / total_mass
+
+
+def test_cross_corpus_ann_matches_python(spark):
+    """q286's per-query recall certificate must equal a literal numpy
+    recomputation of both branches: exact brute top-k over the index
+    corpus and the seed-13 IVF probe path."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.operators.similarity import centroids
+    from binance_data_ingestor_spark.queries.similarity_ops import (
+        DIM,
+        XC_K,
+        XC_QUERY_PCT,
+        XC_SEED,
+        q286_cross_corpus_ann,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+
+    def hb(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 100
+
+    qs = {v: np.asarray(e, dtype=np.float64) for v, e in rows if hb(v) < XC_QUERY_PCT}
+    idx = {v: np.asarray(e, dtype=np.float64) for v, e in rows if hb(v) >= XC_QUERY_PCT}
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids(DIM, 8, XC_SEED)]
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    def cell_sims(v):
+        return [round(cos(v, c), 6) for c in cents]
+
+    assigned: dict[int, int] = {}
+    for nid, v in idx.items():
+        s = cell_sims(v)
+        assigned[nid] = s.index(max(s))
+    want = {}
+    for qid, qv in qs.items():
+        exact = sorted(
+            ((round(cos(qv, cv), 6), -nid, nid) for nid, cv in idx.items()),
+            key=lambda t: (-cos(qv, idx[t[2]]), t[2]),
+        )[:XC_K]
+        s = cell_sims(qv)
+        probe = sorted(range(8), key=lambda j: (-s[j], j))[:2]
+        cand = [nid for nid, c in assigned.items() if c in probe]
+        ann = sorted(cand, key=lambda nid: (-cos(qv, idx[nid]), nid))[:XC_K]
+        e_ids = [t[2] for t in exact]
+        n_hit = len(set(e_ids) & set(ann))
+        want[qid] = (
+            n_hit,
+            round(n_hit / XC_K, 6),
+            e_ids[0],
+            ann[0] if ann else None,
+            round(
+                round(cos(qv, idx[e_ids[0]]), 6)
+                - round(cos(qv, idx[ann[0]]), 6),
+                6,
+            )
+            if ann
+            else None,
+        )
+    got = {r.query_id: r for r in q286_cross_corpus_ann(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    recalls = []
+    for qid, (n_hit, rec, t1e, t1a, gap) in want.items():
+        r = got[qid]
+        assert (r.n_hit, r.top1_exact, r.top1_ann) == (n_hit, t1e, t1a)
+        assert abs(r.recall_r - rec) < 2e-6
+        if gap is None:
+            assert r.top1_gap_r is None
+        else:
+            assert abs(r.top1_gap_r - gap) < 2e-6
+            assert r.top1_gap_r >= 0  # exact top-1 dominates by definition
+        recalls.append(rec)
+    # the certificate has teeth: IVF@2/8 probes is genuinely approximate
+    # on this data (some query misses part of its true top-k) yet useful
+    assert min(recalls) < 1.0 and sum(recalls) / len(recalls) > 0.3
+
+
+def test_quality_classifier_matches_python(spark):
+    """q288's per-source keep census must equal a literal Python pass:
+    md5-bucket each token, gather the literal weight, sum exact ints,
+    threshold at zero."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        QC_BUCKETS,
+        QC_WEIGHTS,
+        q288_quality_classifier,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    agg: dict[str, list] = {}
+    for _doc_id, source, text in rows:
+        score = 0
+        for tok in (text or "").split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % QC_BUCKETS
+            score += QC_WEIGHTS[b]
+        a = agg.setdefault(source, [0, 0, 0, None, None])
+        a[0] += 1
+        a[1] += 1 if score > 0 else 0
+        a[2] += score
+        a[3] = score if a[3] is None else min(a[3], score)
+        a[4] = score if a[4] is None else max(a[4], score)
+    got = {r.source: r for r in q288_quality_classifier(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    kept = tot = 0
+    for src, (n, k, s, lo, hi) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_kept, r.sum_score, r.min_score, r.max_score) == (
+            n,
+            k,
+            s,
+            lo,
+            hi,
+        )
+        assert abs(r.keep_rate_r - round(k / n, 6)) < 2e-6
+        kept += k
+        tot += n
+    # the filter has teeth on this corpus: it separates, neither
+    # degenerate keep-all nor drop-all
+    assert 0 < kept < tot
