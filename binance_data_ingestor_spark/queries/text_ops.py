@@ -4715,11 +4715,174 @@ FROM scored GROUP BY source
 Q288_SQL = _q288_sql()
 
 
+# --------------------------------------------------------------------------
+# q290 — first-occurrence n-gram novelty census: for every doc, the
+# fraction of its distinct 3-gram shingles it INTRODUCES to the corpus
+# (first occurrence in doc_id = ingestion order) — the per-document
+# self-repetition pressure gauge behind dedup scheduling: a source
+# whose late docs introduce almost nothing is re-crawling itself.
+# Rolled up per source: gram totals, novel-gram totals, novelty rate,
+# and the count of LOW-NOVELTY docs (novelty < 0.5, compared
+# cross-multiplied as 2·novel < total so no per-doc division ever
+# happens). Complements q235 (corpus-level Heaps vocab growth) at doc
+# grain and q43/q44 (duplicate detection) with a duplication-PRESSURE
+# measure that needs no pair join. Scale shape: rides the shared
+# shingle artifact; one gram-grain min-aggregate + one doc-grain
+# aggregate — postings-sized shuffles only.
+# --------------------------------------------------------------------------
+def q290_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles3(spark, sf_dir)
+    intro = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(intro, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
+            ).alias("novelty_rate_r"),
+            F.sum(
+                (F.col("n_novel") * 2 < F.col("n_grams")).cast("long")
+            ).alias("n_low_novelty_docs"),
+        )
+    )
+
+
+Q290_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+       FROM tok WHERE len(t) >= 3),
+intro AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN intro USING (shingle) GROUP BY 1)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6)
+         AS novelty_rate_r,
+       CAST(sum(CASE WHEN n_novel * 2 < n_grams THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_novelty_docs
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q291 — perplexity-band filter (the CCNet curation recipe): score
+# every document with a PER-LANGUAGE unigram LM (q98's exact surprisal
+# chain at lang grain), split each language into head/middle/tail
+# TERTILES of mean surprisal, and keep head+middle — the standard
+# "drop the weirdest third" quality gate in front of pretraining.
+# Tertiles rank the 6-dp-ROUNDED score (doc_id tie-break) so the band
+# boundary is engine-stable (q228 rule), and the perplexity ordering
+# is taken on surprisal directly (ppl = e^s is monotone — no exp in
+# either engine). Scale shape: the tertile is SQL-standard ntile(3)
+# per language computed via the keyed distributed rank over a range
+# bucket + per-lang totals (never a per-language single-task window);
+# output is the 5×3 band summary.
+# --------------------------------------------------------------------------
+def q291_perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import with_global_rank, with_range_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fanout(docs).select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds the model AND the scoring join
+    )
+    model = tf.groupBy("lang", "token").agg(F.sum("tf").alias("cnt"))
+    total = model.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(model, ["lang", "token"])
+        .join(F.broadcast(total), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * (-F.log(F.col("cnt") / F.col("total"))))
+                / F.sum("tf"),
+                6,
+            ).alias("s_r"),
+        )
+    )
+    ranked = with_global_rank(
+        with_range_bucket(scored, F.col("s_r")),
+        ["lang"],
+        [F.asc("s_r"), F.asc("doc_id")],
+        bucket=F.col("__rb"),
+        rank_col="rk",
+    )
+    nl = scored.groupBy("lang").agg(F.count("*").alias("nl"))
+    banded = ranked.join(F.broadcast(nl), "lang").withColumn(
+        "tertile",
+        F.expr(
+            """CASE WHEN rk <= (nl % 3) * (nl DIV 3 + 1)
+                    THEN (rk + nl DIV 3) DIV (nl DIV 3 + 1)
+                    ELSE nl % 3 + (rk - (nl % 3) * (nl DIV 3 + 1)
+                                   + greatest(nl DIV 3, 1) - 1)
+                                  DIV greatest(nl DIV 3, 1)
+               END"""
+        ).cast("int"),
+    )
+    return banded.groupBy("lang", "tertile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("s_r").alias("min_s_r"),
+        F.max("s_r").alias("max_s_r"),
+        F.max((F.col("tertile") <= 2).cast("long")).alias("kept"),
+    )
+
+
+Q291_SQL = """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+model AS (SELECT lang, token, sum(tf) AS cnt FROM tf GROUP BY 1, 2),
+total AS (SELECT lang, sum(cnt) AS total FROM model GROUP BY 1),
+doc AS (
+  SELECT doc_id, tf.lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(tf * (-ln(cnt / total))) / sum(tf), 6) AS s_r
+  FROM tf JOIN model USING (lang, token) JOIN total USING (lang)
+  GROUP BY 1, 2),
+banded AS (
+  SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+                                ORDER BY s_r, doc_id) AS INT) AS tertile
+  FROM doc)
+SELECT lang, tertile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(s_r) AS min_s_r, max(s_r) AS max_s_r,
+       CAST(CASE WHEN tertile <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM banded GROUP BY lang, tertile
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q284_bfd_packing": q284_bfd_packing,
     "q285_temperature_mixture": q285_temperature_mixture,
     "q288_quality_classifier": q288_quality_classifier,
+    "q290_ngram_novelty": q290_ngram_novelty,
+    "q291_perplexity_band_filter": q291_perplexity_band_filter,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
     "q247_nucleus_vocab": q247_nucleus_vocab,
@@ -4792,6 +4955,8 @@ ORACLES = {
     "q284_bfd_packing": Q284_SQL,
     "q285_temperature_mixture": Q285_SQL,
     "q288_quality_classifier": Q288_SQL,
+    "q290_ngram_novelty": Q290_SQL,
+    "q291_perplexity_band_filter": Q291_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
     "q247_nucleus_vocab": Q247_SQL,

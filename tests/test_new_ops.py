@@ -4351,3 +4351,106 @@ def test_quality_classifier_matches_python(spark):
     # the filter has teeth on this corpus: it separates, neither
     # degenerate keep-all nor drop-all
     assert 0 < kept < tot
+
+
+def test_ngram_novelty_matches_python(spark):
+    """q290's per-source novelty census must equal a literal Python
+    first-occurrence scan over the distinct 3-gram shingles."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q290_ngram_novelty,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    grams: dict[int, set] = {}
+    for doc_id, _src, text in rows:
+        t = text.split(" ")
+        grams[doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+    first: dict[str, int] = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            if g not in first or first[g] > doc_id:
+                first[g] = doc_id
+    agg: dict[str, list] = {}
+    for doc_id, src, _text in rows:
+        gs = grams[doc_id]
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(gs)
+        a[2] += novel
+        a[3] += 1 if novel * 2 < len(gs) else 0
+    got = {r.source: r for r in q290_ngram_novelty(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for src, (n, g, nov, low) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_grams, r.n_novel, r.n_low_novelty_docs) == (
+            n,
+            g,
+            nov,
+            low,
+        )
+        assert abs(r.novelty_rate_r - round(nov / g, 6)) < 2e-6
+
+
+def test_perplexity_band_filter_matches_python(spark):
+    """q291's per-(lang, tertile) bands must equal a literal Python
+    per-language unigram-LM scoring + SQL-ntile(3) tertile split."""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q291_perplexity_band_filter,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    cnt: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for _d, lang, text in rows:
+        for tok in text.split(" "):
+            cnt[(lang, tok)] = cnt.get((lang, tok), 0) + 1
+            tot[lang] = tot.get(lang, 0) + 1
+    docs = []
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")
+        s = sum(-math.log(cnt[(lang, t)] / tot[lang]) for t in toks)
+        docs.append((lang, round(s / len(toks), 6), doc_id, len(toks)))
+    agg: dict[tuple, list] = {}
+    for lang in {d[0] for d in docs}:
+        mine = sorted(d for d in docs if d[0] == lang)
+        n = len(mine)
+        q, r = divmod(n, 3)
+        for i, (lg, s_r, doc_id, ntok) in enumerate(mine, start=1):
+            if i <= r * (q + 1):
+                tert = (i + q) // (q + 1)
+            else:
+                tert = r + (i - r * (q + 1) + max(q, 1) - 1) // max(q, 1)
+            a = agg.setdefault((lg, tert), [0, 0, None, None])
+            a[0] += 1
+            a[1] += ntok
+            a[2] = s_r if a[2] is None else min(a[2], s_r)
+            a[3] = s_r if a[3] is None else max(a[3], s_r)
+    got = {
+        (r.lang, r.tertile): r
+        for r in q291_perplexity_band_filter(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, ntok, lo, hi) in agg.items():
+        r = got[key]
+        assert (r.n_docs, r.n_tokens) == (n, ntok)
+        assert abs(r.min_s_r - lo) < 2e-6 and abs(r.max_s_r - hi) < 2e-6
+        assert r.kept == (1 if key[1] <= 2 else 0)
+    # band boundaries are ordered: head max <= middle min per lang
+    for lang in {k[0] for k in agg}:
+        assert agg[(lang, 1)][3] <= agg[(lang, 2)][2]
+        assert agg[(lang, 2)][3] <= agg[(lang, 3)][2]
