@@ -1889,6 +1889,153 @@ def q279_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q289 — STREAMING GK quantile sketch (the FOURTEENTH streaming≡batch
+# certificate, and the first for a NON-monoid state): q190's grouped
+# quantile sketch rebuilt as a real Structured Streaming stateful
+# operator (streaming/stateful.gk_quantile_stream) over a
+# 3-micro-batch file replay of the per-priority order cents. A GK
+# summary is NOT order-invariant — two insertion orders yield
+# different tuple lists — so unlike the thirteen monoid certificates
+# exact state equality is impossible BY DESIGN; what GK guarantees is
+# a RANK bound, and that is what gets certified: (1) the carried
+# per-key counts are asserted EXACTLY multiset-equal to the batch
+# counts (exceptAll both ways — a restarted fold under-counts), then
+# (2) the final sketch's p50/p95 answers are rank-checked against the
+# EXACT data (one broadcast-probe count pass, integer arithmetic,
+# q190's interval-overlap form) within εn + 1. The ORACLE IS Q190's
+# from-scratch SQL (the q211↔q209 pattern): exact quantiles + literal-1
+# flags, so the driver hash matches only if the streaming sketch's
+# guarantee actually held on the replay. Teeth (pytest): a sketch that
+# restarts per micro-batch still answers — but on a value-drifting
+# replay its p50 ranks ~n/3 away from the global target, far outside
+# εn (measured and pinned). Event times ride +1000 ms past the epoch
+# (the q279 watermark lesson). State per key = the (v, g, Δ) arrays,
+# O((1/ε)·log(εn)) longs; output is priority-grained regardless of
+# order count.
+# --------------------------------------------------------------------------
+GK_STREAM_EPS = 0.01
+
+
+def q289_stream_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import gk_quantile_stream
+    from .util import replay_input, stagger_replay_mtimes
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        # +1000 ms: event times must never touch the epoch (q279 lesson)
+        F.timestamp_millis(F.col("o_orderkey") + 1000).alias("ts"),
+    )
+
+    def _write(w: str) -> None:
+        (
+            o.repartitionByRange(3, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(f"{w}/in")
+        )
+        stagger_replay_mtimes(f"{w}/in")
+
+    data = replay_input(spark, sf_dir, "q289", _write)
+    work = tempfile.mkdtemp(prefix="q289_")
+    stream = (
+        spark.readStream.schema("grp string, cents long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")  # three real micro-batches
+        .parquet(f"{data}/in")
+    )
+    name = f"out_{_os.path.basename(work)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            gk_quantile_stream(
+                stream, ["grp"], value_col="cents", eps=GK_STREAM_EPS
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q289 streaming replay timed out after 600 s")
+        snap = spark.table(name).collect()
+        mx: dict[str, int] = {}
+        fin: dict[str, tuple] = {}
+        for r in snap:
+            if r.n_processed >= mx.get(r.grp, -1):
+                mx[r.grp] = r.n_processed
+                fin[r.grp] = (r.n, r.a50, r.a95)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+    streamed = spark.createDataFrame(
+        sorted((g, n) for g, (n, _a, _b) in fin.items()),
+        "grp string, n long",
+    )
+    batch_n = o.groupBy("grp").agg(F.count("*").alias("n"))
+    n_diff = (
+        streamed.exceptAll(batch_n).count()
+        + batch_n.exceptAll(streamed).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"q289: streaming GK carried counts diverged from the batch "
+            f"counts on {n_diff} rows - refusing to emit either result"
+        )
+    probes = spark.createDataFrame(
+        sorted((g, a, b) for g, (_n, a, b) in fin.items()),
+        "grp string, a50 long, a95 long",
+    )
+    stats = o.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(cents, array(0.5D, 0.95D))").alias("ex"),
+    )
+    ranks = (
+        o.join(F.broadcast(probes), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum((F.col("cents") < F.col("a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("cents") <= F.col("a50")).cast("long")).alias("le50"),
+            F.sum((F.col("cents") < F.col("a95")).cast("long")).alias("lt95"),
+            F.sum((F.col("cents") <= F.col("a95")).cast("long")).alias("le95"),
+        )
+    )
+
+    def within(lt, le, p):
+        # GK guarantee on the answer's rank INTERVAL [count(<a)+1,
+        # count(<=a)]: some rank within ±(εn + 1) of ⌈p·n⌉ — interval
+        # overlap, exactly q190's duplication-safe form
+        bound = F.col("n").cast("double") * GK_STREAM_EPS + 1
+        target = F.ceil(F.lit(p) * F.col("n")).cast("double")
+        lo_ok = (F.col(lt).cast("double") + 1) <= target + bound
+        hi_ok = F.col(le).cast("double") >= target - bound
+        return (lo_ok & hi_ok).cast("long")
+
+    return (
+        stats.join(ranks, "grp")
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("ex")[0], 6).alias("exact_p50_r"),
+            F.round(F.col("ex")[1], 6).alias("exact_p95_r"),
+            within("lt50", "le50", 0.5).alias("gk_p50_within_eps"),
+            within("lt95", "le95", 0.95).alias("gk_p95_within_eps"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q269 — held-out Markov transition perplexity: train the first-order
 # event-transition model on the FIRST time half (Laplace-smoothed),
 # score the SECOND half's transitions with it, report per-state
@@ -1993,6 +2140,7 @@ SELECT cur, n_test, nll_r, round(exp(nll_r), 6) AS ppl_r FROM a
 QUERIES = {
     "q250_wilson_ci": q250_wilson_ci,
     "q279_stream_wilson": q279_stream_wilson,
+    "q289_stream_gk_quantiles": q289_stream_gk_quantiles,
     "q269_markov_perplexity": q269_markov_perplexity,
     "q206_markov_attribution": q206_markov_attribution,
     "q214_sequence_support": q214_sequence_support,
@@ -2022,6 +2170,7 @@ QUERIES = {
 ORACLES = {
     "q250_wilson_ci": Q250_SQL,
     "q279_stream_wilson": Q250_SQL,
+    "q289_stream_gk_quantiles": Q190_SQL,  # q211<->q209 pattern: twin certified against the batch spec
     "q269_markov_perplexity": Q269_SQL,
     "q206_markov_attribution": Q206_SQL,
     "q214_sequence_support": Q214_SQL,

@@ -1274,3 +1274,183 @@ def vpin_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming GK (Greenwald–Khanna 2001) quantile sketch — the mergeless
+# insert-only form carried as per-key state across micro-batches. The
+# FOURTEENTH streaming≡batch certificate's state operator: unlike every
+# monoid certified before it (counters, XOR, KMV, CMS, MG), a GK sketch
+# is NOT order-invariant — two insertion orders give different tuple
+# lists — so exact-equality certification is impossible BY DESIGN and
+# the certificate instead checks the sketch's rank-ε GUARANTEE against
+# exact ranks (q190's interval-overlap form), plus exact equality of
+# the carried counts. A fold that restarts per micro-batch still
+# answers "something", which is exactly why the guarantee check has
+# teeth: the restarted sketch's answer ranks against the FULL stream
+# and lands outside εn on any value-drifting replay (pytest builds that
+# break).
+# ---------------------------------------------------------------------------
+class GKSketch:
+    """Insert-only GK quantile summary over int64 values.
+
+    Tuples (v, g, Δ) sorted by v; invariant g_i + Δ_i ≤ ⌊2εn⌋ restored
+    by compress() after every insert. query(φ) returns a value whose
+    exact rank is within εn of ⌈φn⌉ (the classic proof: pick the last
+    tuple with rmax ≤ r + εn). Deterministic given insertion order —
+    the stream operator feeds values in sorted batch order, and batch
+    boundaries are pinned by the replay, so reruns agree tuple-for-
+    tuple.
+    """
+
+    __slots__ = ("eps", "n", "vs", "gs", "ds")
+
+    def __init__(self, eps: float) -> None:
+        self.eps = eps
+        self.n = 0
+        self.vs: list[int] = []
+        self.gs: list[int] = []
+        self.ds: list[int] = []
+
+    def insert(self, v: int) -> None:
+        from bisect import bisect_left
+
+        band = int(2 * self.eps * self.n)
+        i = bisect_left(self.vs, v)
+        if i == 0 or i == len(self.vs):
+            d = 0  # new min/max: exact
+        else:
+            d = max(band - 1, 0)
+        self.vs.insert(i, v)
+        self.gs.insert(i, 1)
+        self.ds.insert(i, d)
+        self.n += 1
+        if self.n % max(int(1.0 / (2.0 * self.eps)), 1) == 0:
+            self.compress()
+
+    def compress(self) -> None:
+        band = int(2 * self.eps * self.n)
+        i = len(self.vs) - 2
+        while i >= 0:
+            if self.gs[i] + self.gs[i + 1] + self.ds[i + 1] <= band:
+                self.gs[i + 1] += self.gs[i]
+                del self.vs[i], self.gs[i], self.ds[i]
+            i -= 1
+
+    def query(self, phi: float) -> int:
+        import math
+
+        r = max(1, math.ceil(phi * self.n))
+        bound = self.eps * self.n
+        rmin = 0
+        ans = self.vs[0]
+        for v, g, d in zip(self.vs, self.gs, self.ds):
+            rmin += g
+            if rmin + d > r + bound:
+                break
+            ans = v
+        return ans
+
+
+GK_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("vs", ArrayType(LongType())),
+        StructField("gs", ArrayType(LongType())),
+        StructField("ds", ArrayType(LongType())),
+    ]
+)
+
+
+def _gk_stream_fn(value_col: str, n_keys: int, eps: float, idle_state_ttl_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        sk = GKSketch(eps)
+        if state.exists:
+            n0, vs0, gs0, ds0 = state.get
+            sk.n = int(n0)
+            sk.vs = [int(x) for x in vs0]
+            sk.gs = [int(x) for x in gs0]
+            sk.ds = [int(x) for x in ds0]
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # sorted within-batch insertion order: determinism is the
+            # (batch sequence × this order), both pinned by the replay
+            for v in sorted(pdf[value_col].to_numpy(dtype="int64").tolist()):
+                sk.insert(int(v))
+
+        sk.compress()
+        yield pd.DataFrame(
+            {
+                **{f"__k{i}": [key[i]] for i in range(n_keys)},
+                "a50": [sk.query(0.5) if sk.n else None],
+                "a95": [sk.query(0.95) if sk.n else None],
+                "n": [sk.n],
+                "n_tuples": [len(sk.vs)],
+                "n_processed": [sk.n],
+            }
+        )
+        state.update((sk.n, sk.vs, sk.gs, sk.ds))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_state_ttl_ms
+        )
+
+    return fn
+
+
+def gk_quantile_stream(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    value_col: str,
+    eps: float = 0.01,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    idle_state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming per-key GK quantile sketch (p50/p95 snapshots).
+
+    State per key = the sketch's (v, g, Δ) tuple arrays — O((1/ε)·
+    log(εn)) longs, never the data. Emission contract (append mode):
+    one post-batch snapshot per key per data batch with the sketch's
+    current p50/p95 answers, monotone in ``n_processed``; consumers
+    keep the highest-``n_processed`` row per key. The answers carry
+    GK's rank guarantee |rank(answer) − ⌈φn⌉| ≤ εn — the certificate
+    the batch side verifies against exact ranks (q289).
+    """
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            StructField(f"__k{i}", in_schema[kcol].dataType)
+            for i, kcol in enumerate(keys)
+        ]
+        + [
+            StructField("a50", LongType()),
+            StructField("a95", LongType()),
+            StructField("n", LongType()),
+            StructField("n_tuples", LongType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    raw = (
+        events.select(*keys, value_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            _gk_stream_fn(value_col, len(keys), eps, idle_state_ttl_ms),
+            out_schema,
+            GK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    for i, kcol in enumerate(keys):
+        raw = raw.withColumnRenamed(f"__k{i}", kcol)
+    return raw

@@ -4454,3 +4454,126 @@ def test_perplexity_band_filter_matches_python(spark):
     for lang in {k[0] for k in agg}:
         assert agg[(lang, 1)][3] <= agg[(lang, 2)][2]
         assert agg[(lang, 2)][3] <= agg[(lang, 3)][2]
+
+
+def test_stream_gk_quantiles_certificate(spark):
+    """q289 direct check: the emitted flags must be 1 with exact
+    quantiles/counts matching DuckDB, and a pure-Python replay of the
+    SAME 3-batch insertion order through GKSketch must satisfy the
+    rank-ε bound the query certifies."""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        GK_STREAM_EPS,
+        q289_stream_gk_quantiles,
+    )
+    from binance_data_ingestor_spark.streaming.stateful import GKSketch
+
+    got = {r.grp: r for r in q289_stream_gk_quantiles(spark, SF_SMOKE).collect()}
+    want = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"""SELECT o_orderpriority, count(*),
+                       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5),
+                       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95)
+                FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for grp, (_g, n, p50, p95) in want.items():
+        r = got[grp]
+        assert r.n == n
+        assert abs(r.exact_p50_r - round(p50, 6)) < 1e-9
+        assert abs(r.exact_p95_r - round(p95, 6)) < 1e-9
+        assert r.gk_p50_within_eps == 1 and r.gk_p95_within_eps == 1
+
+    # pure-Python replay of the stream's insertion order (orderkey
+    # tertile batches, sorted by cents within batch — what
+    # gk_quantile_stream does) must hold the bound it claims
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_SMOKE}/orders.parquet' ORDER BY o_orderkey"""
+    ).fetchall()
+    per_grp: dict[str, list] = {}
+    for grp, _k, cents in rows:
+        per_grp.setdefault(grp, []).append(cents)
+    for grp, vals in per_grp.items():
+        sk = GKSketch(GK_STREAM_EPS)
+        third = (len(vals) + 2) // 3
+        for b in range(3):
+            for v in sorted(vals[b * third : (b + 1) * third]):
+                sk.insert(v)
+            sk.compress()
+        sv = sorted(vals)
+        n = len(sv)
+        for phi in (0.5, 0.95):
+            a = sk.query(phi)
+            target = max(1, math.ceil(phi * n))
+            lt = sum(1 for x in sv if x < a)
+            le = sum(1 for x in sv if x <= a)
+            bound = GK_STREAM_EPS * n + 1
+            assert lt + 1 <= target + bound and le >= target - bound
+
+
+def test_stream_gk_teeth_restarted_sketch_violates_bound(spark):
+    """q289's certificate has teeth: a GK sketch that RESTARTS per
+    micro-batch (drops carried state) on a VALUE-drifting replay (cents
+    tertiles arrive in ascending order — yesterday's cheap orders
+    first) answers p50 from the top tertile alone; its exact rank lands
+    ~n/3 past the target, far outside εn + 1, so q289's within-bound
+    flag goes 0 and the driver hash compare refuses it. The carried
+    sketch on the SAME replay passes. (The harness-level state-drop
+    class — a streaming fold literally ignoring its GroupState — is
+    pinned by test_stream_wilson_teeth_broken_fold_diverges on the same
+    applyInPandasWithState machinery.)"""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.analytics_ops import (
+        GK_STREAM_EPS,
+    )
+    from binance_data_ingestor_spark.streaming.stateful import GKSketch
+
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                FROM '{SF_SMOKE}/orders.parquet'
+                WHERE o_orderpriority = '1-URGENT'"""
+        ).fetchall()
+    ]
+    drift = sorted(vals)  # value-ordered arrival: the drifting replay
+    n = len(drift)
+    third = (n + 2) // 3
+    batches = [drift[b * third : (b + 1) * third] for b in range(3)]
+
+    carried = GKSketch(GK_STREAM_EPS)
+    restarted = None
+    for b in batches:
+        restarted = GKSketch(GK_STREAM_EPS)  # THE BREAK: state dropped
+        for v in sorted(b):
+            carried.insert(v)
+            restarted.insert(v)
+        carried.compress()
+        restarted.compress()
+
+    sv = sorted(vals)
+    target = max(1, math.ceil(0.5 * n))
+    bound = GK_STREAM_EPS * n + 1
+
+    def flag(a: int) -> bool:
+        lt = sum(1 for x in sv if x < a)
+        le = sum(1 for x in sv if x <= a)
+        return lt + 1 <= target + bound and le >= target - bound
+
+    assert flag(carried.query(0.5)), "carried sketch must hold the bound"
+    a_bad = restarted.query(0.5)
+    assert not flag(a_bad), "restarted sketch must violate the bound"
+    # measured divergence: the restarted answer's rank interval starts
+    # beyond the last tertile's low edge — ~2n/3 past the p50 target
+    lt_bad = sum(1 for x in sv if x < a_bad)
+    assert lt_bad + 1 - target > n / 6
+    # and the restarted fold also under-counts (q289's exceptAll gate)
+    assert restarted.n < carried.n == n
