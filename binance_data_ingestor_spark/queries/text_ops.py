@@ -4876,6 +4876,211 @@ FROM banded GROUP BY lang, tertile
 """
 
 
+# --------------------------------------------------------------------------
+# q292 — epoch-budget waterfilling (the data-constrained-scaling
+# allocation of Muennighoff et al. 2023): given a TOKEN budget of
+# BUDGET_EPOCHS × the corpus and a repetition cap of EPOCH_CAP epochs
+# per language, allocate budget along the tempered direction
+# u_l = sqrt(mass_l) (q285's τ=0.5 — IEEE-exact) as
+# alloc_l = min(cap_l, λ·u_l), with the water level λ solving
+# Σ alloc = B EXACTLY via the closed-form sorted-prefix rule — no
+# iteration: order languages by cap_l/u_l, and the unique valid split
+# k has λ_k = (B − Σ_{i≤k} cap_i)/Σ_{i>k} u_i between the adjacent
+# ratios. Every cumsum runs in the pinned (ratio, lang) order over the
+# |langs|-row summary (sequential within one bounded window frame —
+# bit-identical across engines), so the split decision and λ are
+# deterministic doubles, not tolerances. Scale shape: one corpus
+# groupBy to the 5-row mass summary; everything after is summary-grid
+# arithmetic. Output: per-language mass, cap, water level, allocation,
+# realized epochs, capped flag — the table a pretraining run turns
+# into its sampling schedule.
+# --------------------------------------------------------------------------
+EPOCH_CAP = 2.5
+BUDGET_EPOCHS = 2.0
+
+
+def q292_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import bounded_ordered_window
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    mass = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("m")
+    )
+    s = mass.select(
+        "lang",
+        "m",
+        F.sqrt(F.col("m").cast("double")).alias("u"),
+        (F.lit(EPOCH_CAP) * F.col("m").cast("double")).alias("cap"),
+    ).withColumn("ratio", F.col("cap") / F.col("u"))
+    tot = s.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lang"), F.col("u").alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("tot_u"),
+        F.sum("m").alias("tot_m"),
+    )
+    w = bounded_ordered_window("lang", F.asc("ratio"), F.asc("lang"))
+    win = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "pref_cap", F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "pref_u", F.sum("u").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    b = F.lit(BUDGET_EPOCHS) * F.col("tot_m").cast("double")
+    lam_i = (b - F.coalesce(F.col("pref_cap"), F.lit(0.0))) / (
+        F.col("tot_u") - F.col("pref_u") + F.col("u")
+    )
+    prev_ratio = F.lag("ratio").over(w)
+    cand = win.select(
+        "lang",
+        "m",
+        "u",
+        "cap",
+        "ratio",
+        lam_i.alias("lam"),
+        (
+            (prev_ratio.isNull() | (prev_ratio <= lam_i))
+            & (lam_i <= F.col("ratio"))
+        ).alias("valid"),
+    )
+    lam = cand.filter("valid").agg(F.min("lam").alias("lam"))
+    return (
+        cand.drop("lam", "valid")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "lang",
+            "m",
+            F.round("cap", 6).alias("cap_r"),
+            F.round("lam", 6).alias("lambda_r"),
+            F.round(F.least(F.col("cap"), F.col("lam") * F.col("u")), 6).alias(
+                "alloc_r"
+            ),
+            F.round(
+                F.least(F.col("cap"), F.col("lam") * F.col("u"))
+                / F.col("m").cast("double"),
+                6,
+            ).alias("epochs_r"),
+            (F.col("cap") <= F.col("lam") * F.col("u")).cast("long").alias(
+                "capped"
+            ),
+        )
+    )
+
+
+Q292_SQL = f"""
+WITH mass AS (SELECT lang,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+              FROM documents GROUP BY 1),
+s AS (SELECT lang, m, sqrt(CAST(m AS DOUBLE)) AS u,
+             {EPOCH_CAP} * CAST(m AS DOUBLE) AS cap
+      FROM mass),
+s2 AS (SELECT *, cap / u AS ratio FROM s),
+tot AS (SELECT list_reduce(list(u ORDER BY lang), (x, y) -> x + y) AS tot_u,
+               CAST(sum(m) AS BIGINT) AS tot_m
+        FROM s2),
+win AS (
+  SELECT *,
+         coalesce(sum(cap) OVER (ORDER BY ratio, lang
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0.0) AS pref_cap,
+         sum(u) OVER (ORDER BY ratio, lang
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pref_u,
+         lag(ratio) OVER (ORDER BY ratio, lang) AS prev_ratio
+  FROM s2 CROSS JOIN tot),
+cand AS (
+  SELECT lang, m, u, cap, ratio,
+         ({BUDGET_EPOCHS} * CAST(tot_m AS DOUBLE) - pref_cap)
+           / (tot_u - pref_u + u) AS lam,
+         prev_ratio
+  FROM win),
+lamv AS (
+  SELECT min(lam) AS lam FROM cand
+  WHERE (prev_ratio IS NULL OR prev_ratio <= lam) AND lam <= ratio)
+SELECT c.lang, c.m,
+       round(c.cap, 6) AS cap_r,
+       round(l.lam, 6) AS lambda_r,
+       round(least(c.cap, l.lam * c.u), 6) AS alloc_r,
+       round(least(c.cap, l.lam * c.u) / CAST(c.m AS DOUBLE), 6) AS epochs_r,
+       CAST(CASE WHEN c.cap <= l.lam * c.u THEN 1 ELSE 0 END AS BIGINT)
+         AS capped
+FROM cand c CROSS JOIN lamv l
+"""
+
+
+# --------------------------------------------------------------------------
+# q293 — vocabulary richness estimators (Chao1 + Good–Turing): per
+# source, how many word types exist that the crawl has NOT seen yet,
+# and how much probability mass the next token draws from unseen types
+# — the coverage gauges behind "is more crawling worth it" decisions
+# and the saturation companion to q235's Heaps curve. From the
+# (source, token) count summary alone: V (types), f1 (hapaxes), f2
+# (dis legomena), N (tokens); Chao1 = V + f1(f1−1)/(2(f2+1)) (the
+# bias-corrected form — defined even at f2 = 0) and Good–Turing unseen
+# mass = f1/N, each one IEEE expression over exact int64 counts,
+# rounded 6 dp. Scale shape: one explode + two groupBys, all
+# map-side-combinable; output is |sources| rows.
+# --------------------------------------------------------------------------
+def q293_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.count("*").alias("v_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+        F.round(
+            F.count("*")
+            + F.sum((F.col("c") == 1).cast("long")).cast("double")
+            * (F.sum((F.col("c") == 1).cast("long")) - 1).cast("double")
+            / (
+                F.lit(2.0)
+                * (F.sum((F.col("c") == 2).cast("long")) + 1).cast("double")
+            ),
+            6,
+        ).alias("chao1_r"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("gt_unseen_r"),
+    )
+
+
+Q293_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS v_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       round(count(*)
+             + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+               / (2.0 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1
+                             AS DOUBLE)),
+             6) AS chao1_r,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS gt_unseen_r
+FROM c GROUP BY source
+"""
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q284_bfd_packing": q284_bfd_packing,
@@ -4883,6 +5088,8 @@ QUERIES = {
     "q288_quality_classifier": q288_quality_classifier,
     "q290_ngram_novelty": q290_ngram_novelty,
     "q291_perplexity_band_filter": q291_perplexity_band_filter,
+    "q292_epoch_waterfill": q292_epoch_waterfill,
+    "q293_vocab_richness": q293_vocab_richness,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
     "q247_nucleus_vocab": q247_nucleus_vocab,
@@ -4957,6 +5164,8 @@ ORACLES = {
     "q288_quality_classifier": Q288_SQL,
     "q290_ngram_novelty": Q290_SQL,
     "q291_perplexity_band_filter": Q291_SQL,
+    "q292_epoch_waterfill": Q292_SQL,
+    "q293_vocab_richness": Q293_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
     "q247_nucleus_vocab": Q247_SQL,

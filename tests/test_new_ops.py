@@ -4577,3 +4577,104 @@ def test_stream_gk_teeth_restarted_sketch_violates_bound(spark):
     assert lt_bad + 1 - target > n / 6
     # and the restarted fold also under-counts (q289's exceptAll gate)
     assert restarted.n < carried.n == n
+
+
+def test_epoch_waterfill_matches_python(spark):
+    """q292's allocation must equal a literal Python waterfill (sorted
+    ratios, closed-form lambda per split, unique valid split) and
+    exhaust the budget exactly: sum(alloc) == BUDGET_EPOCHS * total."""
+    import duckdb
+    import math
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        BUDGET_EPOCHS,
+        EPOCH_CAP,
+        q292_epoch_waterfill,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT lang, sum(len(string_split(text, ' '))) FROM "
+        f"'{SF_SMOKE}/documents.parquet' GROUP BY 1"
+    ).fetchall()
+    m = {lang: int(n) for lang, n in rows}
+    langs = sorted(m)
+    u = {lg: math.sqrt(m[lg]) for lg in langs}
+    cap = {lg: EPOCH_CAP * m[lg] for lg in langs}
+    tot_u = 0.0
+    for lg in langs:
+        tot_u += u[lg]
+    b = BUDGET_EPOCHS * sum(m.values())
+    order = sorted(langs, key=lambda lg: (cap[lg] / u[lg], lg))
+    lam = None
+    pref_cap, pref_u = 0.0, 0.0
+    for i, lg in enumerate(order):
+        pref_u += u[lg]
+        cand = (b - pref_cap) / (tot_u - pref_u + u[lg])
+        prev_ratio = cap[order[i - 1]] / u[order[i - 1]] if i else None
+        if (prev_ratio is None or prev_ratio <= cand) and cand <= cap[lg] / u[
+            lg
+        ]:
+            lam = cand if lam is None else min(lam, cand)
+        pref_cap += cap[lg]
+    assert lam is not None
+    alloc = {lg: min(cap[lg], lam * u[lg]) for lg in langs}
+    assert abs(sum(alloc.values()) - b) < 1e-6  # budget exhausted exactly
+    got = {r.lang: r for r in q292_epoch_waterfill(spark, SF_SMOKE).collect()}
+    assert set(got) == set(langs)
+    capped_langs = 0
+    for lg in langs:
+        r = got[lg]
+        assert r.m == m[lg]
+        assert abs(r.cap_r - round(cap[lg], 6)) < 2e-6
+        assert abs(r.lambda_r - round(lam, 6)) < 2e-6
+        assert abs(r.alloc_r - round(alloc[lg], 6)) < 2e-6
+        assert abs(r.epochs_r - round(alloc[lg] / m[lg], 6)) < 2e-6
+        assert r.capped == (1 if cap[lg] <= lam * u[lg] else 0)
+        assert r.epochs_r <= EPOCH_CAP + 1e-9  # the repetition cap holds
+        capped_langs += r.capped
+    # at the smoke sf no language hits the cap (uncapped epochs top out
+    # ~2.39 < 2.5) — assert that degenerate-free identity too
+    assert capped_langs == 0
+    assert all(abs(got[lg].lambda_r - round(lam, 6)) < 2e-6 for lg in langs)
+    # teeth at the driver's correctness sf (0.01): the cap BINDS for at
+    # least one language and not all — checked through the certified
+    # oracle SQL (strict-verified equal to the Spark plan every round)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    from binance_data_ingestor_spark.queries.text_ops import Q292_SQL
+
+    capped01 = [r[-1] for r in con.sql(Q292_SQL).fetchall()]
+    assert 0 < sum(capped01) < len(capped01)
+
+
+def test_vocab_richness_matches_python(spark):
+    """q293's Chao1 and Good-Turing estimators must equal the literal
+    Python frequency-of-frequencies computation."""
+    import duckdb
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        q293_vocab_richness,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    cnt: dict[str, dict[str, int]] = {}
+    for source, text in rows:
+        d = cnt.setdefault(source, {})
+        for tok in text.split(" "):
+            d[tok] = d.get(tok, 0) + 1
+    got = {r.source: r for r in q293_vocab_richness(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cnt)
+    for src, d in cnt.items():
+        v = len(d)
+        n = sum(d.values())
+        f1 = sum(1 for c in d.values() if c == 1)
+        f2 = sum(1 for c in d.values() if c == 2)
+        r = got[src]
+        assert (r.v_types, r.n_tokens, r.f1, r.f2) == (v, n, f1, f2)
+        assert abs(r.chao1_r - round(v + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)) < 2e-6
+        assert abs(r.gt_unseen_r - round(f1 / n, 6)) < 2e-6
+        assert r.chao1_r >= v  # the estimator never shrinks the vocabulary
