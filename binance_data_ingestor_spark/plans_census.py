@@ -73,6 +73,14 @@ group summary (the q270/q226 shape).
 q281 (round 10) — TWO 1-ROW aggregates (the edge-count m, then the
 pinned-order modularity fold) crossJoin-broadcast into the
 communities-sized term table (the q278 shape).
+q285 (round 11) — TWO 1-ROW aggregates (the pinned-order tempered-mass
+denominator fold, then the doc-count budget; plus the 1-row
+largest-remainder deficit) crossJoin-broadcast into the 5-row language
+summary — exactly q152's adjudicated shape with a data-derived weight
+vector.
+q292 (round 11) — TWO 1-ROW aggregates (the pinned-order Σu/Σm totals,
+then the selected water level λ) crossJoin-broadcast into the 5-row
+language summary (the q285/q270 shape).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -87,5 +95,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
         "q219", "q221", "q223", "q226", "q227", "q234", "q252",
         "q267", "q269", "q270", "q274", "q275", "q278", "q281",
+        "q285", "q292",
     }
 )
