@@ -1472,14 +1472,21 @@ Q275_SQL = _q275_sql()
 # assigned to cells once (batched GEMM against the tiny seed-13
 # centroid table — at 100 TB the cell is the partition key); each
 # query probes its 2 best cells, so retrieval touches n_probe/n_cells
-# of B. The exact branch (operators/similarity.brute_force_topk: one
-# GEMM pass, per-task running top-k, |partitions|·|Q|·k shuffle rows)
-# is the certificate — production bounds it to a hash-slice of queries
-# and drops it once recall is pinned (q171/q190 stance). Cos scores
-# round 6 dp (q50/q53 convention); top-1 gap is a difference of the
-# rounded values.
+# of B. The benched form runs ONE bounded query batch — the
+# md5-first-64 of corpus A (a TakeOrderedAndProject, deterministic
+# across engines/partitionings) — because per-batch probe cost is
+# |batch|·N/n_probe_share: production drains A in such batches and
+# grows n_centroids ~√N so per-cell rerank stays bounded (a
+# PROPORTIONAL query corpus at fixed nlist is quadratic at scale —
+# measured: the unbatched form DNF'd at sf1). The exact branch
+# (operators/similarity.brute_force_topk: one GEMM pass, per-task
+# running top-k, |partitions|·|Q|·k shuffle rows) is the certificate —
+# production drops it once recall is pinned (q171/q190 stance). Cos
+# scores round 6 dp (q50/q53 convention); top-1 gap is a difference of
+# the rounded values.
 # --------------------------------------------------------------------------
 XC_QUERY_PCT = 10  # hash bucket < this → query corpus A
+XC_BATCH = 64  # md5-first batch of A actually retrieved per run
 XC_K = 5
 XC_SEED = 13
 
@@ -1490,7 +1497,12 @@ def q286_cross_corpus_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumn(
         "hb", F.expr(hash_bucket_sql("spark", "vec_id", 100))
     )
-    qs = emb.filter(F.col("hb") < XC_QUERY_PCT).select("vec_id", "embedding")
+    qs = (
+        emb.filter(F.col("hb") < XC_QUERY_PCT)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(XC_BATCH)
+        .select("vec_id", "embedding")
+    )
     idx = emb.filter(F.col("hb") >= XC_QUERY_PCT).select("vec_id", "embedding")
     ann = ivf_topk(
         idx, qs, k=XC_K, n_centroids=8, n_probe=2, dim=DIM, seed=XC_SEED
@@ -1547,7 +1559,12 @@ WITH cents AS (SELECT [{cent_lits}] AS cl),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
              {hash_bucket_sql("duckdb", "vec_id", 100)} AS hb
       FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE hb < {XC_QUERY_PCT}),
+q AS (SELECT vec_id AS query_id, v AS qv
+      FROM (SELECT vec_id, v,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS qr
+            FROM e WHERE hb < {XC_QUERY_PCT}) t
+      WHERE qr <= {XC_BATCH}),
 idx AS (SELECT vec_id AS neighbor_id, v AS cv FROM e
         WHERE hb >= {XC_QUERY_PCT}),
 escored AS (

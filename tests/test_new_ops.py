@@ -4248,7 +4248,13 @@ def test_cross_corpus_ann_matches_python(spark):
     def hb(v: int) -> int:
         return int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 100
 
-    qs = {v: np.asarray(e, dtype=np.float64) for v, e in rows if hb(v) < XC_QUERY_PCT}
+    from binance_data_ingestor_spark.queries.similarity_ops import XC_BATCH
+
+    a_ids = sorted(
+        (v for v, _e in rows if hb(v) < XC_QUERY_PCT),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )[:XC_BATCH]
+    qs = {v: np.asarray(e, dtype=np.float64) for v, e in rows if v in set(a_ids)}
     idx = {v: np.asarray(e, dtype=np.float64) for v, e in rows if hb(v) >= XC_QUERY_PCT}
     cents = [np.asarray(c, dtype=np.float64) for c in centroids(DIM, 8, XC_SEED)]
 
