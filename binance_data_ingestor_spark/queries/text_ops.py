@@ -5081,6 +5081,174 @@ FROM c GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q294 — exact-substring canary scan (the Lee et al. 2022 / "canary
+# string" decontamination rule, the LITERAL-match member of the
+# contamination family: q68/q276 match 4-gram SETS, q149 a bloom —
+# none answers "does this exact eval passage appear verbatim in
+# train?"). Each eval-split doc (q68's 5% hash split) contributes one
+# deterministic 8-token canary span (tokens 3..10); the md5-first-64
+# canary batch (q286's bounded-batch lesson, applied at DESIGN time)
+# sweeps the WHOLE corpus as a broadcast of 64 needles — row-local
+# `contains`, cost 64·N, linear in the corpus. Every span must hit
+# its OWN doc (the in-pass positive control: n_total ≥ 1 proves the
+# scan live), and n_train counts verbatim leaks into the train split
+# — NOT zero on this corpus: the planted near-duplicate docs carry
+# eval canaries verbatim across the split, and the scan surfaces them
+# (the direct test pins the leak — exactly what this audit exists to
+# catch before an eval number is trusted). Scale: production
+# drains the eval set in such batches (or builds a suffix automaton);
+# per batch the scan is one pruned column pass, zero shuffle growth.
+# --------------------------------------------------------------------------
+CANARY_BATCH = 64
+CANARY_LEN = 8
+
+
+def q294_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(hash_bucket_sql("spark", "doc_id", 100)).alias("hb"),
+    )
+    spans = (
+        docs.filter(
+            (F.col("hb") < EVAL_PCT)
+            & (F.size(F.split(F.col("text"), " ")) >= CANARY_LEN + 4)
+        )
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.col("source").alias("eval_source"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 3, CANARY_LEN), " "
+            ).alias("span"),
+        )
+        .orderBy(F.md5(F.col("eval_id").cast("string")), F.col("eval_id"))
+        .limit(CANARY_BATCH)
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(spans))
+        .filter(F.col("text").contains(F.col("span")))
+        .groupBy("eval_id", "eval_source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("hb") >= EVAL_PCT).cast("long")).alias("n_train"),
+            F.sum((F.col("doc_id") == F.col("eval_id")).cast("long")).alias(
+                "n_self"
+            ),
+        )
+    )
+    return spans.join(hits, ["eval_id", "eval_source"], "left").select(
+        "eval_id",
+        "eval_source",
+        F.coalesce(F.col("n_total"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.col("n_train"), F.lit(0)).cast("long").alias("n_train"),
+        F.coalesce(F.col("n_self"), F.lit(0)).cast("long").alias("n_self"),
+        (F.coalesce(F.col("n_train"), F.lit(0)) == 0)
+        .cast("long")
+        .alias("clean"),
+    )
+
+
+Q294_SQL = f"""
+WITH d AS (SELECT doc_id, source, text,
+                  {hash_bucket_sql("duckdb", "doc_id", 100)} AS hb
+           FROM documents),
+spans AS (
+  SELECT eval_id, eval_source, span
+  FROM (SELECT doc_id AS eval_id, source AS eval_source,
+               array_to_string(list_slice(string_split(text, ' '), 3,
+                                          {CANARY_LEN + 2}), ' ') AS span,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS qr
+        FROM d
+        WHERE hb < {EVAL_PCT}
+          AND len(string_split(text, ' ')) >= {CANARY_LEN + 4}) t
+  WHERE qr <= {CANARY_BATCH}),
+hits AS (
+  SELECT eval_id, eval_source,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN hb >= {EVAL_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN doc_id = eval_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_self
+  FROM d CROSS JOIN spans
+  WHERE contains(text, span)
+  GROUP BY 1, 2)
+SELECT s.eval_id, s.eval_source,
+       coalesce(h.n_total, 0) AS n_total,
+       coalesce(h.n_train, 0) AS n_train,
+       coalesce(h.n_self, 0) AS n_self,
+       CAST(CASE WHEN coalesce(h.n_train, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS clean
+FROM spans s LEFT JOIN hits h USING (eval_id, eval_source)
+"""
+
+
+# --------------------------------------------------------------------------
+# q295 — tokenizer fertility by language: average BPE tokens per word
+# and characters per BPE token, per language — the tokenizer-parity
+# readout (a vocabulary trained on an English-heavy mix fragments
+# low-resource languages; fertility is THE number multilingual
+# pretraining reports, cf. XLM-R). Rides the q188/q189 machinery: the
+# SAME 20-merge trained vocabulary encodes the distinct-word table
+# once (vocab-sized), and per-language sums are exact int64 — the two
+# rates are single IEEE divisions rounded 6 dp. Scale: encode cost is
+# vocabulary-bounded (q189's argument); the per-language rollup adds
+# one map-side-combinable aggregate over the word join.
+# --------------------------------------------------------------------------
+def q295_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import BPE_SEP, bpe_train, bpe_word_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    merge_rows = bpe_train(docs, n_merges=BPE_N_MERGES).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
+    wtok = bpe_word_tokens(words.select("w").distinct(), merges)
+    return (
+        words.join(wtok, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("w_tokens").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.round(
+                F.sum("w_tokens").cast("double") / F.count("*"), 6
+            ).alias("fertility_r"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("w_tokens"), 6
+            ).alias("chars_per_token_r"),
+        )
+    )
+
+
+def _q295_sql() -> str:
+    return _bpe_chain_sql(BPE_N_MERGES) + f""",
+wtok AS (SELECT w,
+                CAST(len(s) - len(replace(s, chr(31), '')) - 1 AS BIGINT)
+                  AS w_tokens
+         FROM v{BPE_N_MERGES}),
+lw AS (SELECT lang, w
+       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+       WHERE len(w) > 0 AND NOT contains(w, chr(31)))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       round(CAST(sum(w_tokens) AS DOUBLE) / count(*), 6) AS fertility_r,
+       round(CAST(sum(len(w)) AS DOUBLE) / sum(w_tokens), 6)
+         AS chars_per_token_r
+FROM lw JOIN wtok USING (w)
+GROUP BY lang
+"""
+
+
+Q295_SQL = _q295_sql()
+
+
 QUERIES = {
     "q183_epoch_shuffle": q183_epoch_shuffle,
     "q284_bfd_packing": q284_bfd_packing,
@@ -5090,6 +5258,8 @@ QUERIES = {
     "q291_perplexity_band_filter": q291_perplexity_band_filter,
     "q292_epoch_waterfill": q292_epoch_waterfill,
     "q293_vocab_richness": q293_vocab_richness,
+    "q294_canary_scan": q294_canary_scan,
+    "q295_tokenizer_fertility": q295_tokenizer_fertility,
     "q235_vocab_growth": q235_vocab_growth,
     "q240_rendezvous_shards": q240_rendezvous_shards,
     "q247_nucleus_vocab": q247_nucleus_vocab,
@@ -5166,6 +5336,8 @@ ORACLES = {
     "q291_perplexity_band_filter": Q291_SQL,
     "q292_epoch_waterfill": Q292_SQL,
     "q293_vocab_richness": Q293_SQL,
+    "q294_canary_scan": Q294_SQL,
+    "q295_tokenizer_fertility": Q295_SQL,
     "q235_vocab_growth": Q235_SQL,
     "q240_rendezvous_shards": Q240_SQL,
     "q247_nucleus_vocab": Q247_SQL,

@@ -4684,3 +4684,126 @@ def test_vocab_richness_matches_python(spark):
         assert abs(r.chao1_r - round(v + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)) < 2e-6
         assert abs(r.gt_unseen_r - round(f1 / n, 6)) < 2e-6
         assert r.chao1_r >= v  # the estimator never shrinks the vocabulary
+
+
+def test_canary_scan_matches_python(spark):
+    """q294's per-canary hit counts must equal a literal Python
+    substring scan, every span must hit its own doc (positive
+    control), and the train split must be verbatim-clean."""
+    import duckdb
+    import hashlib
+
+    from binance_data_ingestor_spark.queries.text_ops import (
+        CANARY_BATCH,
+        CANARY_LEN,
+        EVAL_PCT,
+        q294_canary_scan,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+    def hb(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 100
+
+    spans = sorted(
+        (
+            (hashlib.md5(str(d).encode()).hexdigest(), d, src,
+             " ".join(t.split(" ")[2 : 2 + CANARY_LEN]))
+            for d, src, t in rows
+            if hb(d) < EVAL_PCT and len(t.split(" ")) >= CANARY_LEN + 4
+        )
+    )[:CANARY_BATCH]
+    want = {}
+    for _h, eval_id, eval_src, span in spans:
+        n_total = n_train = n_self = 0
+        for d, _s, t in rows:
+            if span in t:
+                n_total += 1
+                if hb(d) >= EVAL_PCT:
+                    n_train += 1
+                if d == eval_id:
+                    n_self += 1
+        want[eval_id] = (eval_src, n_total, n_train, n_self)
+    got = {r.eval_id: r for r in q294_canary_scan(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for eval_id, (src, n_total, n_train, n_self) in want.items():
+        r = got[eval_id]
+        assert (r.eval_source, r.n_total, r.n_train, r.n_self) == (
+            src,
+            n_total,
+            n_train,
+            n_self,
+        )
+        assert r.clean == (1 if n_train == 0 else 0)
+        assert r.n_self == 1  # positive control: the scan is live
+    # the scan has teeth on this corpus: the planted near-duplicate
+    # docs carry at least one eval canary verbatim into the train
+    # split (deterministic fixture), and most canaries stay clean
+    trains = [v[2] for v in want.values()]
+    assert sum(1 for t in trains if t > 0) >= 1
+    assert sum(1 for t in trains if t == 0) > len(trains) // 2
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    """q295's per-language fertility must equal a literal Python BPE
+    encode with the same trained merges, and the closed-alphabet
+    languages must differ in fertility (the parity readout works)."""
+    import duckdb
+
+    from binance_data_ingestor_spark.operators.text import BPE_SEP
+    from binance_data_ingestor_spark.queries.text_ops import (
+        BPE_N_MERGES,
+        q295_tokenizer_fertility,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    # independent BPE train on the corpus vocabulary (greedy most
+    # frequent adjacent pair, ties lexicographic — the q188 contract)
+    vocab: dict[str, int] = {}
+    for _lang, text in rows:
+        for w in text.split(" "):
+            if w and BPE_SEP not in w:
+                vocab[w] = vocab.get(w, 0) + 1
+    segs = {w: [c for c in w] for w in vocab}
+    for _ in range(BPE_N_MERGES):
+        pairs: dict[tuple, int] = {}
+        for w, s in segs.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + vocab[w]
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    agg: dict[str, list] = {}
+    for lang, text in rows:
+        for w in text.split(" "):
+            if not w or BPE_SEP in w:
+                continue
+            a = agg.setdefault(lang, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(segs[w])
+            a[2] += len(w)
+    got = {r.lang: r for r in q295_tokenizer_fertility(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    ferts = []
+    for lang, (nw, nt, nc) in agg.items():
+        r = got[lang]
+        assert (r.n_words, r.n_bpe_tokens, r.n_chars) == (nw, nt, nc)
+        assert abs(r.fertility_r - round(nt / nw, 6)) < 2e-6
+        assert abs(r.chars_per_token_r - round(nc / nt, 6)) < 2e-6
+        assert r.fertility_r >= 1.0
+        ferts.append(r.fertility_r)
+    assert max(ferts) > min(ferts)  # the parity readout separates langs
