@@ -81,6 +81,12 @@ vector.
 q292 (round 11) — TWO 1-ROW aggregates (the pinned-order Σu/Σm totals,
 then the selected water level λ) crossJoin-broadcast into the 5-row
 language summary (the q285/q270 shape).
+q294 (round 11) — the CONSTANT-BOUNDED canary probe batch (≤ 64 rows
+by the md5-first-CANARY_BATCH limit — a TakeOrderedAndProject, O(1)
+at any SF) crossJoin-broadcast into the documents scan with the
+contains() predicate; the substring match cannot be an equi-join by
+nature, and the broadcast side is capped by a compile-time constant
+(the q220 probe-table argument, join-shaped).
 (q167 LEFT the census in round 4: its curve fold moved driver-side.)
 """
 
@@ -95,6 +101,6 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "q181", "q187", "q196", "q197", "q199", "q204", "q207",
         "q219", "q221", "q223", "q226", "q227", "q234", "q252",
         "q267", "q269", "q270", "q274", "q275", "q278", "q281",
-        "q285", "q292",
+        "q285", "q292", "q294",
     }
 )

@@ -69,8 +69,8 @@ def _modules():
 #   exactly TWO streaming certificates (q279 never-scored, q187
 #   r05-retirement) — both goal-mandatory; the "don't stack streaming
 #   certs" note is observed by keeping the rest out.
-# Round-12 window plan: 3 sentinels + the 10 round-11-new names
-# (q284-q293, never driver-scored — "certify the round after it lands")
+# Round-12 window plan: 3 sentinels + the 12 round-11-new names
+# (q284-q295, never driver-scored — "certify the round after it lands")
 # + the cheapest remaining r06-vintage names (the 4 re-certified below
 # excluded) to begin retiring r06; q289 is that window's ONE new
 # streaming certificate (don't stack more).
