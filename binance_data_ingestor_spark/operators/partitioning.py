@@ -364,10 +364,10 @@ def with_global_cumsum(
     df: DataFrame,
     keys: list[str],
     order: list,
-    value: str,
+    value: "str | list[str]",
     *,
     bucket: "Column",
-    out_col: str = "cum",
+    out_col: "str | list[str]" = "cum",
 ) -> DataFrame:
     """Parallel global (or per-key) running sum via bucket offsets — the
     distributed alternative to ``sum(v) OVER (ORDER BY … ROWS UNBOUNDED
@@ -381,26 +381,43 @@ def with_global_cumsum(
     ``order`` with equal order-prefix values sharing a bucket
     (:func:`with_range_bucket` provides this for value orderings), and
     NON-NULL for every row (see :func:`_bucket_offsets`).
+
+    ``value``/``out_col`` accept parallel lists: a multi-column call
+    computes every running sum in ONE two-pass (one bucket aggregate,
+    one offsets table, one window over the same frame) instead of
+    stacking a full aggregate + broadcast join + window per column —
+    the two-sample drift queries (q248/q255/q277) cumsum both half
+    counts over the identical (key, order, bucket), so the fused form
+    halves their Exchange/Window count with bit-identical output
+    (same sums, same frame, same types).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    values = [value] if isinstance(value, str) else list(value)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(values) != len(out_cols):
+        raise ValueError("with_global_cumsum: value/out_col length mismatch")
+
     b = df.withColumn("__b", bucket)
-    sums = b.groupBy(*keys, "__b").agg(F.sum(value).alias("__s"))
-    offsets = _bucket_offsets(sums, keys, "__s")
+    sums = b.groupBy(*keys, "__b").agg(
+        *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(values)]
+    )
+    offsets = _bucket_offsets(sums, keys, [f"__s{i}" for i in range(len(values))])
     wb = (
         W.partitionBy(*keys, "__b")
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        b.join(F.broadcast(offsets), [*keys, "__b"])
-        .withColumn(out_col, F.sum(value).over(wb) + F.col("__off"))
-        .drop("__b", "__off")
-    )
+    res = b.join(F.broadcast(offsets), [*keys, "__b"])
+    for i, (v, oc) in enumerate(zip(values, out_cols)):
+        res = res.withColumn(oc, F.sum(v).over(wb) + F.col(f"__off{i}"))
+    return res.drop("__b", *[f"__off{i}" for i in range(len(values))])
 
 
-def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFrame:
+def _bucket_offsets(
+    summary: DataFrame, keys: list[str], agg_col: "str | list[str]"
+) -> DataFrame:
     """Exclusive prefix-sum of ``agg_col`` along ``__b`` per key over a
     bucket SUMMARY (|keys| × |buckets| rows — bounded by construction).
 
@@ -424,6 +441,13 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
+    # str → one offset column named "__off" (with_global_rank's shape);
+    # list → one "__off{i}" per agg column (the fused-cumsum shape). All
+    # offsets come out of the SAME summary window / driver prefix pass.
+    single = isinstance(agg_col, str)
+    agg_cols = [agg_col] if single else list(agg_col)
+    off_names = ["__off"] if single else [f"__off{i}" for i in range(len(agg_cols))]
+
     if keys:
         wk = W.partitionBy(*keys).orderBy("__b")
         # assert_true returns NULL when the condition holds, so the
@@ -436,9 +460,12 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
         return summary.select(
             *keys,
             "__b",
-            F.when(
-                guard.isNull(), F.sum(agg_col).over(wk) - F.col(agg_col)
-            ).alias("__off"),
+            *[
+                F.when(
+                    guard.isNull(), F.sum(c).over(wk) - F.col(c)
+                ).alias(off)
+                for c, off in zip(agg_cols, off_names)
+            ],
         )
     rows = summary.collect()
     if any(r["__b"] is None for r in rows):
@@ -448,14 +475,17 @@ def _bucket_offsets(summary: DataFrame, keys: list[str], agg_col: str) -> DataFr
             "coalesce the bucket to a sentinel before calling"
         )
     rows.sort(key=lambda r: r["__b"])
-    acc, data = 0, []
+    accs, data = [0] * len(agg_cols), []
     for r in rows:
-        data.append((r["__b"], acc))
-        acc += r[agg_col]
+        data.append((r["__b"], *accs))
+        accs = [acc + r[c] for acc, c in zip(accs, agg_cols)]
     schema = StructType(
         [
             summary.schema["__b"],
-            StructField("__off", summary.schema[agg_col].dataType),
+            *[
+                StructField(off, summary.schema[c].dataType)
+                for c, off in zip(agg_cols, off_names)
+            ],
         ]
     )
     return summary.sparkSession.createDataFrame(data, schema)

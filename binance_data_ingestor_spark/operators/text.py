@@ -375,18 +375,33 @@ def bpe_train(
     # (1-based element_at positions 2…k+1); adjacent pairs live at
     # (i, i+1) for i in 2…k. The size guard matters: Spark's
     # sequence(2, 1) DESCENDS instead of being empty.
+    #
+    # The split is PROJECTED ONCE (`a`) before the transform: higher-
+    # order functions are interpreted (no codegen CSE), so an inline
+    # `element_at(split(s), i)` re-splits the string per element —
+    # O(len²) chars touched per word per round. The separate projection
+    # survives CollapseProject because `a` is non-cheap and referenced
+    # four times (guard, bounds, both lambda slots).
     pair_expr = (
-        "CASE WHEN size(split(s, '{sep}')) >= 4 THEN "
-        "transform(sequence(2, size(split(s, '{sep}')) - 2), "
-        "i -> struct(element_at(split(s, '{sep}'), i) AS x, "
-        "element_at(split(s, '{sep}'), i + 1) AS y)) "
+        "CASE WHEN size(a) >= 4 THEN "
+        "transform(sequence(2, size(a) - 2), "
+        "i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y)) "
         "ELSE array() END"
-    ).format(sep=BPE_SEP)
+    )
 
+    # Lineage control: a LAZY chain of replace()s between periodic
+    # eager checkpoints. Each round's argmax collect already forces the
+    # chain since the last checkpoint (re-running ≤ CKPT-1 vocab-sized
+    # replace projections inside the same job — cheap), so an eager
+    # per-round materialization job is pure overhead: 2 jobs/round → 1.
+    # The periodic checkpoint still bounds plan depth for large
+    # n_merges (the connected-components lesson).
+    ckpt_every = 4
     merges: list[tuple] = []
     for rk in range(1, n_merges + 1):
         best = (
-            cur.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            cur.select("freq", F.split("s", BPE_SEP).alias("a"))
+            .select("freq", F.explode(F.expr(pair_expr)).alias("p"))
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
@@ -404,7 +419,9 @@ def bpe_train(
                 F.lit(BPE_SEP + x + y + BPE_SEP),
             ).alias("s"),
             "freq",
-        ).localCheckpoint(eager=True)
+        )
+        if rk % ckpt_every == 0 and rk < n_merges:
+            cur = cur.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rk int, left_sym string, right_sym string, merged string, cnt long"
     )

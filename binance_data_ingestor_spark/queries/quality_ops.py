@@ -971,21 +971,15 @@ def q248_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # span + two cumsums + totals
     )
     b = with_range_bucket(summary, F.col("value"), bucket_col="__rb")
+    # both half-count cumsums share (key, order, bucket) — ONE fused
+    # two-pass instead of two stacked aggregate+join+window chains
     cum = with_global_cumsum(
         b,
         ["event_type"],
         [F.asc("value")],
-        "a",
+        ["a", "b"],
         bucket=F.col("__rb"),
-        out_col="ca",
-    )
-    cum = with_global_cumsum(
-        cum,
-        ["event_type"],
-        [F.asc("value")],
-        "b",
-        bucket=F.col("__rb"),
-        out_col="cb",
+        out_col=["ca", "cb"],
     ).drop("__rb")
     tot = summary.groupBy("event_type").agg(
         F.sum("a").alias("na"), F.sum("b").alias("nb")
@@ -1193,21 +1187,15 @@ def q255_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds cumsum + lead + totals
     )
     bkt = with_range_bucket(summary, F.col("vu"), bucket_col="__rb")
+    # fused two-column cumsum: one aggregate/offsets/window pass for
+    # both half counts (see with_global_cumsum's multi-column form)
     cum = with_global_cumsum(
         bkt,
         ["event_type"],
         [F.asc("vu")],
-        "a",
+        ["a", "b"],
         bucket=F.col("__rb"),
-        out_col="ca",
-    )
-    cum = with_global_cumsum(
-        cum,
-        ["event_type"],
-        [F.asc("vu")],
-        "b",
-        bucket=F.col("__rb"),
-        out_col="cb",
+        out_col=["ca", "cb"],
     ).drop("__rb")
     wl = W.partitionBy("event_type").orderBy(F.asc("vu"))
     stepped = cum.withColumn("nxt", F.lead("vu").over(wl)).filter(
@@ -1447,13 +1435,11 @@ def q277_ad_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # span + two cumsums + totals
     )
     bkt = with_range_bucket(summary, F.col("value"), bucket_col="__rb")
+    # fused two-column cumsum: one aggregate/offsets/window pass for
+    # both half counts (see with_global_cumsum's multi-column form)
     cum = with_global_cumsum(
-        bkt, ["event_type"], [F.asc("value")], "a",
-        bucket=F.col("__rb"), out_col="ca",
-    )
-    cum = with_global_cumsum(
-        cum, ["event_type"], [F.asc("value")], "b",
-        bucket=F.col("__rb"), out_col="cb",
+        bkt, ["event_type"], [F.asc("value")], ["a", "b"],
+        bucket=F.col("__rb"), out_col=["ca", "cb"],
     ).drop("__rb")
     tot = summary.groupBy("event_type").agg(
         F.sum("a").alias("na"), F.sum("b").alias("nb")
