@@ -55,7 +55,19 @@ def pagerank(
     )
     deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
     # fold 1/outdeg into the edges once; repartition by src so each
-    # round's join reuses this layout instead of re-shuffling edges
+    # round's join reuses this layout instead of re-shuffling edges.
+    #
+    # Materialization policy (round-11 measurement): an EAGER
+    # localCheckpoint here is a pessimization for short fixed-round
+    # runs — under AQE the checkpointed RDD comes back as
+    # UnknownPartitioning(0), so every round's join re-Exchanges AND
+    # re-Sorts the edge list (3 edge shuffles for 3 rounds; measured
+    # 5.7 s vs 3.2 s at sf0.1). Left lazy, the whole run is ONE job and
+    # AQE's shuffle-stage reuse materializes the src-partitioned edge
+    # exchange once, exactly the "edges shuffle once" design intent.
+    # For LONG runs the periodic ranks checkpoint splits the run into
+    # one job per interval and stage reuse does not span jobs, so there
+    # the eager checkpoint pays for itself — keep it in that regime.
     weighted = (
         edges.join(deg, src)
         .select(
@@ -64,8 +76,9 @@ def pagerank(
             (F.lit(1.0) / F.col("outdeg")).alias("w"),
         )
         .repartition(int(n_part), "src")
-        .localCheckpoint(eager=True)
     )
+    if iterations > checkpoint_interval:
+        weighted = weighted.localCheckpoint(eager=True)
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0).alias("rank"))
     for i in range(1, iterations + 1):
         contribs = weighted.join(
