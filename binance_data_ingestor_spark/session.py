@@ -56,6 +56,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round-11 (guide §3.1/§9): let the planner pick shuffled-hash
+        # joins when its size conditions hold instead of defaulting to
+        # sort-merge, and let AQE convert SMJ→SHJ at runtime when every
+        # post-shuffle partition is under the threshold (64 MiB default;
+        # scale-adaptive by construction — oversized partitions keep
+        # SMJ's graceful spill). In-session alternating A/B over the 40
+        # non-streaming PRIORITY queries: −21% total (44.6 → 35.1 s),
+        # worst single regression +0.1 s. Production knob via env.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
