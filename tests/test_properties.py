@@ -340,3 +340,68 @@ def test_with_global_runmax_equals_serial_window(spark, rows):
                 assert got == expected, (
                     f"keys={keys} exclusive={exclusive} bucket={bucket}"
                 )
+
+
+@given(rows=ctx_strategy)
+@settings(max_examples=10, deadline=None)
+def test_with_global_cumsum_multi_equals_serial_window(spark, rows):
+    """The round-11 multi-column form of the bucket-offset cumsum must
+    equal the serialized sum(v) OVER (... ROWS UNBOUNDED PRECEDING) for
+    EVERY value column simultaneously, and the single-string form must
+    stay exactly the list-of-one form — keyed and keyless, any monotone
+    bucket granularity. Integer values so equality is exact."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from binance_data_ingestor_spark.operators.partitioning import (
+        with_global_cumsum,
+    )
+
+    uniq = {(k, t): v for k, t, v in rows}
+    rows = [(k, t, v, 2 * v - 7) for (k, t), v in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "k string, t long, a long, b long")
+    for keys in ([], ["k"]):
+        wg = (
+            W.partitionBy(*keys)
+            .orderBy("t", "k")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        expected = sorted(
+            df.select(
+                "k",
+                "t",
+                F.sum("a").over(wg).alias("ca"),
+                F.sum("b").over(wg).alias("cb"),
+            ).collect(),
+            key=str,
+        )
+        for bucket in (1, 13, 1000):
+            got = sorted(
+                with_global_cumsum(
+                    df,
+                    keys,
+                    [F.asc("t"), F.asc("k")],
+                    ["a", "b"],
+                    bucket=F.expr(f"t div {bucket}"),
+                    out_col=["ca", "cb"],
+                )
+                .select("k", "t", "ca", "cb")
+                .collect(),
+                key=str,
+            )
+            assert got == expected, f"keys={keys} bucket={bucket}"
+            single = sorted(
+                tuple(r)
+                for r in with_global_cumsum(
+                    df,
+                    keys,
+                    [F.asc("t"), F.asc("k")],
+                    "a",
+                    bucket=F.expr(f"t div {bucket}"),
+                    out_col="ca",
+                )
+                .select("k", "t", "ca")
+                .collect()
+            )
+            want = sorted((r["k"], r["t"], r["ca"]) for r in expected)
+            assert single == want, f"single-form keys={keys} bucket={bucket}"
