@@ -8,10 +8,18 @@ iterations as chained CTEs.
 
 Scale design (100 TB / 1000 executors):
 - The edge list is the big side. It is hash-partitioned by ``src``
-  ONCE and localCheckpoint'ed; every round's edges⨝ranks join then
-  reuses that partitioning (LogicalRDD preserves outputPartitioning),
-  so each iteration shuffles only the rank vector (O(nodes), small),
-  never the edges (O(edges), huge).
+  once; how that layout is REUSED across rounds depends on the run
+  length (round-11 measurement): ``localCheckpoint(eager=True)`` comes
+  back as ``UnknownPartitioning(0)`` under AQE, forcing every round to
+  re-Exchange AND re-Sort the edges, so for short fixed-round runs
+  (``iterations <= checkpoint_interval`` — one final job) the
+  repartitioned edge list stays LAZY and AQE shuffle-stage reuse
+  materializes its exchange once. For long runs the periodic ranks
+  checkpoint splits the run into one job per interval — stage reuse
+  does not span jobs — so there the edges ARE eagerly checkpointed and
+  each round pays one (rank-sized) shuffle on top of the checkpoint
+  scan. Either way each iteration shuffles only the rank vector
+  (O(nodes), small), never re-reads the raw edge input.
 - Out-degrees are folded into the edge list up front
   (``weight = 1/outdeg``), so the per-round join is a single
   equi-join + groupBy — two narrow stages per round.

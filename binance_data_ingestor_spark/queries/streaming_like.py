@@ -124,6 +124,15 @@ def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differentiable and keeps the sliding frame; it now owns the whole
     # replay cost (measured: the rewrite is −27% wall, output
     # byte-identical at sf0.1 and strict/stability-green at sf0.01).
+    #
+    # Precision envelope (ADVICE r11): the difference of two float
+    # prefix sums cancels, so its error grows with the prefix
+    # magnitude — but the chunk split bounds every prefix to ≤ 4 days
+    # of rows (3-day chunk + 24 h context restart the cumsum), so the
+    # absolute error is bounded by n_4days·max|v|·ulp and stays ≪ the
+    # 0.005 rounding boundary for any per-type 4-day row count ≲ 1e9
+    # (tests/test_rolling_cumdiff.py pins cum-diff ≡ sliding-frame on
+    # adversarial magnitudes; strict-verified at sf0.001/0.01/0.1).
     wcur = (
         W.partitionBy("event_type", "chunk")
         .orderBy("sec")

@@ -63,8 +63,17 @@ def get_spark(
         # scale-adaptive by construction — oversized partitions keep
         # SMJ's graceful spill). In-session alternating A/B over the 40
         # non-streaming PRIORITY queries: −21% total (44.6 → 35.1 s),
-        # worst single regression +0.1 s. Production knob via env.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # worst single regression +0.1 s. Production knobs via env:
+        # the static planner preference is STATS-DRIVEN (a bad size
+        # estimate on a real cluster can pick SHJ with an oversized
+        # build side, which OOMs instead of spilling like SMJ), so
+        # SPARK_GRAFT_PREFER_SMJ=true rolls production back to
+        # sort-merge without a code change while keeping the
+        # runtime-checked AQE threshold (ADVICE r11).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
