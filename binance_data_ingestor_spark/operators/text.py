@@ -376,18 +376,23 @@ def bpe_train(
     # (i, i+1) for i in 2…k. The size guard matters: Spark's
     # sequence(2, 1) DESCENDS instead of being empty.
     #
-    # The split is PROJECTED ONCE (`a`) before the transform: higher-
-    # order functions are interpreted (no codegen CSE), so an inline
-    # `element_at(split(s), i)` re-splits the string per element —
-    # O(len²) chars touched per word per round. The separate projection
-    # survives CollapseProject because `a` is non-cheap and referenced
-    # four times (guard, bounds, both lambda slots).
+    # INLINE split (round-12): round 11 hoisted the split into its own
+    # Project on the O(len²)-re-split theory, but both round-11
+    # cross-session detail files (q188 ×1.13, q189 ×1.31) and a clean
+    # round-12 isolated alternating A/B (inline beat the projected form
+    # in 6/6 paired reps, min 3.22 vs 3.43 s, mean −6.5%) show the
+    # projected form is SLOWER at real word lengths: the extra Project
+    # materializes a full array per row and breaks the codegen stage,
+    # which costs more than the interpreted re-splits save on ≤~20-symbol
+    # words. Reverted to the inline form; the cadence-4 lazy checkpoint
+    # chain (the round-11 change that DID hold up) is kept below.
     pair_expr = (
-        "CASE WHEN size(a) >= 4 THEN "
-        "transform(sequence(2, size(a) - 2), "
-        "i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y)) "
+        "CASE WHEN size(split(s, '{sep}')) >= 4 THEN "
+        "transform(sequence(2, size(split(s, '{sep}')) - 2), "
+        "i -> struct(element_at(split(s, '{sep}'), i) AS x, "
+        "element_at(split(s, '{sep}'), i + 1) AS y)) "
         "ELSE array() END"
-    )
+    ).format(sep=BPE_SEP)
 
     # Lineage control: a LAZY chain of replace()s between periodic
     # eager checkpoints. Each round's argmax collect already forces the
@@ -400,8 +405,7 @@ def bpe_train(
     merges: list[tuple] = []
     for rk in range(1, n_merges + 1):
         best = (
-            cur.select("freq", F.split("s", BPE_SEP).alias("a"))
-            .select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            cur.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
