@@ -133,6 +133,69 @@ def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.005 rounding boundary for any per-type 4-day row count ≲ 1e9
     # (tests/test_rolling_cumdiff.py pins cum-diff ≡ sliding-frame on
     # adversarial magnitudes; strict-verified at sf0.001/0.01/0.1).
+    rows = own.unionByName(ctx)
+
+    # Sliding max (round-12, guide §2.4): max is not invertible, so the
+    # round-11 form kept a sliding RANGE frame that REPLAYS every
+    # in-frame row per output row — O(rows × frame), the whole residual
+    # window cost. Exact two-level bucket decomposition instead: with
+    # bucket width B equal to the INCLUSIVE window width (86401 s),
+    # every window [t−86400, t] spans at most two buckets, and
+    #   max = greatest(prefix_max(bucket(t) up to t),
+    #                  suffix_max(bucket(t−86400) from t−86400))
+    # is exact — when both endpoints share a bucket, t−86400 is that
+    # bucket's first second and bucket_end == t, so both terms already
+    # equal the window max (greatest is null-skipping for the empty-
+    # suffix case). The suffix max at the RAGGED boundary t−86400 is
+    # read off a PROBE row (one per output row, value NULL so it never
+    # contributes) inserted at sec−86400 and cumulated in descending
+    # sec order (kind breaks ties so the probe sees same-second data
+    # rows — the frame is inclusive at both ends); the probe's result
+    # joins back on event_id. Replaces the O(rows × frame) replay with
+    # two O(rows) cumulative windows + one skinny equi-join; measured
+    # −14% whole-query (min 1.19 vs 1.38 s, new won 4/4 alternating
+    # reps) with byte-identical output (exceptAll both ways = 0).
+    data = rows.select(
+        "event_id",
+        "event_type",
+        "chunk",
+        "is_ctx",
+        "sec",
+        "value",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("origin_id"),
+    )
+    probes = rows.filter(F.col("is_ctx") == 0).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "event_type",
+        "chunk",
+        F.lit(1).alias("is_ctx"),
+        (F.col("sec") - 86400).alias("sec"),
+        F.lit(None).cast(data.schema["value"].dataType).alias("value"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("origin_id"),
+    )
+    u = data.unionByName(probes).withColumn("bkt", F.expr("sec div 86401"))
+    wpre = (
+        W.partitionBy("event_type", "chunk", "bkt")
+        .orderBy("sec")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    wsuf = (
+        W.partitionBy("event_type", "chunk", "bkt")
+        .orderBy(F.desc("sec"), F.asc("kind"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.select(
+        "*",
+        F.max("value").over(wpre).alias("__pmax"),
+        F.max("value").over(wsuf).alias("__smax"),
+    )
+    smax_tbl = u.filter(F.col("kind") == 1).select(
+        F.col("origin_id").alias("event_id"), F.col("__smax").alias("__psmax")
+    )
+    datw = u.filter(F.col("kind") == 0).drop("kind", "origin_id", "__smax", "bkt")
+
     wcur = (
         W.partitionBy("event_type", "chunk")
         .orderBy("sec")
@@ -143,17 +206,12 @@ def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sec")
         .rangeBetween(W.unboundedPreceding, -86401)
     )
-    wmax = (
-        W.partitionBy("event_type", "chunk")
-        .orderBy("sec")
-        .rangeBetween(-86400, 0)
-    )
-    return (
-        own.unionByName(ctx)
-        .select(
+    out = (
+        datw.select(
             "event_id",
             "event_type",
             "is_ctx",
+            "__pmax",
             F.round(
                 F.sum("value").over(wcur)
                 - F.coalesce(F.sum("value").over(wold), F.lit(0.0)),
@@ -162,10 +220,18 @@ def q22_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*").over(wcur) - F.count("*").over(wold)).alias(
                 "rolling_n_24h"
             ),
-            F.round(F.max("value").over(wmax), 2).alias("rolling_max_24h"),
         )
         .filter(F.col("is_ctx") == 0)
         .drop("is_ctx")
+    )
+    # one probe per own row ⇒ the inner join preserves cardinality; SHJ
+    # build side is the skinny (event_id, max) table (guide §3.1)
+    return out.join(smax_tbl.hint("shuffle_hash"), "event_id").select(
+        "event_id",
+        "event_type",
+        "rolling_sum_24h",
+        "rolling_n_24h",
+        F.round(F.greatest("__pmax", "__psmax"), 2).alias("rolling_max_24h"),
     )
 
 
