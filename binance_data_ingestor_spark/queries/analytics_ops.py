@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.funnel import funnel_steps
 from ..operators.text import hash_bucket_sql
-from .util import load
+from .util import load, multiset_diff_count, stream_scratch
 
 
 # --------------------------------------------------------------------------
@@ -1810,7 +1810,7 @@ def q279_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         stagger_replay_mtimes(f"{w}/in")
 
     data = replay_input(spark, sf_dir, "q279", _write)
-    work = tempfile.mkdtemp(prefix="q279_")
+    work = stream_scratch("q279_")
     stream = (
         spark.readStream.schema("seg string, y long, ts timestamp")
         .option("maxFilesPerTrigger", "1")  # three real micro-batches
@@ -1852,11 +1852,11 @@ def q279_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = (
         flagged.groupBy("seg")
         .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
-        .localCheckpoint(eager=False)  # both exceptAll sides + emission
+        .localCheckpoint(eager=False)  # gate side + emission
     )
-    n_diff = (
-        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
-    )
+    # multiset-equality gate in ONE job (round-12): same predicate the
+    # two-exceptAll form tested, one shuffle instead of four
+    n_diff = multiset_diff_count(streamed, batch)
     if n_diff:
         raise AssertionError(
             f"q279: streaming Wilson counters diverged from the batch "
@@ -1942,7 +1942,7 @@ def q289_stream_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stagger_replay_mtimes(f"{w}/in")
 
     data = replay_input(spark, sf_dir, "q289", _write)
-    work = tempfile.mkdtemp(prefix="q289_")
+    work = stream_scratch("q289_")
     stream = (
         spark.readStream.schema("grp string, cents long, ts timestamp")
         .option("maxFilesPerTrigger", "1")  # three real micro-batches
@@ -1984,10 +1984,7 @@ def q289_stream_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp string, n long",
     )
     batch_n = o.groupBy("grp").agg(F.count("*").alias("n"))
-    n_diff = (
-        streamed.exceptAll(batch_n).count()
-        + batch_n.exceptAll(streamed).count()
-    )
+    n_diff = multiset_diff_count(streamed, batch_n)
     if n_diff:
         raise AssertionError(
             f"q289: streaming GK carried counts diverged from the batch "

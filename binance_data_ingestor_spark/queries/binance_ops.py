@@ -31,7 +31,7 @@ from ..operators.projections import (
     with_envelope_json,
 )
 from ..operators.partitioning import fanout, with_row_context
-from .util import load, session_artifact
+from .util import load, multiset_diff_count, session_artifact, stream_scratch
 
 SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT"]
 
@@ -1466,7 +1466,7 @@ def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         stagger_replay_mtimes(f"{w}/in")
 
     data = replay_input(spark, sf_dir, "q251", _write)
-    work = tempfile.mkdtemp(prefix="q251_")
+    work = stream_scratch("q251_")
     stream = (
         spark.readStream.schema(
             "symbol string, ts timestamp, event_id long, qc long, bq long"
@@ -1536,12 +1536,10 @@ def q251_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bq").alias("buy_vol"),
             (F.sum("qc") - F.sum("bq")).alias("sell_vol"),
         )
-        # feeds both exceptAll sides AND the emitted result
+        # feeds the one-job multiset gate AND the emitted result
         .localCheckpoint(eager=False)
     )
-    n_diff = (
-        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
-    )
+    n_diff = multiset_diff_count(streamed, batch)
     if n_diff:
         raise AssertionError(
             f"q251: streaming VPIN buckets diverged from the fixed-volume "

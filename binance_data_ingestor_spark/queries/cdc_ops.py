@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import latest_snapshot, scd2_intervals, upsert
-from .util import load
+from .util import load, multiset_diff_count, stream_scratch
 
 # Last day of the 30-day event window is the "change batch" for q75 —
 # chosen so a meaningful fraction of users has NO event in the batch and
@@ -535,7 +535,7 @@ def q211_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q211_")
+    work = stream_scratch("q211_")
     stream = (
         spark.readStream.schema("source string, h long, ts timestamp")
         .option("maxFilesPerTrigger", "1000")
@@ -581,9 +581,9 @@ def q211_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = q209_source_digest(spark, sf_dir).localCheckpoint(
         eager=False
-    )  # feeds both exceptAll sides + the emitted result
+    )  # feeds the one-job multiset gate + the emitted result
     bd = batch.select("source", "digest", F.col("n_docs").alias("n"))
-    n_diff = streamed.exceptAll(bd).count() + bd.exceptAll(streamed).count()
+    n_diff = multiset_diff_count(streamed, bd)
     if n_diff:
         raise AssertionError(
             f"q211: streaming digest diverged from the batch bit_xor on "

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import HEX_DIGITS, hash_bucket_sql
-from .util import load
+from .util import load, multiset_diff_count, stream_scratch
 
 DEPTH_BINS = 10
 
@@ -240,7 +240,7 @@ def q187_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q187_")
+    work = stream_scratch("q187_")
     stream = (
         spark.readStream.schema("grp string, token string, ts timestamp")
         .option("maxFilesPerTrigger", "1000")
@@ -946,7 +946,7 @@ def q199_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q199_")
+    work = stream_scratch("q199_")
     stream = (
         spark.readStream.schema("lab string, h long, item string, ts timestamp")
         .option("maxFilesPerTrigger", "1000")
@@ -1011,12 +1011,9 @@ def q199_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk(base.filter("in_a"), "a")
         .unionByName(sk(base.filter("in_b"), "b"))
         .unionByName(sk(base, "u"))
-        .localCheckpoint(eager=False)  # feeds both exceptAll sides
+        .localCheckpoint(eager=False)  # feeds the one-job multiset gate
     )
-    n_diff = (
-        streamed.exceptAll(batch_sk).count()
-        + batch_sk.exceptAll(streamed).count()
-    )
+    n_diff = multiset_diff_count(streamed, batch_sk)
     if n_diff:
         raise AssertionError(
             f"q199: streaming KMV sketch diverged from the batch sketch on "
@@ -1235,7 +1232,7 @@ def q225_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q225",
         lambda w: toks.coalesce(4).write.mode("overwrite").parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q225_")
+    work = stream_scratch("q225_")
     stream = (
         spark.readStream.schema("token string")
         .option("maxFilesPerTrigger", "1")  # 4 real micro-batches
@@ -1275,13 +1272,11 @@ def q225_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(*bcols)
         .groupBy(*[f"b{j}" for j in range(CM_D)])
         .agg(F.count("*").alias("c"))
-        # ≤ w^d rows; feeds both exceptAll sides — without this the
-        # token scan runs twice more
+        # ≤ w^d rows; feeds the one-job multiset gate — without this the
+        # token scan would run once more
         .localCheckpoint(eager=False)
     )
-    n_diff = (
-        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
-    )
+    n_diff = multiset_diff_count(streamed, batch)
     if n_diff:
         raise AssertionError(
             f"q225: streaming count-min histogram diverged from the batch "

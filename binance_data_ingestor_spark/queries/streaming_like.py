@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
-from .util import load
+from .util import load, multiset_diff_count, stream_scratch
 
 
 # --------------------------------------------------------------------------
@@ -432,7 +432,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q26_")
+    work = stream_scratch("q26_")
 
     # one data micro-batch (all files at once), then the engine's own
     # trailing flush batch: after the data batch the watermark sits past
@@ -497,7 +497,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compared at cent granularity so the assert is immune to the last-
     # ulp float accumulation-order difference between the stream's
     # per-event fold and the batch cent-sum
-    # one materialization: the two exceptAll sides and the returned
+    # one materialization: the multiset gate and the returned
     # result all consume the batch twin
     batch = (
         q24_sessionize(spark, sf_dir)
@@ -514,10 +514,7 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sess_end",
         )
 
-    n_diff = (
-        _cents(streamed).exceptAll(_cents(batch)).count()
-        + _cents(batch).exceptAll(_cents(streamed)).count()
-    )
+    n_diff = multiset_diff_count(_cents(streamed), _cents(batch))
     if n_diff:
         raise AssertionError(
             f"q26: streaming sessionizer diverged from batch twin on "
@@ -791,7 +788,7 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.coalesce(4).write.mode("overwrite").parquet(f"{w}/r")
 
     data = replay_input(spark, sf_dir, "q191", _write)
-    work = tempfile.mkdtemp(prefix="q191_")
+    work = stream_scratch("q191_")
 
     l_stream = (
         spark.readStream.schema(
@@ -834,7 +831,7 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(work, ignore_errors=True)
     streamed = spark.table(name).filter(F.col("user_id") >= 0)
-    # batch twin; one materialization feeds both exceptAll sides and
+    # batch twin; one materialization feeds the multiset gate and
     # the returned result
     batch = asof_join(
         clicks,
@@ -857,10 +854,7 @@ def q191_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pv"),
         )
 
-    n_diff = (
-        _cents(streamed).exceptAll(_cents(batch)).count()
-        + _cents(batch).exceptAll(_cents(streamed)).count()
-    )
+    n_diff = multiset_diff_count(_cents(streamed), _cents(batch))
     if n_diff:
         raise AssertionError(
             f"q191: streaming as-of enrichment diverged from batch "
@@ -924,7 +918,7 @@ def q192_stream_klines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q192_")
+    work = stream_scratch("q192_")
     stream = (
         spark.readStream.schema(
             "symbol string, trade_time long, price double, quantity double"
@@ -978,10 +972,7 @@ def q192_stream_klines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trades",
         )
 
-    n_diff = (
-        _cents(streamed).exceptAll(_cents(batch)).count()
-        + _cents(batch).exceptAll(_cents(streamed)).count()
-    )
+    n_diff = multiset_diff_count(_cents(streamed), _cents(batch))
     if n_diff:
         raise AssertionError(
             f"q192: streaming kline aggregation diverged from batch twin "
@@ -1044,7 +1035,7 @@ def q193_stream_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q193_")
+    work = stream_scratch("q193_")
     stream = (
         spark.readStream.schema(
             "event_type string, ts timestamp, event_id long, value double"
@@ -1132,7 +1123,7 @@ def q194_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q194_")
+    work = stream_scratch("q194_")
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", "1000")
@@ -1204,7 +1195,7 @@ def q195_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{w}/in"),
     )
-    work = tempfile.mkdtemp(prefix="q195_")
+    work = stream_scratch("q195_")
     stream = (
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, event_type string"

@@ -43,7 +43,7 @@ from ..operators.text import (
     rolling_hash_signature,
     rolling_hash_sql,
 )
-from .util import load, session_artifact
+from .util import load, session_artifact, stream_scratch
 
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -2999,7 +2999,7 @@ def q259_stream_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         stagger_replay_mtimes(inp)
 
     data = replay_input(spark, sf_dir, "q259", _write)
-    work = tempfile.mkdtemp(prefix="q259_")
+    work = stream_scratch("q259_")
     try:
         run_dedup_ingest(
             spark,

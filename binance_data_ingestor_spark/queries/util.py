@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -102,6 +104,52 @@ def copurchase_pairs(
     return baskets, pairs
 
 
+def stream_scratch(prefix: str) -> str:
+    """mkdtemp for streaming-replay scratch (checkpoint dirs, replay
+    inputs, per-run work dirs).
+
+    Placement (round-12, guide §6): the replay harness writes many tiny
+    files per micro-batch — offset/commit logs, per-partition state-store
+    deltas, the replay input itself — and on this box the default tmp is
+    a real ext4 disk, so each certificate paid real file-create/sync
+    latency for scratch that is deleted seconds later. Prefer tmpfs
+    (/dev/shm) when present: measured −0.5–1.3 s per certificate on the
+    q26 replay with the replay structure (batch count, watermarks,
+    gates) untouched. SPARK_GRAFT_STREAM_TMP overrides (set it to /tmp
+    to restore the old placement; a cluster deployment points streaming
+    checkpoints at durable storage instead — this helper is the replay
+    harness's scratch, not a production checkpoint policy).
+    """
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_TMP")
+    if not root:
+        root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+def multiset_diff_count(a: DataFrame, b: DataFrame) -> int:
+    """Count of distinct rows whose multiplicities differ between ``a``
+    and ``b`` — 0 iff the two frames are multiset-equal, the same
+    predicate the streaming certificates' two-``exceptAll`` gate tested.
+
+    ONE job / one shuffle instead of two jobs that each shuffle both
+    sides (exceptAll plans an aggregate over each input per direction):
+    tag rows ±1, group by every column (NULL-safe, like exceptAll's
+    null-safe equality), keep groups with a non-zero net count. Measured
+    −0.4 s per certificate on the q26 gate (1.04 → 0.61 s min-of-3).
+    """
+    cols = a.columns
+    return (
+        a.withColumn("__sgn", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__sgn", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__sgn").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .count()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared replay-input artifact for the streaming certification queries
 # (q26 / q187 / q191 / q192). Each replays a fixture-derived dataset as
@@ -126,10 +174,9 @@ def replay_input(spark: SparkSession, sf_dir: str, name: str, build) -> str:
     """
     import atexit
     import shutil
-    import tempfile
 
     def _build() -> str:
-        work = tempfile.mkdtemp(prefix=f"replay_{name}_")
+        work = stream_scratch(f"replay_{name}_")
         atexit.register(shutil.rmtree, work, ignore_errors=True)
         build(work)
         return work
