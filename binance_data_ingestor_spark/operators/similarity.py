@@ -50,6 +50,24 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def norm(col: Column) -> Column:
+    """sqrt(dot(v, v)) with the same double-cast fold as :func:`cosine`
+    — hoist it to a per-ROW projection when a join scores many PAIRS per
+    row: the interpreted HOF fold (no codegen, one intermediate array
+    per dot) then runs once per row instead of once per pair, and
+    ``dot(q, c) / nullif(q_norm * c_norm, 0)`` is bit-identical to
+    :func:`cosine` (identical factors, identical multiply order,
+    identical guard)."""
+    d = _as_double(col)
+    return F.sqrt(dot(d, d))
+
+
+def _pair_cos(q_vec: Column, c_vec: Column, q_norm: Column, c_norm: Column) -> Column:
+    return dot(_as_double(q_vec), _as_double(c_vec)) / F.nullif(
+        q_norm * c_norm, F.lit(0.0)
+    )
+
+
 def _matrix(series: pd.Series) -> np.ndarray:
     """Arrow list<float> column → (n, d) float64 matrix (exact upcast)."""
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
@@ -150,20 +168,28 @@ def lsh_topk(
     within the bucket. At scale the bucket join replaces the full cross
     product with a 2^n_planes-way partition of the candidate set."""
     planes = hyperplanes(dim, n_planes, seed)
+    # norms hoisted to per-row projections (round-12): the bucket join
+    # scores many pairs per row and the interpreted dot fold was paying
+    # 3 dots/pair; see norm()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_sim",
+            _pair_cos(F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -323,13 +349,20 @@ def ivf_topk(
     probes = (
         q_cells.withColumn("probe_rank", F.row_number().over(wp))
         .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "cell", norm(F.col("q_vec")).alias("__qn"))
     )
 
+    # norms hoisted to per-row projections (round-12): every candidate
+    # is scored against ~n_probe·|Q|/n_centroids probes, so the
+    # interpreted dot fold was paying 3 dots/pair; see norm()
+    cn = c.select("*", norm(F.col("c_vec")).alias("__cn"))
     scored = (
-        c.join(F.broadcast(probes), "cell")
+        cn.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_sim",
+            _pair_cos(F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
