@@ -23,6 +23,7 @@ All operators are deterministic: no RNG, no partition-order dependence.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .partitioning import fanout
@@ -189,9 +190,13 @@ def prefix_filter_jaccard_pairs(
     import math
 
     ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # document frequency attaches as count(*) OVER (PARTITION BY
+    # shingle) — the q144 round-11 trick: one Exchange(shingle) pass
+    # instead of a groupBy aggregate + rejoin that shuffles ex twice
+    # (round-12 A/B: per-doc stage min 1.07 → 0.75 s, won 4/4 reps;
+    # identical integers — same count over the same partition multiset)
     per_doc = (
-        ex.join(dfreq, "shingle")
+        ex.withColumn("__df", F.count("*").over(W.partitionBy("shingle")))
         .groupBy(id_col)
         .agg(
             F.array_sort(
@@ -350,10 +355,11 @@ def prefix_filter_containment_pairs(
     """
     ex = exploded if exploded is not None else _exploded_shingles(df, text_col, id_col, n)
     t_eff = threshold - 1e-6  # 6-dp-round-then-compare relaxation
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("__df"))
     k_req = F.ceil(F.size("__toks") * t_eff - 1e-9).cast("int")
+    # window-attached document frequency — same rewrite as the Jaccard
+    # twin above (one Exchange(shingle) pass, identical integers)
     per_doc = (
-        ex.join(dfreq, "shingle")
+        ex.withColumn("__df", F.count("*").over(W.partitionBy("shingle")))
         .groupBy(id_col)
         .agg(
             F.array_sort(
